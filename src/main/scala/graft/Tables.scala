@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + cross-engine determinism helpers.
+  *
+  * Every declared query reads inputs exclusively through [[Tables.apply]]
+  * (driver contract: `spark.read.parquet(s"$sfDir/<table>.parquet")`).
+  *
+  * Determinism rules (SURVEY.md §5): money-like aggregates are computed in
+  * DECIMAL(18,4) (exact, associative — partition order can't change the sum)
+  * and only cast back to DOUBLE at the end, so Spark and the DuckDB oracle
+  * produce bit-identical doubles.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- determinism helpers -------------------------------------------------
+
+  /** Exact decimal view of a money-like double column. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Order-insensitive sum of a money column, surfaced as DOUBLE.
+    * sum(DECIMAL) is exact regardless of partitioning; the final
+    * decimal→double cast is IEEE round-to-nearest in both engines. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum divided by count, in double.
+    * Both engines perform the identical IEEE division. */
+  def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
+
+  /** DuckDB-side equivalents (kept adjacent so the two dialects stay in sync). */
+  def sqlDsum(x: String): String = s"cast(sum(cast($x as decimal(18,4))) as double)"
+  def sqlDavg(x: String): String =
+    s"cast(sum(cast($x as decimal(18,4))) as double) / count($x)"
+
+  /** Timestamps cross the Spark(µs)/DuckDB(ns) parquet boundary as epoch
+    * seconds (BIGINT) — immune to precision/printing differences. */
+  def epochS(c: Column): Column = unix_timestamp(c)
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Loads oracle_sql.json, registers each testdata parquet as a DuckDB view,
+runs every oracle query, reads the Spark parquet dump for the same key,
+sorts columns by name (as the driver does), and compares values exactly.
+Exit code 0 iff every query matches.
+"""
+import json, math, sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    return df
+
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    failures = []
+    for name in sorted(oracle):
+        spark_path = Path(out_dir) / name
+        if not spark_path.exists():
+            failures.append((name, "NO SPARK DUMP"))
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+            want = con.sql(oracle[name]).df()
+        except Exception as e:
+            failures.append((name, f"EXEC ERROR: {e}"))
+            n_fail += 1
+            continue
+        got, want = canon(got), canon(want)
+        if list(got.columns) != list(want.columns):
+            failures.append((name, f"SCHEMA: spark={list(got.columns)} oracle={list(want.columns)}"))
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            failures.append((name, f"ROWS: spark={len(got)} oracle={len(want)}"))
+            n_fail += 1
+            continue
+        # dtype report (informational) + exact value compare
+        bad = None
+        gv, wv = got.values.tolist(), want.values.tolist()
+        for i, (rg, rw) in enumerate(zip(gv, wv)):
+            for j, (a, b) in enumerate(zip(rg, rw)):
+                if not cell_eq(a, b):
+                    bad = (i, got.columns[j], a, b,
+                           str(got.dtypes.iloc[j]), str(want.dtypes.iloc[j]))
+                    break
+            if bad:
+                break
+        if bad:
+            failures.append((name, f"VALUE row={bad[0]} col={bad[1]}: spark={bad[2]!r}({bad[4]}) oracle={bad[3]!r}({bad[5]})"))
+            n_fail += 1
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)")
+    for name, why in failures:
+        print(f"FAIL {name}: {why}")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
