@@ -11,7 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (ops.Scans.queries, ops.Scans.oracle)
+    (ops.Scans.queries, ops.Scans.oracle),
+    (ops.Filters.queries, ops.Filters.oracle),
+    (ops.Joins.queries, ops.Joins.oracle),
+    (ops.Aggregates.queries, ops.Aggregates.oracle),
+    (ops.Windows.queries, ops.Windows.oracle),
+    (ops.SortSet.queries, ops.SortSet.oracle),
+    (ops.ScalarFns.queries, ops.ScalarFns.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -16,7 +16,15 @@ import org.apache.spark.sql.types._
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read nanos as long, floor-truncate to micros —
+      // exactly what DuckDB's cast(ts_ns AS timestamp) does, so the two
+      // engines see identical µs values.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   // ---- determinism helpers -------------------------------------------------
 

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** §2.4 aggregation family.
+  *
+  * groupBy/agg compiles to partial (map-side) + final hash aggregation —
+  * the one shuffle per query carries pre-combined partials, which is the
+  * plan that survives 100× scale-up. Nullable grouping columns (rollup /
+  * cube / grouping sets) are ordered with explicit NULLS FIRST on both
+  * engines (Spark default ≠ DuckDB default).
+  */
+object Aggregates {
+
+  val queries: Map[String, Q] = Map(
+    "agg_distinct" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_cust"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // HLL sketch — no DuckDB oracle (different sketch); ScalaTest bounds it
+    // against the exact count instead.
+    "agg_approx_distinct" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
+    // sales by (nation), (nation, segment), () — Spark 4 native groupingSets
+    "agg_grouping_sets" -> { (s, dir) =>
+      val orders = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      val nation = Tables(s, dir, "nation")
+      orders
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name")), Seq(col("n_name"), col("c_mktsegment")), Seq()),
+          col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    },
+
+    "agg_rollup" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    "agg_cube" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    "agg_having" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+        .where(col("sum_qty") > 15000.0)
+        .orderBy(col("l_suppkey"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_cust
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT n_name, c_mktsegment, count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((n_name), (n_name, c_mktsegment), ())
+         |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_having" ->
+      s"""SELECT l_suppkey, ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n_lines
+         |FROM lineitem GROUP BY l_suppkey
+         |HAVING ${sqlDsum("l_quantity")} > 15000.0
+         |ORDER BY l_suppkey""".stripMargin
+  )
+}

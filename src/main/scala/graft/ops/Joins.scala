@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.3 join family.
+  *
+  * Scale notes (100 TB, SURVEY.md §4):
+  *  - dims (nation/region) get explicit `broadcast()` hints — no shuffle of
+  *    the fact side's join keys for those.
+  *  - `join_theta_range` avoids the quadratic per-key self-join: events are
+  *    bucketed into 5-minute epochs and the left side is replicated into the
+  *    3 adjacent buckets (explode), turning the range predicate into an
+  *    equi-join on (user, bucket) + residual filter. At 1000 executors this
+  *    shuffles on a dense composite key instead of relying on per-user
+  *    quadratic blow-up.
+  *  - `join_asof` is the union/window trick: one shuffle on user_id, one
+  *    sort — no join at all (Spark has no native as-of join).
+  */
+object Joins {
+
+  private val bucketUs = 300000000L // 5 minutes in microseconds
+
+  val queries: Map[String, Q] = Map(
+    "join_inner_hash" -> { (s, dir) =>
+      val orders = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      orders.join(cust, orders("o_custkey") === cust("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    "join_broadcast_chain" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val nation = Tables(s, dir, "nation")
+      val region = Tables(s, dir, "region")
+      cust
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    "join_left_outer" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "join_semi" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders").select(col("o_custkey"))
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "join_anti" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders").select(col("o_custkey"))
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Event pairs of the same user within 5 minutes. Bucketed equi-join:
+    // |t1-t2| <= W implies bucket distance <= 1 when bucket width = W, so
+    // replicating the left side into {b-1, b, b+1} and equi-joining on
+    // (user, bucket) finds every pair exactly once (right side keeps its
+    // unique bucket).
+    "join_theta_range" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      val left = ev
+        .withColumn("b0", (col("t") / bucketUs).cast("long"))
+        .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+        .select(col("user_id"), col("event_id").as("id1"), col("t").as("t1"), col("bucket"))
+      val right = ev
+        .select(col("user_id").as("u2"), col("event_id").as("id2"), col("t").as("t2"),
+          (col("t") / bucketUs).cast("long").as("bucket2"))
+      left.join(right,
+          col("user_id") === col("u2") && col("bucket") === col("bucket2") &&
+            col("id1") < col("id2") && abs(col("t1") - col("t2")) <= bucketUs)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+
+    // As-of join without a native operator: union both sides with a tag,
+    // one window pass carries the latest click at-or-before each purchase.
+    "join_asof" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val tagged = ev
+        .where(col("event_type").isin("click", "purchase"))
+        .withColumn("side", when(col("event_type") === "click", 0).otherwise(1))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("click_t", last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+        .withColumn("click_id", last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .where(col("side") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("t").as("pt"), col("click_id"), col("click_t"))
+        .orderBy(col("purchase_id"))
+    },
+
+    "join_full_outer" -> { (s, dir) =>
+      val od = Tables(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(dsum(col("o_totalprice")).as("order_total"))
+      val ed = Tables(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .agg(dsum(col("value")).as("event_total"))
+      od.join(ed, Seq("d"), "full_outer").orderBy(col("d"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_hash" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_broadcast_chain" ->
+      s"""SELECT r_name, n_name, count(*) AS n_cust, ${sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_left_outer" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_theta_range" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(cast(ts as timestamp)) AS t FROM events)
+        |SELECT e1.user_id, count(*) AS n_pairs
+        |FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id
+        | AND e1.event_id < e2.event_id AND abs(e1.t - e2.t) <= 300000000
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+    "join_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(cast(ts as timestamp)) AS t FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, t AS pt FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, event_id AS click_id, t AS click_t FROM e WHERE event_type = 'click')
+        |SELECT purchase_id, user_id, pt, click_id, click_t
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND c.click_t <= p.pt
+        |ORDER BY purchase_id""".stripMargin,
+    "join_full_outer" ->
+      s"""WITH od AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, ${sqlDsum("o_totalprice")} AS order_total
+         |            FROM orders GROUP BY 1),
+         |ed AS (SELECT strftime(ts, '%Y-%m-%d') AS d, ${sqlDsum("value")} AS event_total
+         |       FROM events GROUP BY 1)
+         |SELECT coalesce(od.d, ed.d) AS d, order_total, event_total
+         |FROM od FULL OUTER JOIN ed ON od.d = ed.d
+         |ORDER BY d""".stripMargin
+  )
+}
