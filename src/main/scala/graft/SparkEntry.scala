@@ -17,7 +17,11 @@ object SparkEntry {
     (ops.Aggregates.queries, ops.Aggregates.oracle),
     (ops.Windows.queries, ops.Windows.oracle),
     (ops.SortSet.queries, ops.SortSet.oracle),
-    (ops.ScalarFns.queries, ops.ScalarFns.oracle)
+    (ops.ScalarFns.queries, ops.ScalarFns.oracle),
+    (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),
+    (clean.Missing.queries, clean.Missing.oracle),
+    (clean.Outliers.queries, clean.Outliers.oracle),
+    (clean.StringClean.queries, clean.StringClean.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

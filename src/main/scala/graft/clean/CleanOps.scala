@@ -1,0 +1,207 @@
+package graft.clean
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The cleaning-operation ADT — the Spark-native form of the reference's
+  * recorded cleaning session (ipydataclean's processor + history model,
+  * SURVEY.md §1/§3.3).
+  *
+  * Every op is a pure DataFrame→DataFrame plan transform; a [[Recipe]] folds
+  * ops in order, so an entire cleaning session compiles into ONE Catalyst
+  * plan (the reference executes N eager pandas passes instead). `code`
+  * pretty-prints the equivalent standalone Spark snippet — the reference's
+  * "export as code" feature.
+  *
+  * Determinism: means/medians go through exact DECIMAL sums or exact
+  * percentiles; every tiebreak (mode, dedup keep-first) is total.
+  */
+sealed trait CleanOp {
+  def apply(df: DataFrame): DataFrame
+  def code: String
+}
+
+object CleanOp {
+  /** Deterministic mean as a window expression: exact decimal sum / count. */
+  private[clean] def meanOverAll(c: String): Column = {
+    val w = Window.partitionBy()
+    sum(col(c).cast("decimal(18,4)")).over(w).cast("double") /
+      count(col(c)).over(w)
+  }
+}
+
+/** Fill nulls in `column` with a constant. */
+final case class FillConstant(column: String, value: Any) extends CleanOp {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(column, coalesce(col(column), lit(value)))
+  def code: String = s"""df.withColumn("$column", coalesce(col("$column"), lit($value)))"""
+}
+
+/** Fill numeric nulls with the column mean (classic ipydataclean fix). */
+final case class FillMean(column: String) extends CleanOp {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(column, coalesce(col(column), CleanOp.meanOverAll(column)))
+  def code: String =
+    s"""df.withColumn("$column", coalesce(col("$column"), avg over ()))  // exact decimal mean"""
+}
+
+/** Fill numeric nulls with the exact median (linear-interpolated). */
+final case class FillMedian(column: String, roundTo: Int = 6) extends CleanOp {
+  def apply(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy()
+    df.withColumn(column,
+      round(coalesce(col(column),
+        expr(s"percentile($column, 0.5)").over(w)), roundTo))
+  }
+  def code: String =
+    s"""df.withColumn("$column", round(coalesce(col("$column"), percentile($column, 0.5) over ()), $roundTo))"""
+}
+
+/** Fill categorical nulls with the most frequent value
+  * (ties broken by smallest value — total, deterministic). */
+final case class FillMode(column: String) extends CleanOp {
+  def apply(df: DataFrame): DataFrame = {
+    val mode = df.where(col(column).isNotNull)
+      .groupBy(col(column)).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col(column))
+      .limit(1)
+      .select(col(column).as("__mode"))
+    df.crossJoin(broadcast(mode))
+      .withColumn(column, coalesce(col(column), col("__mode")))
+      .drop("__mode")
+  }
+  def code: String = s"""df.fillna(mode("$column"))  // mode = max count, tiebreak smallest value"""
+}
+
+/** Forward-fill nulls in explicit (partition, order) — the reference's
+  * implicit-row-order ffill made explicit (SURVEY.md §1 row-identity gap). */
+final case class ForwardFill(column: String, orderCols: Seq[String],
+    partitionCols: Seq[String]) extends CleanOp {
+  def apply(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(column, last(col(column), ignoreNulls = true).over(w))
+  }
+  def code: String =
+    s"""df.withColumn("$column", last(col("$column"), ignoreNulls=true).over(Window.partitionBy(${partitionCols.mkString(",")}).orderBy(${orderCols.mkString(",")})))"""
+}
+
+/** Linear interpolation between nearest non-null neighbours in explicit
+  * (partition, order); leading/trailing nulls stay null. */
+final case class Interpolate(column: String, orderCols: Seq[String],
+    partitionCols: Seq[String], roundTo: Int = 6) extends CleanOp {
+  def apply(df: DataFrame): DataFrame = {
+    val part = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val idxed = df.withColumn("__idx", row_number().over(part))
+    val wPrev = part.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = part.rowsBetween(1, Window.unboundedFollowing)
+    val c = col(column)
+    idxed
+      .withColumn("__pv", last(c, ignoreNulls = true).over(wPrev))
+      .withColumn("__pi", last(when(c.isNotNull, col("__idx")), ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(c, ignoreNulls = true).over(wNext))
+      .withColumn("__ni", first(when(c.isNotNull, col("__idx")), ignoreNulls = true).over(wNext))
+      .withColumn(column,
+        when(c.isNotNull, c)
+          .otherwise(round(
+            col("__pv") + (col("__nv") - col("__pv")) *
+              (col("__idx") - col("__pi")) / (col("__ni") - col("__pi")),
+            roundTo)))
+      .drop("__idx", "__pv", "__pi", "__nv", "__ni")
+  }
+  def code: String = s"""df.interpolate("$column")  // prev + (next-prev)*(i-pi)/(ni-pi)"""
+}
+
+/** Drop rows with a null in ANY of `columns`. */
+final case class DropNaAny(columns: Seq[String]) extends CleanOp {
+  def apply(df: DataFrame): DataFrame = df.na.drop("any", columns)
+  def code: String = s"""df.na.drop("any", Seq(${columns.mkString(", ")}))"""
+}
+
+/** Keep exactly one row per key, deterministically: first by `order`.
+  * (NOT dropDuplicates — its keep choice is partition-order-dependent.) */
+final case class DedupByKey(keys: Seq[String], order: Seq[String]) extends CleanOp {
+  def apply(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+  def code: String =
+    s"""df.withColumn("rn", row_number over (partition ${keys.mkString(",")} order ${order.mkString(",")})).where("rn=1")"""
+}
+
+/** Clip (winsorize) into the [pLo, pHi] exact-percentile range.
+  * Bounds are rounded to 4 decimals so both engines in a differential test
+  * compare against the identical double. */
+final case class ClipToQuantiles(column: String, pLo: Double, pHi: Double)
+    extends CleanOp {
+  def apply(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy()
+    val lo = round(expr(s"percentile($column, $pLo)").over(w), 4)
+    val hi = round(expr(s"percentile($column, $pHi)").over(w), 4)
+    df.withColumn(column, least(greatest(col(column), lo), hi))
+  }
+  def code: String = s"""df.withColumn("$column", least(greatest(col, p$pLo), p$pHi))"""
+}
+
+/** Error-tolerant string→double (reference "convert type" fix). */
+final case class SafeCastDouble(column: String, target: String = "double")
+    extends CleanOp {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(column, expr(s"try_cast($column AS $target)"))
+  def code: String = s"""df.withColumn("$column", expr("try_cast($column AS $target)"))"""
+}
+
+/** Error-tolerant string→timestamp with an explicit format. */
+final case class ParseTimestamp(column: String, fmt: String = "yyyy-MM-dd HH:mm:ss")
+    extends CleanOp {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(column, try_to_timestamp(col(column), lit(fmt)))
+  def code: String = s"""df.withColumn("$column", try_to_timestamp(col("$column"), "$fmt"))"""
+}
+
+/** trim + lower + collapse internal whitespace (pre-clustering normalize). */
+final case class NormalizeWhitespace(column: String) extends CleanOp {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(column, lower(trim(regexp_replace(col(column), "\\s+", " "))))
+  def code: String =
+    s"""df.withColumn("$column", lower(trim(regexp_replace(col("$column"), "\\\\s+", " "))))"""
+}
+
+/** OpenRefine-style fingerprint canonicalization: key = sorted distinct
+  * tokens of the normalized value; every member is rewritten to the most
+  * frequent original value of its key (tiebreak smallest). */
+final case class FingerprintCanonicalize(column: String) extends CleanOp {
+  def apply(df: DataFrame): DataFrame = {
+    val fp = concat_ws(" ",
+      array_sort(array_distinct(split(
+        lower(trim(regexp_replace(col(column), "\\s+", " "))), " "))))
+    val wRank = Window.partitionBy(col("__fp"))
+      .orderBy(col("__cnt").desc, col(column))
+    val canon = df.where(col(column).isNotNull)
+      .groupBy(fp.as("__fp"), col(column))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(wRank))
+      .where(col("__rn") === 1)
+      .select(col("__fp"), col(column).as("__canon"))
+    df.withColumn("__fp", fp)
+      .join(broadcast(canon), Seq("__fp"), "left")
+      .withColumn(column, coalesce(col("__canon"), col(column)))
+      .drop("__fp", "__canon")
+  }
+  def code: String = s"""df.canonicalize("$column")  // fingerprint = sorted distinct tokens"""
+}
+
+/** An ordered, replayable cleaning session (the reference's history). */
+final case class Recipe(ops: Seq[CleanOp]) {
+  /** The whole recipe is ONE lazy Catalyst plan. */
+  def apply(df: DataFrame): DataFrame = ops.foldLeft(df)((d, op) => op(d))
+  def add(op: CleanOp): Recipe = Recipe(ops :+ op)
+  /** Undo = drop the last step and re-derive (exactly the reference model). */
+  def undo: Recipe = Recipe(ops.dropRight(1))
+  /** Export the session as standalone Spark code. */
+  def exportCode: String = ops.map(_.code).mkString("\n")
+}

@@ -1,0 +1,150 @@
+package graft.clean
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** §2.10 outlier detection/repair + error-tolerant type repair.
+  *
+  * Percentile bounds are rounded to 4 decimals before comparing, so a
+  * last-bit interpolation difference between Spark `percentile` and DuckDB
+  * `quantile_cont` cannot flip a boundary row (SURVEY.md §5). Mean/std come
+  * from exact decimal sums, mirrored expression-for-expression in the oracle.
+  */
+object Outliers {
+
+  val queries: Map[String, Q] = Map(
+    // IQR fence counts on l_extendedprice
+    "outlier_iqr_flag" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val qs = li.agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+      li.crossJoin(broadcast(qs))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+    },
+
+    // |z| > 3 flags via exact-decimal mean/std
+    "outlier_zscore_flag" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val d = col("l_extendedprice").cast("decimal(12,2)")
+      val stats = li.agg(
+        sum(d).cast("double").as("sx"),
+        sum(d * d).cast("double").as("sx2"),
+        count(col("l_extendedprice")).as("n"))
+        .select(
+          (col("sx") / col("n")).as("mean"),
+          sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("std"))
+      li.crossJoin(broadcast(stats))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(abs((col("l_extendedprice") - col("mean")) / col("std")) > 3.0, 1L)
+            .otherwise(0L)).as("n_out"),
+          min(col("mean")).as("mean"), min(col("std")).as("std"))
+    },
+
+    // winsorize into [p01, p99], row-level output
+    "outlier_clip" -> { (s, dir) =>
+      ClipToQuantiles("l_extendedprice", 0.01, 0.99)(Tables(s, dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("clipped"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("clipped"))
+    },
+
+    // drop rows outside the IQR fences, aggregate the survivors
+    "outlier_remove" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val qs = li.agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+      li.crossJoin(broadcast(qs))
+        .where(col("l_extendedprice") >= col("q1") - (col("q3") - col("q1")) * 1.5 &&
+          col("l_extendedprice") <= col("q3") + (col("q3") - col("q1")) * 1.5)
+        .agg(count(lit(1)).as("n_kept"), dsum(col("l_extendedprice")).as("sum_kept"))
+    },
+
+    // error-tolerant string→double over a deterministically mixed column
+    "cast_safe_numeric" -> { (s, dir) =>
+      val mixed = Tables(s, dir, "events")
+        .withColumn("raw",
+          when(col("event_id") % 5 === 0, col("event_type"))
+            .otherwise(col("value").cast("string")))
+      SafeCastDouble("raw")(mixed)
+        .select(col("event_id"), col("raw").as("parsed"),
+          col("raw").isNotNull.as("ok"))
+        .orderBy(col("event_id"))
+    },
+
+    // error-tolerant string→timestamp with explicit format
+    "parse_dates" -> { (s, dir) =>
+      val strs = Tables(s, dir, "events")
+        .withColumn("raw",
+          when(col("event_id") % 9 === 0, lit("not-a-date"))
+            .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+      ParseTimestamp("raw")(strs)
+        .select(col("event_id"), unix_timestamp(col("raw")).as("parsed_s"),
+          col("raw").isNotNull.as("ok"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  private val iqrBounds =
+    """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+      |round(quantile_cont(l_extendedprice, 0.75), 4) AS q3 FROM lineitem""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "outlier_iqr_flag" ->
+      s"""WITH qs AS ($iqrBounds),
+         |b AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM qs)
+         |SELECT count(*) AS n_total,
+         |sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS n_lo,
+         |sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_hi,
+         |min(lo) AS lo, min(hi) AS hi
+         |FROM lineitem CROSS JOIN b""".stripMargin,
+    "outlier_zscore_flag" ->
+      """WITH st AS (
+        |  SELECT cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS sx,
+        |    cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))) as double) AS sx2,
+        |    count(l_extendedprice) AS n FROM lineitem),
+        |ms AS (SELECT sx / n AS mean, sqrt((sx2 - sx * sx / n) / (n - 1)) AS std FROM st)
+        |SELECT count(*) AS n_total,
+        |sum(CASE WHEN abs((l_extendedprice - mean) / std) > 3.0 THEN 1 ELSE 0 END) AS n_out,
+        |min(mean) AS mean, min(std) AS std
+        |FROM lineitem CROSS JOIN ms""".stripMargin,
+    "outlier_clip" ->
+      """WITH qs AS (SELECT round(quantile_cont(l_extendedprice, 0.01), 4) AS lo,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS hi FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |least(greatest(l_extendedprice, lo), hi) AS clipped
+        |FROM lineitem CROSS JOIN qs
+        |ORDER BY l_orderkey, l_linenumber, clipped""".stripMargin,
+    "outlier_remove" ->
+      s"""WITH qs AS ($iqrBounds)
+         |SELECT count(*) AS n_kept,
+         |cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_kept
+         |FROM lineitem CROSS JOIN qs
+         |WHERE l_extendedprice >= q1 - 1.5 * (q3 - q1)
+         |  AND l_extendedprice <= q3 + 1.5 * (q3 - q1)""".stripMargin,
+    "cast_safe_numeric" ->
+      """SELECT event_id,
+        |try_cast(CASE WHEN event_id % 5 = 0 THEN event_type
+        |              ELSE cast(value as varchar) END as double) AS parsed,
+        |try_cast(CASE WHEN event_id % 5 = 0 THEN event_type
+        |              ELSE cast(value as varchar) END as double) IS NOT NULL AS ok
+        |FROM events ORDER BY event_id""".stripMargin,
+    "parse_dates" ->
+      """SELECT event_id,
+        |cast(epoch(try_strptime(CASE WHEN event_id % 9 = 0 THEN 'not-a-date'
+        |  ELSE strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') END,
+        |  '%Y-%m-%d %H:%M:%S')) as bigint) AS parsed_s,
+        |try_strptime(CASE WHEN event_id % 9 = 0 THEN 'not-a-date'
+        |  ELSE strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') END,
+        |  '%Y-%m-%d %H:%M:%S') IS NOT NULL AS ok
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

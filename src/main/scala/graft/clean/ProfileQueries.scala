@@ -1,0 +1,120 @@
+package graft.clean
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.8 per-column profiling — the reference widget's column-summary pass.
+  *
+  * std is computed from exact decimal sums (sqrt((Σx² − (Σx)²/n)/(n−1)))
+  * instead of stddev_samp, so partition order can't perturb the double and
+  * the DuckDB oracle reproduces it bit-for-bit.
+  */
+object ProfileQueries {
+
+  /** One profiling row for a numeric column — a single column-pruned pass. */
+  private def summarize(df: DataFrame, c: String): DataFrame = {
+    val d = col(c).cast("decimal(12,2)")
+    df.agg(
+      count(col(c)).as("n"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      sum(d).cast("double").as("__sx"),
+      sum(d * d).cast("double").as("__sx2"),
+      min(col(c)).as("mn"),
+      max(col(c)).as("mx")
+    ).select(
+      lit(c).as("col_name"), col("n"), col("n_null"), col("n_distinct"),
+      (col("__sx") / col("n")).as("mean"),
+      sqrt((col("__sx2") - col("__sx") * col("__sx") / col("n")) / (col("n") - 1))
+        .as("std"),
+      col("mn"), col("mx"))
+  }
+
+  private def sqlSummarize(c: String): String =
+    s"""SELECT '$c' AS col_name, count($c) AS n,
+       |count(*) - count($c) AS n_null,
+       |count(DISTINCT $c) AS n_distinct,
+       |cast(sum(cast($c as decimal(12,2))) as double) / count($c) AS mean,
+       |sqrt((cast(sum(cast($c as decimal(12,2)) * cast($c as decimal(12,2))) as double)
+       |  - cast(sum(cast($c as decimal(12,2))) as double) * cast(sum(cast($c as decimal(12,2))) as double) / count($c))
+       |  / (count($c) - 1)) AS std,
+       |min($c) AS mn, max($c) AS mx FROM lineitem""".stripMargin
+
+  private val profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val queries: Map[String, Q] = Map(
+    "profile_summary" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      profCols.map(summarize(li, _)).reduce(_ unionByName _)
+        .orderBy(col("col_name"))
+    },
+
+    // null/NaN detector over events with deterministically injected nulls
+    "profile_missingness" -> { (s, dir) =>
+      Missing.eventsWithNulls(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("value_nulls"),
+        sum(when(col("et").isNull, 1L).otherwise(0L)).as("etype_nulls"),
+        sum(when(isnan(col("value")), 1L).otherwise(0L)).as("value_nans")
+      ).select(col("n_rows"), col("value_nulls"), col("etype_nulls"), col("value_nans"),
+        (col("value_nulls").cast("double") / col("n_rows")).as("value_null_rate"),
+        (col("etype_nulls").cast("double") / col("n_rows")).as("etype_null_rate"))
+    },
+
+    "profile_topk_values" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p_brand"))
+        .limit(10)
+    },
+
+    "profile_quantiles" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        expr("percentile(l_quantity, 0.25)").as("q25_qty"),
+        expr("percentile(l_quantity, 0.5)").as("q50_qty"),
+        expr("percentile(l_quantity, 0.75)").as("q75_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("q25_price"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("q50_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("q75_price"))
+    },
+
+    // fixed-width histogram of o_totalprice: 20 buckets of 25000
+    "profile_histogram" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .withColumn("bucket",
+          least(floor(col("o_totalprice") / 25000.0), lit(19.0)).cast("int"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "profile_summary" ->
+      profCols.map(sqlSummarize).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "profile_missingness" ->
+      s"""WITH ev AS (${Missing.sqlEv})
+         |SELECT count(*) AS n_rows,
+         |sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+         |sum(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS etype_nulls,
+         |sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS value_nans,
+         |cast(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) as double) / count(*) AS value_null_rate,
+         |cast(sum(CASE WHEN et IS NULL THEN 1 ELSE 0 END) as double) / count(*) AS etype_null_rate
+         |FROM ev""".stripMargin,
+    "profile_topk_values" ->
+      """SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand
+        |ORDER BY n DESC, p_brand LIMIT 10""".stripMargin,
+    "profile_quantiles" ->
+      """SELECT quantile_cont(l_quantity, 0.25) AS q25_qty,
+        |quantile_cont(l_quantity, 0.5) AS q50_qty,
+        |quantile_cont(l_quantity, 0.75) AS q75_qty,
+        |round(quantile_cont(l_extendedprice, 0.25), 6) AS q25_price,
+        |round(quantile_cont(l_extendedprice, 0.5), 6) AS q50_price,
+        |round(quantile_cont(l_extendedprice, 0.75), 6) AS q75_price
+        |FROM lineitem""".stripMargin,
+    "profile_histogram" ->
+      """SELECT cast(least(floor(o_totalprice / 25000.0), 19.0) as int) AS bucket,
+        |count(*) AS n FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}

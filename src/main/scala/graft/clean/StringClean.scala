@@ -1,0 +1,100 @@
+package graft.clean
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.11 string canonicalization — the reference's marquee fuzzy-cluster
+  * feature (OpenRefine-style).
+  *
+  * Messy variants are derived deterministically from p_name (case flips,
+  * padding, token reordering, truncation typos) identically in both engines.
+  * Fingerprint clustering is a shuffle-by-key (linear at 100 TB); the
+  * edit-distance pass is quadratic only within a first-letter block —
+  * at scale the block key is the lever (MinHash-LSH takes over, §2.12).
+  */
+object StringClean {
+
+  /** part with a deterministically messied name column `val`. */
+  private def messyParts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part").withColumn("val",
+      when(col("p_partkey") % 4 === 0, col("p_name"))
+        .when(col("p_partkey") % 4 === 1, upper(col("p_name")))
+        .when(col("p_partkey") % 4 === 2, concat(lit("  "), col("p_name"), lit("  ")))
+        .otherwise(concat_ws(" ", reverse(split(col("p_name"), " ")))))
+
+  private val sqlMessy =
+    """SELECT p_partkey,
+      |CASE WHEN p_partkey % 4 = 0 THEN p_name
+      |     WHEN p_partkey % 4 = 1 THEN upper(p_name)
+      |     WHEN p_partkey % 4 = 2 THEN '  ' || p_name || '  '
+      |     ELSE array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+      |END AS val FROM part""".stripMargin
+
+  private val sqlFp =
+    "array_to_string(list_sort(list_distinct(string_split(lower(trim(regexp_replace(%s, '\\s+', ' ', 'g'))), ' '))), ' ')"
+
+  val queries: Map[String, Q] = Map(
+    "str_normalize" -> { (s, dir) =>
+      NormalizeWhitespace("val")(messyParts(s, dir))
+        .select(col("p_partkey"), col("val").as("norm"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // fingerprint-key clustering: every messy value → canonical representative
+    "fuzzy_cluster_fingerprint" -> { (s, dir) =>
+      val df = messyParts(s, dir).withColumn("orig", col("val"))
+      FingerprintCanonicalize("val")(df)
+        .select(col("orig"), col("val").as("canonical"))
+        .distinct()
+        .orderBy(col("orig"), col("canonical"))
+    },
+
+    // blocked edit-distance pairs: same first letter, levenshtein ≤ 2
+    "fuzzy_cluster_edit_distance" -> { (s, dir) =>
+      val names = Tables(s, dir, "part")
+        .withColumn("val",
+          when(col("p_partkey") % 5 === 0,
+            col("p_name").substr(lit(1), length(col("p_name")) - 1))
+            .otherwise(col("p_name")))
+        .select(col("val")).distinct()
+      val a = names.select(col("val").as("val_a"))
+        .withColumn("blk", substring(col("val_a"), 1, 1))
+      val b = names.select(col("val").as("val_b"))
+        .withColumn("blk", substring(col("val_b"), 1, 1))
+      a.join(b, Seq("blk"))
+        .where(col("val_a") < col("val_b") &&
+          levenshtein(col("val_a"), col("val_b")) <= 2)
+        .select(col("val_a"), col("val_b"),
+          levenshtein(col("val_a"), col("val_b")).as("dist"))
+        .orderBy(col("val_a"), col("val_b"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "str_normalize" ->
+      s"""WITH m AS ($sqlMessy)
+         |SELECT p_partkey, lower(trim(regexp_replace(val, '\\s+', ' ', 'g'))) AS norm
+         |FROM m ORDER BY p_partkey""".stripMargin,
+    "fuzzy_cluster_fingerprint" ->
+      s"""WITH m AS ($sqlMessy),
+         |counts AS (SELECT ${sqlFp.format("val")} AS fp, val, count(*) AS c
+         |           FROM m WHERE val IS NOT NULL GROUP BY 1, 2),
+         |canon AS (SELECT fp, val AS canonical FROM (
+         |  SELECT fp, val, row_number() OVER (PARTITION BY fp ORDER BY c DESC, val) AS rn
+         |  FROM counts) WHERE rn = 1)
+         |SELECT DISTINCT m.val AS orig, canon.canonical
+         |FROM m JOIN canon ON ${sqlFp.format("m.val")} = canon.fp
+         |ORDER BY orig, canonical""".stripMargin,
+    "fuzzy_cluster_edit_distance" ->
+      """WITH names AS (SELECT DISTINCT
+        |  CASE WHEN p_partkey % 5 = 0 THEN substring(p_name, 1, length(p_name) - 1)
+        |       ELSE p_name END AS val FROM part)
+        |SELECT a.val AS val_a, b.val AS val_b, levenshtein(a.val, b.val) AS dist
+        |FROM names a JOIN names b
+        |  ON substring(a.val, 1, 1) = substring(b.val, 1, 1)
+        | AND a.val < b.val AND levenshtein(a.val, b.val) <= 2
+        |ORDER BY val_a, val_b""".stripMargin
+  )
+}
