@@ -21,7 +21,11 @@ object SparkEntry {
     (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),
     (clean.Missing.queries, clean.Missing.oracle),
     (clean.Outliers.queries, clean.Outliers.oracle),
-    (clean.StringClean.queries, clean.StringClean.oracle)
+    (clean.StringClean.queries, clean.StringClean.oracle),
+    (llm.Text.queries, llm.Text.oracle),
+    (llm.Dedup.queries, llm.Dedup.oracle),
+    (llm.Similarity.queries, llm.Similarity.oracle),
+    (llm.Multimodal.queries, llm.Multimodal.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,92 @@
+package graft.llm
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * with decode/feature-extraction as per-partition batch transforms.
+  *
+  * The container has no image/audio codecs, so the DECODE KERNEL IS A
+  * DETERMINISTIC STUB (clearly marked below). Everything around it — the
+  * binary column, the metadata struct schema, the mapPartitions batch
+  * shape, the partition sizing — is the real 100 TB design: payloads stay
+  * opaque bytes end-to-end, metadata travels in a narrow struct column so
+  * filters on width/format prune without touching payload bytes, and the
+  * decoder runs once per partition batch (the JVM analogue of a Pandas-UDF
+  * `mapInPandas` batch loop).
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every binary payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", StringType, nullable = false)))
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", metaSchema, nullable = false)))
+
+  /** Build a binary "asset" table from documents (payload = utf-8 bytes —
+    * stands in for image/audio blobs; schema and plumbing are the point). */
+  def assets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        lit("utf8").as("format"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(encode(col("text"), "UTF-8")).as("checksum")).as("meta"))
+
+  /** ??? STUB: stands in for a real image/audio decoder (libs absent in
+    * this container). Deterministic fake features: byte histogram moments.
+    * Signature and batch shape are what a real decoder plugs into. */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    var sum = 0L; var sq = 0L
+    payload.foreach { b => val v = b & 0xff; sum += v; sq += v.toLong * v }
+    val n = math.max(payload.length, 1)
+    Array(n.toFloat, sum.toFloat / n, sq.toFloat / n)
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Per-partition batch decode — one decoder instance per partition, rows
+    * streamed through it (the Spark-native mapInPandas analogue). */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    df.select(col("doc_id"), col("content"))
+      .mapPartitions { rows =>
+        // real impl: initialize codec once here, then stream the batch
+        rows.map { r =>
+          Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1)).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Declared query: metadata plumbing is fully oracle-checkable (payload
+    * length + md5 checksum are engine-independent). */
+  val queries: Map[String, Q] = Map(
+    "multimodal_meta" -> { (s, dir) =>
+      assets(s, dir).select(
+        col("doc_id"),
+        col("meta.format").as("format"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.checksum").as("checksum"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id, 'utf8' AS format,
+        |cast(strlen(text) as bigint) AS n_bytes,
+        |md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

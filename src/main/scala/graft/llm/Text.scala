@@ -1,0 +1,228 @@
+package graft.llm
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.12 text analysis for LLM-pipeline preprocessing: tokenize/TF-IDF/
+  * n-grams, language-ID, quality scoring, token counting, rolling-hash
+  * fingerprints, lexicon sentiment (EDBT'16 pattern, PAPERS.md).
+  *
+  * Everything is explode + hash-agg + window — one shuffle per stage, no
+  * driver-side loops; at 100 TB the token explode is the big row multiplier
+  * and runs map-side before the first shuffle.
+  */
+object Text {
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+
+  val queries: Map[String, Q] = Map(
+    "text_tokenize_tf" -> { (s, dir) =>
+      tokens(s, dir).groupBy(col("word")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("word"))
+    },
+
+    // TF-IDF with ln(N/df), top-3 terms per doc
+    "text_tfidf_topk" -> { (s, dir) =>
+      val toks = tokens(s, dir)
+      val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word"))
+      tf.join(broadcast(dfreq), "word").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("word"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+
+    // word bigrams via position + lead
+    "text_ngram" -> { (s, dir) =>
+      val pos = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      pos.withColumn("next", lead(col("word"), 1).over(w))
+        .where(col("next").isNotNull)
+        .select(concat_ws(" ", col("word"), col("next")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    },
+
+    "text_lang_source_stats" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupingSets(
+          Seq(Seq(col("lang")), Seq(col("lang"), col("source")), Seq()),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+    },
+
+    // inline lexicon broadcast-joined against the token stream
+    "text_sentiment_lexicon" -> { (s, dir) =>
+      import s.implicits._
+      val lex = Seq(("fast", 2L), ("slow", -2L), ("big", 1L), ("small", -1L))
+        .toDF("word", "weight")
+      val scores = tokens(s, dir).join(broadcast(lex), "word")
+        .groupBy(col("doc_id")).agg(sum(col("weight")).as("score"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // language-ID: per-language top-5 token profile from a labeled train
+    // split (doc_id % 10 < 8), prediction = argmax token-set overlap
+    "text_langid" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val toks = tokens(s, dir)
+      val train = toks.join(docs.where(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), col("lang")), "doc_id")
+      val wProf = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word"))
+      val profile = train.groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prn", row_number().over(wProf))
+        .where(col("prn") <= 5)
+        .select(col("lang").as("cand_lang"), col("word"))
+      val overlap = toks.distinct()
+        .join(broadcast(profile), "word")
+        .groupBy(col("doc_id"), col("cand_lang"))
+        .agg(count(lit(1)).as("hits"))
+      val wBest = Window.partitionBy(col("doc_id"))
+        .orderBy(col("hits").desc, col("cand_lang"))
+      val best = overlap.withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy(col("doc_id"))
+    },
+
+    // quality scoring: token stats + stopword ratio → composite score
+    "text_quality_score" -> { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      Tables(s, dir, "documents")
+        .withColumn("n_tok", size(toks).cast("long"))
+        .withColumn("avg_tok_len",
+          round(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tok"), 6))
+        .withColumn("stop_ratio",
+          round(size(filter(toks, t => t.isin("the", "a"))).cast("double") / col("n_tok"), 6))
+        .withColumn("score",
+          round(least(col("n_tok").cast("double") / 100.0, lit(1.0)) - col("stop_ratio") * 0.5, 6))
+        .select(col("doc_id"), col("n_tok"), col("avg_tok_len"),
+          col("stop_ratio"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // whitespace tokens vs BPE-ish regex tokens vs chars
+    "text_token_count" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+")).cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // order-sensitive rolling-hash fingerprint over the token stream
+    "text_fingerprint" -> { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      val vals = transform(toks, t => (length(t) * 131 + ascii(t)).cast("long"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        aggregate(vals, lit(0L),
+          (acc, x) => pmod(acc * 1000003L + x, lit(2147483647L))).as("fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_tokenize_tf" ->
+      """SELECT word, count(*) AS tf
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY tf DESC, word""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word, tf * ln(cast(n as double) / df) AS tfidf
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, word, tfidf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn FROM scored)
+        |SELECT doc_id, rn, word, round(tfidf, 6) AS tfidf
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "text_ngram" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split(lower(text), ' ')) AS word,
+        |  generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |  FROM documents),
+        |b AS (SELECT word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram FROM t)
+        |SELECT bigram, count(*) AS n FROM b WHERE bigram IS NOT NULL
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "text_lang_source_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS sum_chars
+        |FROM documents GROUP BY GROUPING SETS ((lang), (lang, source), ())
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "text_sentiment_lexicon" ->
+      """WITH lex(word, weight) AS (VALUES ('fast', 2), ('slow', -2), ('big', 1), ('small', -1)),
+        |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |sc AS (SELECT doc_id, cast(sum(weight) as bigint) AS score
+        |       FROM toks JOIN lex USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.score, 0) AS score
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |train AS (SELECT t.doc_id, t.word, d.lang FROM toks t
+        |          JOIN documents d ON t.doc_id = d.doc_id WHERE d.doc_id % 10 < 8),
+        |prof AS (SELECT lang AS cand_lang, word FROM (
+        |  SELECT lang, word, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, word) AS prn
+        |  FROM train GROUP BY lang, word) WHERE prn <= 5),
+        |ovl AS (SELECT doc_id, cand_lang, count(*) AS hits
+        |        FROM (SELECT DISTINCT doc_id, word FROM toks) t
+        |        JOIN prof USING (word) GROUP BY 1, 2),
+        |best AS (SELECT doc_id, cand_lang AS pred_lang, hits FROM (
+        |  SELECT doc_id, cand_lang, hits,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+        |  FROM ovl) WHERE rn = 1)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(b.pred_lang, 'unknown') AS pred_lang,
+        |  coalesce(b.hits, 0) AS hits
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |cast(len(string_split(lower(text), ' ')) as bigint) AS n_tok,
+        |round(cast(length(replace(text, ' ', '')) as double) / len(string_split(lower(text), ' ')), 6) AS avg_tok_len,
+        |round(cast(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a'))) as double) / len(string_split(lower(text), ' ')), 6) AS stop_ratio,
+        |round(least(cast(len(string_split(lower(text), ' ')) as double) / 100.0, 1.0)
+        |  - round(cast(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a'))) as double) / len(string_split(lower(text), ' ')), 6) * 0.5, 6) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |cast(len(string_split(text, ' ')) as bigint) AS ws_tokens,
+        |cast(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) as bigint) AS re_tokens,
+        |cast(length(text) as bigint) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |list_reduce(
+        |  list_prepend(0::bigint,
+        |    list_transform(string_split(lower(text), ' '),
+        |      t -> (length(t) * 131 + ascii(t))::bigint)),
+        |  (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
