@@ -25,7 +25,8 @@ object SparkEntry {
     (llm.Text.queries, llm.Text.oracle),
     (llm.Dedup.queries, llm.Dedup.oracle),
     (llm.Similarity.queries, llm.Similarity.oracle),
-    (llm.Multimodal.queries, llm.Multimodal.oracle)
+    (llm.Multimodal.queries, llm.Multimodal.oracle),
+    (streaming.StreamQueries.queries, streaming.StreamQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

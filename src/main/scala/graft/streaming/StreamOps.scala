@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** §2.13 Structured Streaming forms of the declared stream queries.
+  *
+  * The same transforms run on a batch DataFrame (for the DuckDB oracle)
+  * and on a readStream/MemoryStream DataFrame — Spark's unified API means
+  * one definition serves both; watermark semantics (the part the batch
+  * oracle can't see) are asserted in StreamingSpec with MemoryStream.
+  *
+  * Scale: streaming aggregations shuffle on (window, key); watermarks bound
+  * state size — without them, 100 TB/day of events would grow state
+  * unboundedly. Session windows use Spark's native session_window state
+  * merging.
+  */
+object StreamOps {
+
+  /** 1-hour tumbling counts per event_type; 10-min watermark bounds state. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** 1-hour windows sliding every 15 minutes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user sessions closed by a 30-minute gap (native session_window). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("start"), col("w.end").as("end"),
+        col("n_events"))
+
+  /** Drop duplicate event_ids within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+}

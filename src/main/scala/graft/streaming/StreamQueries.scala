@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.13 batch forms of the streaming queries — what the DuckDB oracle can
+  * check. Window starts are emitted as epoch SECONDS (bigint) so the
+  * Spark-µs/DuckDB-ns timestamp boundary can't perturb the compare.
+  */
+object StreamQueries {
+
+  val queries: Map[String, Q] = Map(
+    // 1 h tumbling window × event_type
+    "stream_tumbling_agg" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("ws"), col("event_type"))
+    },
+
+    // 1 h windows sliding 15 min — every event lands in exactly 4 windows
+    "stream_sliding_agg" -> { (s, dir) =>
+      val es = unix_timestamp(col("ts"))
+      Tables(s, dir, "events")
+        .withColumn("k", explode(sequence(lit(0), lit(3))))
+        .withColumn("ws", floor(es / 900) * 900 - col("k") * 900)
+        .groupBy(col("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("ws"), col("event_type"))
+    },
+
+    // per-user sessions, 30 min gap (gaps-and-islands in event time)
+    "stream_session_window" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+        .withColumn("new_s",
+          when(col("t") - lag(col("t"), 1).over(w) > 1800000000L, 1L)
+            .when(lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("t")).as("start_us"), max(col("t")).as("end_us"))
+        .withColumn("dur_s", ((col("end_us") - col("start_us")) / lit(1000000L)).cast("long"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // duplicate-drop: events ∪ injected duplicate rows, keep one per id
+    "stream_dedup_watermark" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dups = ev.where(col("event_id") % 97 === 0)
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+      ev.unionByName(dups)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+        .orderBy(col("event_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling_agg" ->
+      s"""SELECT cast(epoch(date_trunc('hour', cast(ts as timestamp))) as bigint) AS ws,
+         |event_type, count(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_sliding_agg" ->
+      s"""SELECT cast(floor(epoch(cast(ts as timestamp)) // 900) * 900 - k * 900 as bigint) AS ws,
+         |event_type, count(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events CROSS JOIN range(4) r(k)
+         |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_session_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(cast(ts as timestamp)) AS t FROM events),
+        |flagged AS (SELECT user_id, event_id, t,
+        |  CASE WHEN t - lag(t, 1) OVER w > 1800000000 THEN 1
+        |       WHEN lag(t, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |sess AS (SELECT user_id, t,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(t) AS start_us, max(t) AS end_us,
+        |  cast((max(t) - min(t)) // 1000000 as bigint) AS dur_s
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "stream_dedup_watermark" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type FROM events WHERE event_id % 97 = 0)
+        |SELECT event_id, user_id, event_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY user_id, event_type) AS rn FROM u)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+  )
+}

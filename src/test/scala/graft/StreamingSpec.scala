@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Watermark / session semantics the DuckDB oracle can't see (SURVEY.md
+  * §2.13): late rows beyond the watermark are dropped from append-mode
+  * sinks; session windows close after the gap; duplicate ids are dropped
+  * within the watermark horizon.
+  */
+class StreamingSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def t(minutes: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minutes / 60}%02d:${minutes % 60}%02d:00")
+
+  private var sinkId = 0
+  private def runStream(input: Seq[Seq[Ev]],
+      op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: OutputMode): org.apache.spark.sql.DataFrame = {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    sinkId += 1
+    val name = s"sink_$sinkId"
+    val q = op(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    input.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling agg in append mode drops rows later than the watermark") {
+    val out = runStream(Seq(
+      Seq(Ev(1, t(5), 1, "click", 1.0), Ev(2, t(10), 1, "click", 2.0)),
+      // advance event time well past the first hour + watermark
+      Seq(Ev(3, t(135), 1, "click", 3.0)),
+      // LATE: arrives with event time inside hour 0, watermark is far past
+      Seq(Ev(4, t(15), 1, "click", 99.0)),
+      // push watermark further so hour-0/hour-2 windows finalize
+      Seq(Ev(5, t(300), 1, "click", 5.0))
+    ), StreamOps.tumbling, OutputMode.Append())
+    val hour0 = out.where("ws = timestamp'2024-01-01 00:00:00'")
+      .select("n").collect()
+    // the late row (event 4) must NOT be counted — n stays 2
+    assert(hour0.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("session_window closes a session after a 30-minute gap") {
+    val out = runStream(Seq(
+      Seq(Ev(1, t(0), 7, "click", 1.0), Ev(2, t(10), 7, "click", 1.0)),
+      Seq(Ev(3, t(60), 7, "click", 1.0)), // > 30 min gap → new session
+      Seq(Ev(4, t(240), 7, "click", 1.0)) // advance watermark, close both
+    ), StreamOps.sessions, OutputMode.Append())
+    val sessions = out.where("user_id = 7").orderBy("start")
+      .select("n_events").collect().map(_.getLong(0)).toSeq
+    // first session has events 1+2, second has event 3
+    assert(sessions.take(2) == Seq(2L, 1L))
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per event_id") {
+    val out = runStream(Seq(
+      Seq(Ev(1, t(0), 1, "click", 1.0), Ev(1, t(1), 1, "click", 1.0)),
+      Seq(Ev(2, t(2), 1, "view", 2.0), Ev(1, t(3), 1, "click", 1.0))
+    ), StreamOps.dedup, OutputMode.Append())
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming and batch tumbling forms agree on the events table") {
+    val batch = StreamOps.tumbling(Tables(spark, sf, "events"))
+    val viaQuery = SparkEntry.queries("stream_tumbling_agg")(spark, sf)
+    // same number of (window × type) groups and same total count
+    assert(batch.count() == viaQuery.count())
+    val a = batch.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    val b = viaQuery.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(a == b)
+  }
+}
