@@ -2,71 +2,71 @@ package graft.llm
 
 import graft._
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** §2.12 near-duplicate detection: MinHash-LSH, SimHash, and n-gram-Jaccard
   * verification — the training-data dedup stack.
   *
-  * Shingling: word BIGRAMS, not unigrams — the synthetic corpus draws ~125
-  * tokens from a 31-word vocabulary, so unigram token sets are identical
-  * across almost all docs (degenerate for set similarity); bigram sets
-  * (31² space) discriminate properly. This mirrors real LLM dedup, which
-  * shingles at n≥3 words for exactly this reason.
+  * Shingling: word TRIGRAMS. The synthetic corpus draws ~125–450 tokens
+  * from a 31-word vocabulary, so unigram sets are identical across docs and
+  * even bigram sets saturate at sf0.1 (random-pair Jaccard ≈ 0.25 floods
+  * LSH with false candidates). Trigrams (31³ ≈ 30k space) put random pairs
+  * at Jaccard ≈ 0.01 while the planted near-dup clusters stay ≈ 0.97 —
+  * exactly why real LLM dedup shingles at n≥3.
   *
   * Portability (SURVEY.md §2.12): shingle-ids come from a dictionary built
   * with row_number over sorted distinct shingles; all hashes are arithmetic
   * (aᵢ·x + bᵢ mod p, p = 2³¹−1) — bit-identical in DuckDB, unlike xxhash64.
   *
-  * Scale: every stage is explode → hash-agg → equi-join on (band|chunk,
-  * signature); the quadratic step only happens inside an LSH bucket. Exact
-  * Jaccard is verified ONLY over LSH candidates, never all pairs.
+  * Scale & shape: shingles are built array-natively (no window), the 16
+  * minhashes and 32 simhash bit-planes are AGGREGATE COLUMNS (no ×k row
+  * explosion), and candidate generation is an equi-join on (band|chunk,
+  * signature) — quadratic work only inside an LSH bucket. Exact Jaccard is
+  * verified ONLY over LSH candidates.
   */
 object Dedup {
 
   private val P = 2147483647L // 2^31 - 1, prime
 
-  /** distinct (doc_id, bg) word-bigram shingles. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    val pos = Tables(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    pos.withColumn("next", lead(col("word"), 1).over(w))
-      .where(col("next").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("word"), col("next")).as("bg"))
+  /** Word-trigram shingle ARRAY, map-side (no window). `toks` must be a
+    * materialized column — an inline split would re-run per element. */
+  private def trigramArray(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2)))
+
+  /** distinct (doc_id, bg) trigram shingles. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("doc_id"), explode(trigramArray(col("toks"))).as("bg"))
       .distinct()
-  }
 
   /** shingle → dense deterministic id (1-based, sorted order). */
   private def dict(sh: DataFrame): DataFrame =
     sh.select(col("bg")).distinct()
       .withColumn("tid", row_number().over(Window.orderBy(col("bg"))).cast("long"))
 
-  /** 16 minhashes per doc: h_i(tid) = ((2i+3)·tid + 5i+7) mod p. */
-  private def minhashes(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    sh.join(broadcast(dict(sh)), "bg")
-      .withColumn("i", explode(sequence(lit(0), lit(15))))
-      .withColumn("h", pmod((col("i") * 2 + 3) * col("tid") + col("i") * 5 + 7, lit(P)))
-      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+  /** (doc_id, band, sig): 16 minhashes h_i(tid) = ((2i+3)·tid+5i+7) mod p
+    * as 16 aggregate columns, banded 4×4 — one shuffle, no row explosion. */
+  private def bandSigsFrom(sh: DataFrame): DataFrame = {
+    val withTid = sh.join(broadcast(dict(sh)), "bg")
+    val minCols = (0 until 16).map { i =>
+      min(pmod(col("tid") * (2 * i + 3) + (5 * i + 7), lit(P))).as(s"mh$i")
+    }
+    withTid.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", col(s"mh${b * 4}"), col(s"mh${b * 4 + 1}"),
+            col(s"mh${b * 4 + 2}"), col(s"mh${b * 4 + 3}")).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** 4 bands of 4 minhashes → (doc_id, band, sig). */
-  private def bandSigs(s: SparkSession, dir: String): DataFrame =
-    minhashes(s, dir)
-      .withColumn("band", (col("i") / 4).cast("int"))
-      .withColumn("j", col("i") % 4)
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws(",",
-        min(when(col("j") === 0, col("mh"))),
-        min(when(col("j") === 1, col("mh"))),
-        min(when(col("j") === 2, col("mh"))),
-        min(when(col("j") === 3, col("mh")))).as("sig"))
-
-  /** candidate pairs: docs sharing ≥1 LSH band, with matching-band count. */
-  private[llm] def candidates(s: SparkSession, dir: String): DataFrame = {
-    val sigs = bandSigs(s, dir)
+  private[llm] def candidatesFrom(sh: DataFrame): DataFrame = {
+    val sigs = bandSigsFrom(sh)
     val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).where(col("doc_a") < col("doc_b"))
@@ -74,14 +74,18 @@ object Dedup {
       .agg(countDistinct(col("band")).as("n_bands"))
   }
 
+  /** candidate pairs: docs sharing ≥1 LSH band, with matching-band count. */
+  private[llm] def candidates(s: SparkSession, dir: String): DataFrame =
+    candidatesFrom(shingles(s, dir))
+
   /** SQL mirror of the shingle→minhash→band chain (shared CTE prefix). */
   private[llm] val sqlBands =
     """pos AS (SELECT doc_id,
       |  unnest(string_split(lower(text), ' ')) AS word,
       |  generate_subscripts(string_split(lower(text), ' '), 1) AS pos FROM documents),
       |sh AS (SELECT DISTINCT doc_id, bg FROM (
-      |  SELECT doc_id, word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
-      |  FROM pos) WHERE bg IS NOT NULL),
+      |  SELECT doc_id, word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS bg
+      |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) WHERE bg IS NOT NULL),
       |dict AS (SELECT bg, row_number() OVER (ORDER BY bg) AS tid
       |         FROM (SELECT DISTINCT bg FROM sh)),
       |mh AS (SELECT doc_id, i, min(((2*i+3) * tid + 5*i+7) % 2147483647) AS mh
@@ -104,49 +108,52 @@ object Dedup {
       candidates(s, dir).orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // 16-bit SimHash over tf-weighted bigram shingles; candidates share ≥1
-    // of 4 bit-chunks (pigeonhole for hamming ≤ 3), verified with exact
-    // bit_count(xor).
+    // 32-bit SimHash over tf-weighted trigram shingles; candidates share ≥1
+    // of 4 8-bit chunks (pigeonhole for hamming ≤ 3), verified with exact
+    // bit_count(xor). Bit-planes are 32 aggregate COLUMNS — no ×32 rows.
     "dedup_simhash" -> { (s, dir) =>
-      val pos = Tables(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val tf = pos.withColumn("next", lead(col("word"), 1).over(w))
-        .where(col("next").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("word"), col("next")).as("bg"))
+      val tf = Tables(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(col("doc_id"), explode(trigramArray(col("toks"))).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
       val withTid = tf.join(broadcast(dict(tf.select(col("doc_id"), col("bg")))), "bg")
         .withColumn("thash", pmod(col("tid") * 737 + 97, lit(P)))
-      val bits = withTid
-        .withColumn("j", explode(sequence(lit(0), lit(15))))
-        .withColumn("bit", expr("shiftright(thash, j) & 1"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("vj"))
-        .withColumn("sbit", when(col("vj") > 0, 1L).otherwise(0L))
-      val sims = bits.groupBy(col("doc_id"))
-        .agg(sum(expr("shiftleft(sbit, j)")).as("simhash"))
-      val chunks = bits
-        .withColumn("c", (col("j") / 4).cast("int"))
-        .groupBy(col("doc_id"), col("c"))
-        .agg(sum(expr("shiftleft(sbit, j % 4)")).as("cval"))
-      val ca = chunks.select(col("doc_id").as("doc_a"), col("c"), col("cval"))
-      val cb = chunks.select(col("doc_id").as("doc_b"), col("c"), col("cval"))
-      val cand = ca.join(cb, Seq("c", "cval")).where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      cand
-        .join(sims.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
-        .join(sims.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
-        .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+      val vjCols = (0 until 32).map { j =>
+        sum(col("tf") * (expr(s"shiftright(thash, $j) & 1") * 2 - 1)).as(s"v$j")
+      }
+      val sbit = (0 until 32).map(j => when(col(s"v$j") > 0, 1L).otherwise(0L))
+      val simCols: Seq[Column] =
+        col("doc_id") +:
+          (0 until 32).map(j => shiftleft(sbit(j), j)).reduce(_ + _).as("simhash") +:
+          (0 until 4).map { c =>
+            (0 until 8).map(k => shiftleft(sbit(c * 8 + k), k)).reduce(_ + _)
+              .as(s"cval$c")
+          }
+      val sims = withTid.groupBy(col("doc_id")).agg(vjCols.head, vjCols.tail: _*)
+        .select(simCols: _*)
+      val chunks = sims.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"), col(s"cval$c").as("cval"))): _*)).as("ch"))
+        .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.cval").as("cval"))
+      val ca = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+        col("c"), col("cval"))
+      val cb = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+        col("c"), col("cval"))
+      ca.join(cb, Seq("c", "cval")).where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"))
+        .distinct()
         .where(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // exact bigram Jaccard, verified ONLY over MinHash-LSH candidates
+    // exact trigram Jaccard, verified ONLY over MinHash-LSH candidates.
+    // The shingle set feeds four consumers (dict, minhash, sizes, common) —
+    // persist it once instead of recomputing the explode+distinct chain.
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      val bigrams = shingles(s, dir)
+      val bigrams = shingles(s, dir).persist()
       val sizes = bigrams.groupBy(col("doc_id")).agg(count(lit(1)).as("nbg"))
-      val cand = candidates(s, dir).select(col("doc_a"), col("doc_b"))
+      val cand = candidatesFrom(bigrams).select(col("doc_a"), col("doc_b")).persist()
       val common = cand
         .join(bigrams.select(col("doc_id").as("doc_a"), col("bg")), "doc_a")
         .join(bigrams.select(col("doc_id").as("doc_b"), col("bg").as("bg2")), "doc_b")
@@ -173,17 +180,18 @@ object Dedup {
         |  unnest(string_split(lower(text), ' ')) AS word,
         |  generate_subscripts(string_split(lower(text), ' '), 1) AS pos FROM documents),
         |tf AS (SELECT doc_id, bg, count(*) AS tf FROM (
-        |  SELECT doc_id, word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
-        |  FROM pos) WHERE bg IS NOT NULL GROUP BY 1, 2),
+        |  SELECT doc_id, word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS bg
+        |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) WHERE bg IS NOT NULL
+        |  GROUP BY 1, 2),
         |dict AS (SELECT bg, row_number() OVER (ORDER BY bg) AS tid
         |         FROM (SELECT DISTINCT bg FROM tf)),
         |bits AS (SELECT doc_id, j,
         |    CASE WHEN sum(tf * (((((tid * 737 + 97) % 2147483647) >> j) & 1) * 2 - 1)) > 0
         |         THEN 1::bigint ELSE 0::bigint END AS sbit
-        |  FROM tf JOIN dict USING (bg) CROSS JOIN range(16) r(j)
+        |  FROM tf JOIN dict USING (bg) CROSS JOIN range(32) r(j)
         |  GROUP BY doc_id, j),
         |sims AS (SELECT doc_id, cast(sum(sbit << j) as bigint) AS simhash FROM bits GROUP BY doc_id),
-        |chunks AS (SELECT doc_id, cast(j // 4 as int) AS c, cast(sum(sbit << (j % 4)) as bigint) AS cval
+        |chunks AS (SELECT doc_id, cast(j // 8 as int) AS c, cast(sum(sbit << (j % 8)) as bigint) AS cval
         |           FROM bits GROUP BY doc_id, 2),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM chunks a JOIN chunks b ON a.c = b.c AND a.cval = b.cval

@@ -20,6 +20,17 @@ object Text {
     Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
 
+  /** Word-bigram ARRAY built without a window: index the token array
+    * directly. Zero shuffle — the posexplode+lead formulation costs a full
+    * per-doc window sort at 100 TB; this stays map-side.
+    *
+    * IMPORTANT: `toks` must be a MATERIALIZED column (withColumn), not an
+    * inline split(...) expression — an inline expression is re-evaluated
+    * for every array element inside the lambda. */
+  private[llm] def bigramArray(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+
   val queries: Map[String, Q] = Map(
     "text_tokenize_tf" -> { (s, dir) =>
       tokens(s, dir).groupBy(col("word")).agg(count(lit(1)).as("tf"))
@@ -43,14 +54,11 @@ object Text {
         .orderBy(col("doc_id"), col("rn"))
     },
 
-    // word bigrams via position + lead
+    // word bigrams, array-native (no window, no extra shuffle)
     "text_ngram" -> { (s, dir) =>
-      val pos = Tables(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      pos.withColumn("next", lead(col("word"), 1).over(w))
-        .where(col("next").isNotNull)
-        .select(concat_ws(" ", col("word"), col("next")).as("bigram"))
+      Tables(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(explode(bigramArray(col("toks"))).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(50)

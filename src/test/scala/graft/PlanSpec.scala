@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-shape guardrails (SURVEY.md §4): the physical plans must keep the
+  * properties that make them survive a 100× scale-up — parquet pushdown +
+  * column pruning on scans, broadcast joins for dims, TakeOrderedAndProject
+  * for top-k. A regression here is a perf bug even if results stay correct.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("scan_prune_filter pushes the shipdate predicate into the parquet scan") {
+    val p = plan("scan_prune_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+  }
+
+  test("scan_prune_filter prunes to the 4 referenced columns") {
+    val p = plan("scan_prune_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && readSchema.contains("l_quantity"),
+      readSchema)
+  }
+
+  test("join_broadcast_chain uses BroadcastHashJoin for both dims") {
+    val p = plan("join_broadcast_chain")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("sort_limit_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("agg_groupby_q1 uses partial+final hash aggregation") {
+    val p = plan("agg_groupby_q1")
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("text_sentiment_lexicon broadcasts the inline lexicon") {
+    val p = plan("text_sentiment_lexicon")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+}
