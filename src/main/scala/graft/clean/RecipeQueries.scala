@@ -1,0 +1,45 @@
+package graft.clean
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** EP3 (SURVEY.md §3.2): a whole recorded cleaning session as ONE declared
+  * query. The reference executes N eager pandas passes; here the recipe
+  * folds into a single Catalyst plan — scan once, clean once.
+  */
+object RecipeQueries {
+
+  val queries: Map[String, Q] = Map(
+    // normalize nulls → fill value with mean → clip to [p01,p99] → drop
+    // rows still missing the categorical → dedup by event_id
+    "recipe_pipeline" -> { (s, dir) =>
+      val recipe = Recipe(Seq(
+        FillMean("v"),
+        ClipToQuantiles("v", 0.01, 0.99),
+        DropNaAny(Seq("et")),
+        DedupByKey(Seq("event_id"), Seq("user_id", "v"))))
+      recipe(Missing.eventsWithNulls(s, dir))
+        .select(col("event_id"), col("user_id"), round(col("v"), 6).as("v"), col("et"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "recipe_pipeline" ->
+      s"""WITH ev AS (${Missing.sqlEv}),
+         |filled AS (SELECT event_id, user_id, et,
+         |  coalesce(v, cast(sum(cast(v as decimal(18,4))) OVER () as double) / count(v) OVER ()) AS v
+         |  FROM ev),
+         |bounds AS (SELECT round(quantile_cont(v, 0.01), 4) AS lo,
+         |                  round(quantile_cont(v, 0.99), 4) AS hi FROM filled),
+         |clipped AS (SELECT event_id, user_id, et,
+         |  least(greatest(v, lo), hi) AS v FROM filled CROSS JOIN bounds),
+         |dropped AS (SELECT * FROM clipped WHERE et IS NOT NULL),
+         |deduped AS (SELECT event_id, user_id, v, et FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY user_id, v) AS rn
+         |  FROM dropped) WHERE rn = 1)
+         |SELECT event_id, user_id, round(v, 6) AS v, et FROM deduped
+         |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** Source/sink coverage beyond parquet (reference loads CSVs via pandas,
+  * SURVEY.md §2.1): CSV and JSON round-trips with schema inference, plus a
+  * bucketed-table join that must be shuffle-free — the co-located-join
+  * story that matters at 100 TB (bucket both fact tables on the join key
+  * at ingest; joins then need no exchange at all).
+  */
+class SourcesSpec extends SparkSuite {
+
+  private lazy val tmp = Files.createTempDirectory("graft-sources").toString
+
+  test("CSV round-trip with header + inferSchema") {
+    val df = Tables(spark, sf, "nation")
+    df.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$tmp/nation_csv")
+    assert(back.count() == df.count())
+    assert(back.columns.toSet == df.columns.toSet)
+    assert(back.agg(sum("n_nationkey")).head().getLong(0) ==
+      df.agg(sum("n_nationkey")).head().getLong(0))
+  }
+
+  test("JSON lines round-trip") {
+    val df = Tables(spark, sf, "region")
+    df.write.mode("overwrite").json(s"$tmp/region_json")
+    val back = spark.read.json(s"$tmp/region_json")
+    assert(back.count() == df.count())
+    assert(back.select("r_name").distinct().count() ==
+      df.select("r_name").distinct().count())
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    // a previous JVM's orphaned managed-table location blocks CREATE
+    Seq("li_b", "ord_b").foreach { t =>
+      val p = Paths.get("spark-warehouse", t)
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+    Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_b")
+    Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_b")
+    // force a non-broadcast join so the bucket layout is what saves the
+    // shuffle (at 100 TB neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located buckets: SortMergeJoin with NO shuffle on either side
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+      assert(plan.contains("Bucketed: true"), plan.take(1500))
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
