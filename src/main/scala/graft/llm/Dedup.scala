@@ -30,19 +30,23 @@ object Dedup {
 
   private val P = 2147483647L // 2^31 - 1, prime
 
-  /** Word-trigram shingle ARRAY, map-side (no window). `toks` must be a
-    * materialized column — an inline split would re-run per element. */
-  private def trigramArray(toks: Column): Column =
-    transform(sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2)))
+  /** Word-trigram shingle ARRAY, map-side (no window), via the native
+    * WordNgrams expression — one flat loop instead of an interpreted
+    * HOF lambda per shingle. */
+  private def trigramArray(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.WordNgrams(ColumnBridge.expression(toks), 3))
+  }
 
-  /** distinct (doc_id, bg) trigram shingles. */
+  /** distinct (doc_id, bg) trigram shingles. Per-doc distinct happens
+    * array-natively (array_distinct) BEFORE the explode — no global
+    * distinct shuffle, (doc_id, bg) is unique by construction. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .withColumn("toks", split(lower(col("text")), " "))
-      .select(col("doc_id"), explode(trigramArray(col("toks"))).as("bg"))
-      .distinct()
+      .withColumn("sh", array_distinct(trigramArray(col("toks"))))
+      .select(col("doc_id"), explode(col("sh")).as("bg"))
 
   /** shingle → dense deterministic id (1-based, sorted order). */
   private def dict(sh: DataFrame): DataFrame =
@@ -152,7 +156,11 @@ object Dedup {
     // persist it once instead of recomputing the explode+distinct chain.
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val bigrams = shingles(s, dir).persist()
-      val sizes = bigrams.groupBy(col("doc_id")).agg(count(lit(1)).as("nbg"))
+      // set size per doc straight from the array — no groupBy shuffle
+      val sizes = Tables(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(col("doc_id"),
+          size(array_distinct(trigramArray(col("toks")))).cast("long").as("nbg"))
       val cand = candidatesFrom(bigrams).select(col("doc_a"), col("doc_b")).persist()
       val common = cand
         .join(bigrams.select(col("doc_id").as("doc_a"), col("bg")), "doc_a")

@@ -40,9 +40,14 @@ object Similarity {
     withUnit(Tables(s, dir, "embeddings"), col("embedding"))
       .select(col("vec_id"), col("label"), col("v"))
 
-  /** cos of unit vectors = plain dot — mirror this exact shape in SQL. */
-  private def cosine(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** cos of unit vectors = plain dot — evaluated by the native codegen
+    * DotProduct expression (graft.functions); ascending-index summation,
+    * bit-identical to the HOF fold and DuckDB's list_dot_product. */
+  private def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** DuckDB mirror: unit-normalized double vector from `embedding`. */
   private def sqlUnit(src: String): String =

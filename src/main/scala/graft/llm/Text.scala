@@ -27,9 +27,11 @@ object Text {
     * IMPORTANT: `toks` must be a MATERIALIZED column (withColumn), not an
     * inline split(...) expression — an inline expression is re-evaluated
     * for every array element inside the lambda. */
-  private[llm] def bigramArray(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+  private[llm] def bigramArray(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.WordNgrams(ColumnBridge.expression(toks), 2))
+  }
 
   val queries: Map[String, Q] = Map(
     "text_tokenize_tf" -> { (s, dir) =>

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.{DotProduct, WordNgrams}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.functions._
+
+/** The native expressions must be bit-identical to the composable
+  * higher-order-function forms they replace (the DuckDB oracles mirror the
+  * HOF shapes, so equivalence here is what keeps the oracles valid). */
+class ExpressionsSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  test("DotProduct equals the zip_with/aggregate fold bit-for-bit") {
+    val df = Tables(spark, sf, "embeddings")
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("hof", aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _))
+      .withColumn("native", ColumnBridge.column(
+        DotProduct(ColumnBridge.expression(col("v")), ColumnBridge.expression(col("v")))))
+    assert(df.where(col("hof") =!= col("native")).count() == 0)
+  }
+
+  test("DotProduct survives whole-stage codegen") {
+    val df = Tables(spark, sf, "embeddings")
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("d", ColumnBridge.column(
+        DotProduct(ColumnBridge.expression(col("v")), ColumnBridge.expression(col("v")))))
+    assert(df.agg(sum("d")).head().getDouble(0) > 0.0)
+  }
+
+  test("WordNgrams(n=2,3) equals the transform/element_at form on long docs") {
+    // NOTE: the HOF form itself is only valid for size >= n (sequence(1,0)
+    // yields a DESCENDING [1,0], not empty — a latent bug the native
+    // expression fixes by returning an empty array).
+    val df = Seq("a b c d e", "p q r").toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+    val hofTri = transform(sequence(lit(1), size(col("toks")) - 2),
+      i => concat_ws(" ", element_at(col("toks"), i),
+        element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))
+    val out = df
+      .withColumn("tri", ColumnBridge.column(WordNgrams(ColumnBridge.expression(col("toks")), 3)))
+      .withColumn("hof3", hofTri)
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](r.fieldIndex("tri")) == r.getSeq[String](r.fieldIndex("hof3")))
+    }
+  }
+
+  test("WordNgrams returns empty (not an error) when the doc is shorter than n") {
+    val out = Seq("x y", "solo").toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("tri", ColumnBridge.column(WordNgrams(ColumnBridge.expression(col("toks")), 3)))
+      .withColumn("bi", ColumnBridge.column(WordNgrams(ColumnBridge.expression(col("toks")), 2)))
+      .collect()
+    val xy = out.find(_.getString(0) == "x y").get
+    assert(xy.getSeq[String](xy.fieldIndex("tri")).isEmpty)
+    assert(xy.getSeq[String](xy.fieldIndex("bi")) == Seq("x y"))
+    val solo = out.find(_.getString(0) == "solo").get
+    assert(solo.getSeq[String](solo.fieldIndex("bi")).isEmpty)
+  }
+}
