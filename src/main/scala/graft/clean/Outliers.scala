@@ -45,7 +45,7 @@ object Outliers {
         .agg(count(lit(1)).as("n_total"),
           sum(when(abs((col("l_extendedprice") - col("mean")) / col("std")) > 3.0, 1L)
             .otherwise(0L)).as("n_out"),
-          min(col("mean")).as("mean"), min(col("std")).as("std"))
+          round(min(col("mean")), 6).as("mean"), round(min(col("std")), 6).as("std"))
     },
 
     // winsorize into [p01, p99], row-level output
@@ -114,7 +114,7 @@ object Outliers {
         |ms AS (SELECT sx / n AS mean, sqrt((sx2 - sx * sx / n) / (n - 1)) AS std FROM st)
         |SELECT count(*) AS n_total,
         |sum(CASE WHEN abs((l_extendedprice - mean) / std) > 3.0 THEN 1 ELSE 0 END) AS n_out,
-        |min(mean) AS mean, min(std) AS std
+        |round(min(mean), 6) AS mean, round(min(std), 6) AS std
         |FROM lineitem CROSS JOIN ms""".stripMargin,
     "outlier_clip" ->
       """WITH qs AS (SELECT round(quantile_cont(l_extendedprice, 0.01), 4) AS lo,

@@ -26,8 +26,10 @@ object ProfileQueries {
       max(col(c)).as("mx")
     ).select(
       lit(c).as("col_name"), col("n"), col("n_null"), col("n_distinct"),
-      (col("__sx") / col("n")).as("mean"),
-      sqrt((col("__sx2") - col("__sx") * col("__sx") / col("n")) / (col("n") - 1))
+      // Σx² exceeds 2^53 at sf≥0.01, and the two engines' decimal→double
+      // casts can differ by 1 ulp — round the derived stats to 6.
+      round(col("__sx") / col("n"), 6).as("mean"),
+      round(sqrt((col("__sx2") - col("__sx") * col("__sx") / col("n")) / (col("n") - 1)), 6)
         .as("std"),
       col("mn"), col("mx"))
   }
@@ -36,10 +38,10 @@ object ProfileQueries {
     s"""SELECT '$c' AS col_name, count($c) AS n,
        |count(*) - count($c) AS n_null,
        |count(DISTINCT $c) AS n_distinct,
-       |cast(sum(cast($c as decimal(12,2))) as double) / count($c) AS mean,
-       |sqrt((cast(sum(cast($c as decimal(12,2)) * cast($c as decimal(12,2))) as double)
+       |round(cast(sum(cast($c as decimal(12,2))) as double) / count($c), 6) AS mean,
+       |round(sqrt((cast(sum(cast($c as decimal(12,2)) * cast($c as decimal(12,2))) as double)
        |  - cast(sum(cast($c as decimal(12,2))) as double) * cast(sum(cast($c as decimal(12,2))) as double) / count($c))
-       |  / (count($c) - 1)) AS std,
+       |  / (count($c) - 1)), 6) AS std,
        |min($c) AS mn, max($c) AS mx FROM lineitem""".stripMargin
 
   private val profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -118,19 +118,22 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
-    // quality scoring: token stats + stopword ratio → composite score
+    // quality scoring: token stats + stopword ratio → composite score.
+    // Ratios are emitted in integer MICRO-units via floor division —
+    // round(x, 6) on ratios like k/128 lands exactly on a rounding tie,
+    // where the two engines' tie-breaking differs (found at sf0.1).
     "text_quality_score" -> { (s, dir) =>
       val toks = split(lower(col("text")), " ")
       Tables(s, dir, "documents")
         .withColumn("n_tok", size(toks).cast("long"))
-        .withColumn("avg_tok_len",
-          round(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tok"), 6))
-        .withColumn("stop_ratio",
-          round(size(filter(toks, t => t.isin("the", "a"))).cast("double") / col("n_tok"), 6))
-        .withColumn("score",
-          round(least(col("n_tok").cast("double") / 100.0, lit(1.0)) - col("stop_ratio") * 0.5, 6))
-        .select(col("doc_id"), col("n_tok"), col("avg_tok_len"),
-          col("stop_ratio"), col("score"))
+        .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")).cast("long"))
+        .withColumn("n_stop", size(filter(toks, t => t.isin("the", "a"))).cast("long"))
+        .withColumn("avg_tok_len_e6", expr("n_alpha * 1000000 DIV n_tok"))
+        .withColumn("stop_ratio_e6", expr("n_stop * 1000000 DIV n_tok"))
+        .withColumn("score_e6",
+          least(col("n_tok") * 10000L, lit(1000000L)) - expr("stop_ratio_e6 DIV 2"))
+        .select(col("doc_id"), col("n_tok"), col("avg_tok_len_e6"),
+          col("stop_ratio_e6"), col("score_e6"))
         .orderBy(col("doc_id"))
     },
 
@@ -213,13 +216,16 @@ object Text {
         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "text_quality_score" ->
-      """SELECT doc_id,
-        |cast(len(string_split(lower(text), ' ')) as bigint) AS n_tok,
-        |round(cast(length(replace(text, ' ', '')) as double) / len(string_split(lower(text), ' ')), 6) AS avg_tok_len,
-        |round(cast(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a'))) as double) / len(string_split(lower(text), ' ')), 6) AS stop_ratio,
-        |round(least(cast(len(string_split(lower(text), ' ')) as double) / 100.0, 1.0)
-        |  - round(cast(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a'))) as double) / len(string_split(lower(text), ' ')), 6) * 0.5, 6) AS score
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id,
+        |  cast(len(string_split(lower(text), ' ')) as bigint) AS n_tok,
+        |  cast(length(replace(text, ' ', '')) as bigint) AS n_alpha,
+        |  cast(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a'))) as bigint) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  n_alpha * 1000000 // n_tok AS avg_tok_len_e6,
+        |  n_stop * 1000000 // n_tok AS stop_ratio_e6,
+        |  least(n_tok * 10000, 1000000) - (n_stop * 1000000 // n_tok) // 2 AS score_e6
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |cast(len(string_split(text, ' ')) as bigint) AS ws_tokens,
