@@ -18,6 +18,7 @@ object SparkEntry {
     (ops.Windows.queries, ops.Windows.oracle),
     (ops.SortSet.queries, ops.SortSet.oracle),
     (ops.ScalarFns.queries, ops.ScalarFns.oracle),
+    (ops.Reshape.queries, ops.Reshape.oracle),
     (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),
     (clean.Missing.queries, clean.Missing.oracle),
     (clean.Outliers.queries, clean.Outliers.oracle),
