@@ -19,6 +19,7 @@ object SparkEntry {
     (ops.SortSet.queries, ops.SortSet.oracle),
     (ops.ScalarFns.queries, ops.ScalarFns.oracle),
     (ops.Reshape.queries, ops.Reshape.oracle),
+    (ops.Extras.queries, ops.Extras.oracle),
     (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),
     (clean.Missing.queries, clean.Missing.oracle),
     (clean.Outliers.queries, clean.Outliers.oracle),
