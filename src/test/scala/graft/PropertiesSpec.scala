@@ -1,0 +1,66 @@
+package graft
+
+import graft.clean._
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck properties over the cleaning ops (SURVEY.md §5.3): invariants
+  * that must hold for ANY data, checked on generated frames.
+  */
+object CleanOpsProps extends Properties("CleanOps") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val rowsGen: Gen[List[(Long, Option[Double])]] =
+    Gen.listOfN(25, Gen.option(Gen.choose(-100.0, 100.0)))
+      .map(_.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+
+  property("fillna ops never change non-null values") = Prop.forAll(rowsGen) { rows =>
+    rows.isEmpty || {
+      val df = rows.toDF("id", "v")
+      Seq[CleanOp](FillConstant("v", 7.7), FillMean("v")).forall { op =>
+        op(df).withColumnRenamed("v", "v2")
+          .join(df, "id")
+          .where(col("v").isNotNull && col("v") =!= col("v2"))
+          .count() == 0
+      }
+    }
+  }
+
+  property("FillConstant and DropNaAny leave no nulls") = Prop.forAll(rowsGen) { rows =>
+    rows.isEmpty || {
+      val df = rows.toDF("id", "v")
+      FillConstant("v", 0.0)(df).where(col("v").isNull).count() == 0 &&
+        DropNaAny(Seq("v"))(df).where(col("v").isNull).count() == 0
+    }
+  }
+
+  property("DedupByKey makes keys unique and is idempotent") =
+    Prop.forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 100)))) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "x")
+        val once = DedupByKey(Seq("k"), Seq("x"))(df)
+        once.groupBy("k").count().where(col("count") > 1).count() == 0 &&
+          DedupByKey(Seq("k"), Seq("x"))(once).count() == once.count()
+      }
+    }
+
+  property("fingerprint canonicalization collapses permutation/case variants") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0, 3))) { picks =>
+      val variants = Vector("red blue", "blue red", "RED BLUE", "blue   red")
+      val df = picks.map(variants).toDF("c")
+      FingerprintCanonicalize("c")(df).select("c").distinct().count() <= 1
+    }
+
+  property("Recipe fold == sequential application") =
+    Prop.forAll(Gen.someOf(Seq[CleanOp](
+      FillConstant("v", 1.0), DropNaAny(Seq("v")), DedupByKey(Seq("id"), Seq("v"))))) { ops =>
+      val df = Seq((1L, Some(2.0)), (1L, None), (2L, Some(3.0)), (3L, None)).toDF("id", "v")
+      val folded = Recipe(ops.toSeq)(df).orderBy("id", "v").collect().toSeq
+      val seq = ops.foldLeft(df)((d, op) => op(d)).orderBy("id", "v").collect().toSeq
+      folded == seq
+    }
+}
