@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The library façade — the operator surface a user programs against
+  * (everything `SparkEntry.queries` demonstrates, parameterized over the
+  * caller's own DataFrames/columns).
+  *
+  * Cleaning (reference parity): build a [[graft.clean.Recipe]] of
+  * [[graft.clean.CleanOp]]s — fill (constant/mean/median/mode), forward-fill,
+  * interpolate, drop-nulls, dedup-by-key, quantile clipping, safe casts,
+  * whitespace normalization, fingerprint canonicalization — and apply it as
+  * ONE Catalyst plan; `Recipe.exportCode` / `Recipe.undo` mirror the
+  * reference's history feature.
+  *
+  * LLM-pipeline operators are delegated below. Streaming transforms live in
+  * [[graft.streaming.StreamOps]] (same code paths serve batch and
+  * readStream DataFrames). Multimodal binary plumbing in
+  * [[graft.llm.Multimodal]].
+  */
+object GraftOps {
+
+  // ---- near-duplicate detection -------------------------------------------
+
+  /** distinct word-n-gram shingles (id, bg) of any text column. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    llm.Dedup.shingleSet(df, idCol, textCol, n)
+
+  /** MinHash-LSH candidate pairs (doc_a, doc_b, n_bands) over a shingle set. */
+  def minhashCandidates(sh: DataFrame): DataFrame = llm.Dedup.candidatesFrom(sh)
+
+  /** one-call near-dup candidates for a (id, text) corpus. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    minhashCandidates(shingleSet(df, idCol, textCol, n))
+
+  // ---- embedding similarity ----------------------------------------------
+
+  /** attach a unit-normalized double vector column `v`. */
+  def withUnitVector(df: DataFrame, raw: Column): DataFrame =
+    llm.Similarity.withUnit(df, raw)
+
+  /** codegen'd dot product of two unit vectors (= cosine). */
+  def cosine(a: Column, b: Column): Column = llm.Similarity.cosine(a, b)
+
+  /** exact top-k neighbours; inputs carry (qid, qv) / (vec_id, v). */
+  def knn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
+    llm.Similarity.topKNeighbors(queries, candidates, k)
+
+  /** pairs within a blocking column whose cosine ≥ threshold. */
+  def cosineThresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame =
+    llm.Similarity.thresholdPairs(df, blockCol, threshold)
+}

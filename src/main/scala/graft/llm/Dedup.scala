@@ -30,23 +30,25 @@ object Dedup {
 
   private val P = 2147483647L // 2^31 - 1, prime
 
-  /** Word-trigram shingle ARRAY, map-side (no window), via the native
+  /** Word-n-gram shingle ARRAY, map-side (no window), via the native
     * WordNgrams expression — one flat loop instead of an interpreted
     * HOF lambda per shingle. */
-  private def trigramArray(toks: Column): Column = {
+  def ngramArray(toks: Column, n: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(
-      graft.functions.WordNgrams(ColumnBridge.expression(toks), 3))
+      graft.functions.WordNgrams(ColumnBridge.expression(toks), n))
   }
 
-  /** distinct (doc_id, bg) trigram shingles. Per-doc distinct happens
-    * array-natively (array_distinct) BEFORE the explode — no global
-    * distinct shuffle, (doc_id, bg) is unique by construction. */
+  /** PUBLIC API: distinct (id, bg) word-n-gram shingles of any text column.
+    * Per-doc distinct happens array-natively (array_distinct) BEFORE the
+    * explode — no global distinct shuffle, (id, bg) unique by construction. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("__toks", split(lower(col(textCol)), " "))
+      .withColumn("__sh", array_distinct(ngramArray(col("__toks"), n)))
+      .select(col(idCol).as("doc_id"), explode(col("__sh")).as("bg"))
+
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .withColumn("toks", split(lower(col("text")), " "))
-      .withColumn("sh", array_distinct(trigramArray(col("toks"))))
-      .select(col("doc_id"), explode(col("sh")).as("bg"))
+    shingleSet(Tables(s, dir, "documents"), "doc_id", "text")
 
   /** shingle → dense deterministic id (1-based, sorted order). */
   private def dict(sh: DataFrame): DataFrame =
@@ -69,7 +71,9 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  private[llm] def candidatesFrom(sh: DataFrame): DataFrame = {
+  /** PUBLIC API: MinHash-LSH near-duplicate candidate pairs over any
+    * shingle set from [[shingleSet]]; output (doc_a, doc_b, n_bands). */
+  def candidatesFrom(sh: DataFrame): DataFrame = {
     val sigs = bandSigsFrom(sh)
     val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
@@ -118,7 +122,7 @@ object Dedup {
     "dedup_simhash" -> { (s, dir) =>
       val tf = Tables(s, dir, "documents")
         .withColumn("toks", split(lower(col("text")), " "))
-        .select(col("doc_id"), explode(trigramArray(col("toks"))).as("bg"))
+        .select(col("doc_id"), explode(ngramArray(col("toks"), 3)).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
       val withTid = tf.join(broadcast(dict(tf.select(col("doc_id"), col("bg")))), "bg")
         .withColumn("thash", pmod(col("tid") * 737 + 97, lit(P)))
@@ -160,7 +164,7 @@ object Dedup {
       val sizes = Tables(s, dir, "documents")
         .withColumn("toks", split(lower(col("text")), " "))
         .select(col("doc_id"),
-          size(array_distinct(trigramArray(col("toks")))).cast("long").as("nbg"))
+          size(array_distinct(ngramArray(col("toks"), 3))).cast("long").as("nbg"))
       val cand = candidatesFrom(bigrams).select(col("doc_a"), col("doc_b")).persist()
       val common = cand
         .join(bigrams.select(col("doc_id").as("doc_a"), col("bg")), "doc_a")

@@ -25,10 +25,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Attach unit-normalized double vector `v` computed from `raw`; the
-    * squared norm is materialized as a column so it's evaluated once per
-    * row, not once per element inside the lambda. */
-  private def withUnit(df: DataFrame, raw: Column): DataFrame =
+  /** PUBLIC API: attach unit-normalized double vector `v` computed from
+    * `raw`; the squared norm is materialized as a column so it's evaluated
+    * once per row, not once per element inside the lambda. */
+  def withUnit(df: DataFrame, raw: Column): DataFrame =
     df.withColumn("__v0", transform(raw, x => x.cast("double")))
       .withColumn("__d2", aggregate(zip_with(col("__v0"), col("__v0"), _ * _),
         lit(0.0), _ + _))
@@ -40,10 +40,11 @@ object Similarity {
     withUnit(Tables(s, dir, "embeddings"), col("embedding"))
       .select(col("vec_id"), col("label"), col("v"))
 
-  /** cos of unit vectors = plain dot — evaluated by the native codegen
-    * DotProduct expression (graft.functions); ascending-index summation,
-    * bit-identical to the HOF fold and DuckDB's list_dot_product. */
-  private def cosine(a: Column, b: Column): Column = {
+  /** PUBLIC API: cos of unit vectors = plain dot — evaluated by the native
+    * codegen DotProduct expression (graft.functions); ascending-index
+    * summation, bit-identical to the HOF fold and DuckDB's
+    * list_dot_product. */
+  def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -59,6 +60,28 @@ object Similarity {
     s"SELECT vec_id, label, ${sqlUnit("embedding")} AS v FROM embeddings"
 
   private def cosSql(a: String, b: String): String = s"list_dot_product($a, $b)"
+
+  /** PUBLIC API: exact top-k neighbours per query. `queries`/`candidates`
+    * carry unit vectors from [[withUnit]] as (qid, qv) / (vec_id, v);
+    * per-partition heap + merge via row_number, never a global sort. */
+  def topKNeighbors(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    queries.crossJoin(candidates).where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** PUBLIC API: all pairs within `blockCol` whose cosine ≥ threshold;
+    * inputs carry unit vectors as (vec_id, <blockCol>, v). */
+  def thresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = df.select(col(blockCol).as("__blk"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col(blockCol) === col("__blk") && col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 
   val queries: Map[String, Q] = Map(
     // exact cosine for all same-label pairs, top-100
@@ -77,11 +100,7 @@ object Similarity {
       val q = vecs(s, dir).where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val c = vecs(s, dir).select(col("vec_id"), col("v"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      q.crossJoin(c).where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
+      topKNeighbors(q, c, 5)
         .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
         .orderBy(col("qid"), col("rank"))
     },
@@ -97,12 +116,7 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double") * 1.01))
         .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("v"))
       val all = base.unionByName(copies)
-      val a = all.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
-      val b = all.select(col("label").as("lb"), col("vec_id").as("id_b"), col("v").as("vb"))
-      a.join(b, col("label") === col("lb") && col("id_a") < col("id_b"))
-        .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
-        .where(col("cos") >= 0.95)
-        .select(col("id_a"), col("id_b"), col("cos"))
+      thresholdPairs(all, "label", 0.95)
         .orderBy(col("id_a"), col("id_b"))
     },
 

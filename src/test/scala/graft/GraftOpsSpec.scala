@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The public API must work on a USER's own DataFrames (not just the
+  * benchmark tables) — this is the "could switch to this library" test. */
+class GraftOpsSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  test("nearDuplicates finds a planted near-dup in a user corpus") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("id", "body")
+    val pairs = GraftOps.nearDuplicates(docs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("knn over user vectors returns the geometric nearest neighbour") {
+    val vecs = GraftOps.withUnitVector(
+      Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+        .toDF("vec_id", "emb"), col("emb"))
+      .select(col("vec_id"), col("v"))
+    val q = vecs.where(col("vec_id") === 1)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val top = GraftOps.knn(q, vecs, 1).select("vec_id").head().getLong(0)
+    assert(top == 2L)
+  }
+
+  test("cosineThresholdPairs respects the blocking column") {
+    val vecs = GraftOps.withUnitVector(
+      Seq((1L, "a", Seq(1.0f, 0.0f)), (2L, "a", Seq(1.0f, 0.001f)),
+        (3L, "b", Seq(1.0f, 0.0f))).toDF("vec_id", "grp", "emb"), col("emb"))
+      .select(col("vec_id"), col("grp"), col("v"))
+    val pairs = GraftOps.cosineThresholdPairs(vecs, "grp", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L))) // 3 is identical to 1 but blocked out
+  }
+}
