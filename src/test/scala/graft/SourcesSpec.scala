@@ -24,6 +24,14 @@ class SourcesSpec extends SparkSuite {
       df.agg(sum("n_nationkey")).head().getLong(0))
   }
 
+  test("ORC round-trip") {
+    val df = Tables(spark, sf, "supplier")
+    df.write.mode("overwrite").orc(s"$tmp/supplier_orc")
+    val back = spark.read.orc(s"$tmp/supplier_orc")
+    assert(back.count() == df.count())
+    assert(back.schema == df.schema)
+  }
+
   test("JSON lines round-trip") {
     val df = Tables(spark, sf, "region")
     df.write.mode("overwrite").json(s"$tmp/region_json")
