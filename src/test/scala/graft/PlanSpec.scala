@@ -41,4 +41,19 @@ class PlanSpec extends SparkSuite {
     val p = plan("text_sentiment_lexicon")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("join_theta_range is an equi-join on (user, bucket), never a nested loop") {
+    val p = plan("join_theta_range")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("no declared query plans a CartesianProduct") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
 }
