@@ -20,6 +20,8 @@ object SparkEntry {
     (ops.ScalarFns.queries, ops.ScalarFns.oracle),
     (ops.Reshape.queries, ops.Reshape.oracle),
     (ops.Extras.queries, ops.Extras.oracle),
+    (ops.Extras2.queries, ops.Extras2.oracle),
+    (llm.Dedup2.queries, llm.Dedup2.oracle),
     (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),
     (clean.Missing.queries, clean.Missing.oracle),
     (clean.Outliers.queries, clean.Outliers.oracle),
