@@ -21,6 +21,7 @@ object SparkEntry {
     (ops.Reshape.queries, ops.Reshape.oracle),
     (ops.Extras.queries, ops.Extras.oracle),
     (ops.Extras2.queries, ops.Extras2.oracle),
+    (ops.Extras3.queries, ops.Extras3.oracle),
     (llm.Dedup2.queries, llm.Dedup2.oracle),
     (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),
     (clean.Missing.queries, clean.Missing.oracle),
