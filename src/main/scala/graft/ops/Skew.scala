@@ -1,0 +1,27 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for fact⋈dim joins where AQE's skew-join can't help
+  * (e.g. a single hot key that still overflows one task after splitting).
+  *
+  * Salting: the big side gets a deterministic salt in [0, salt) derived by
+  * hashing the whole row (content-stable — no rand(), so replays and
+  * retries see the same salt); the small side is replicated `salt` times;
+  * the join key becomes (key, salt), spreading each hot key over `salt`
+  * tasks. Row-content hashing keeps identical duplicate rows together,
+  * which is irrelevant for correctness and fine for balance.
+  */
+object Skew {
+
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    val bigS = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(salt)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}
