@@ -35,7 +35,11 @@ object CleanOp {
 final case class FillConstant(column: String, value: Any) extends CleanOp {
   def apply(df: DataFrame): DataFrame =
     df.withColumn(column, coalesce(col(column), lit(value)))
-  def code: String = s"""df.withColumn("$column", coalesce(col("$column"), lit($value)))"""
+  private def litRepr: String = value match {
+    case s: String => "\"" + s.replace("\"", "\\\"") + "\""
+    case other => String.valueOf(other)
+  }
+  def code: String = s"""df.withColumn("$column", coalesce(col("$column"), lit($litRepr)))"""
 }
 
 /** Fill numeric nulls with the column mean (classic ipydataclean fix). */
@@ -46,16 +50,17 @@ final case class FillMean(column: String) extends CleanOp {
     s"""df.withColumn("$column", coalesce(col("$column"), avg over ()))  // exact decimal mean"""
 }
 
-/** Fill numeric nulls with the exact median (linear-interpolated). */
+/** Fill numeric nulls with the exact median (linear-interpolated). Only the
+  * FILLED values are rounded — non-null data passes through untouched. */
 final case class FillMedian(column: String, roundTo: Int = 6) extends CleanOp {
   def apply(df: DataFrame): DataFrame = {
     val w = Window.partitionBy()
     df.withColumn(column,
-      round(coalesce(col(column),
-        expr(s"percentile($column, 0.5)").over(w)), roundTo))
+      when(col(column).isNotNull, col(column))
+        .otherwise(round(expr(s"percentile($column, 0.5)").over(w), roundTo)))
   }
   def code: String =
-    s"""df.withColumn("$column", round(coalesce(col("$column"), percentile($column, 0.5) over ()), $roundTo))"""
+    s"""df.withColumn("$column", when(col("$column").isNotNull, col("$column")).otherwise(round(percentile($column, 0.5) over (), $roundTo)))"""
 }
 
 /** Fill categorical nulls with the most frequent value
@@ -67,9 +72,12 @@ final case class FillMode(column: String) extends CleanOp {
       .orderBy(col("__cnt").desc, col(column))
       .limit(1)
       .select(col(column).as("__mode"))
-    df.crossJoin(broadcast(mode))
+    // LEFT join on a constant key, not crossJoin: an all-null column yields
+    // an EMPTY mode frame, and a crossJoin would silently delete every row.
+    df.withColumn("__k", lit(1))
+      .join(broadcast(mode.withColumn("__k", lit(1))), Seq("__k"), "left")
       .withColumn(column, coalesce(col(column), col("__mode")))
-      .drop("__mode")
+      .drop("__mode", "__k")
   }
   def code: String = s"""df.fillna(mode("$column"))  // mode = max count, tiebreak smallest value"""
 }
@@ -176,9 +184,11 @@ final case class NormalizeWhitespace(column: String) extends CleanOp {
   * frequent original value of its key (tiebreak smallest). */
 final case class FingerprintCanonicalize(column: String) extends CleanOp {
   def apply(df: DataFrame): DataFrame = {
-    val fp = concat_ws(" ",
+    // Guard nulls: concat_ws would map a NULL value to fingerprint "" and
+    // the rewrite would invent a value for it; null fp never equi-joins.
+    val fp = when(col(column).isNotNull, concat_ws(" ",
       array_sort(array_distinct(split(
-        lower(trim(regexp_replace(col(column), "\\s+", " "))), " "))))
+        lower(trim(regexp_replace(col(column), "\\s+", " "))), " ")))))
     val wRank = Window.partitionBy(col("__fp"))
       .orderBy(col("__cnt").desc, col(column))
     val canon = df.where(col(column).isNotNull)

@@ -89,7 +89,8 @@ object Missing {
         |FROM ev ORDER BY event_id""".stripMargin),
     "fillna_median" -> q(
       """SELECT event_id,
-        |round(coalesce(v, (SELECT quantile_cont(v, 0.5) FROM ev)), 6) AS v
+        |CASE WHEN v IS NOT NULL THEN v
+        |     ELSE round((SELECT quantile_cont(v, 0.5) FROM ev), 6) END AS v
         |FROM ev ORDER BY event_id""".stripMargin),
     "fillna_mode" -> q(
       """SELECT event_id,

@@ -158,6 +158,9 @@ object Dedup {
     // exact trigram Jaccard, verified ONLY over MinHash-LSH candidates.
     // The shingle set feeds four consumers (dict, minhash, sizes, common) —
     // persist it once instead of recomputing the explode+distinct chain.
+    // Cache lifetime: intentionally left to LRU eviction — the query is
+    // built once per Verify/Bench session and the cached blocks are small;
+    // callers embedding this in a long-lived service should unpersist.
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val bigrams = shingles(s, dir).persist()
       // set size per doc straight from the array — no groupBy shuffle

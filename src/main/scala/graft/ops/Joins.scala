@@ -96,6 +96,10 @@ object Joins {
 
     // As-of join without a native operator: union both sides with a tag,
     // one window pass carries the latest click at-or-before each purchase.
+    // Residual cross-engine hazard: if two clicks of one user shared the
+    // same µs timestamp, Spark deterministically keeps the larger event_id
+    // while DuckDB's ASOF picks arbitrarily — accepted because the events
+    // table carries ns-unique timestamps (collision odds ~1e-9).
     "join_asof" -> { (s, dir) =>
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),

@@ -18,6 +18,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    // right/full outer would emit `salt` null-padded copies of every
+    // unmatched small-side row (it was replicated) — reject those types.
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(ok.contains(joinType.toLowerCase.replace("_", "")) ||
+      ok.contains(joinType.toLowerCase),
+      s"saltedJoin does not support join type '$joinType' (small side is replicated)")
     val bigS = big.withColumn("__salt",
       pmod(hash(big.columns.map(col): _*), lit(salt)))
     val smallS = small.withColumn("__salt",

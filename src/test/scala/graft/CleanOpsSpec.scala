@@ -81,6 +81,32 @@ class CleanOpsSpec extends SparkSuite {
     assert(out.map(_.getLong(1)).sum == 5)
   }
 
+  test("FillMode on an all-null column keeps every row (no crossJoin wipe)") {
+    val df = Seq[Option[String]](None, None, None).toDF("c")
+    val out = FillMode("c")(df)
+    assert(out.count() == 3)
+    assert(out.where(out("c").isNull).count() == 3) // nothing to fill with
+  }
+
+  test("FillMedian leaves non-null values bit-identical") {
+    val df = Seq(Some(1.23456789), None, Some(2.0)).toDF("v")
+    val out = FillMedian("v")(df).orderBy("v").collect()
+    assert(out.exists(r => !r.isNullAt(0) && r.getDouble(0) == 1.23456789))
+  }
+
+  test("FingerprintCanonicalize leaves nulls null") {
+    val df = Seq(Some("foo bar"), Some("bar foo"), None).toDF("c")
+    val out = FingerprintCanonicalize("c")(df)
+    assert(out.where(out("c").isNull).count() == 1)
+  }
+
+  test("Skew.saltedJoin rejects right/full outer join types") {
+    val df = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.ops.Skew.saltedJoin(df, df, "k", 4, "full_outer")
+    }
+  }
+
   test("NormalizeWhitespace trims, lowers, collapses") {
     val out = NormalizeWhitespace("c")(Seq("  A   B\tC ").toDF("c"))
       .head().getString(0)

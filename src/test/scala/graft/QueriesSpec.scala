@@ -16,13 +16,16 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // legitimately empty at sf0.001: every customer has an order (join_anti);
+  // set_except may drain when suppliers cover all nations
+  private val mayBeEmpty = Set("join_anti", "set_except")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"query $name executes at sf0.001") {
+    test(s"query $name executes and is non-empty at sf0.001") {
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty)
-      // Execute the plan; most queries must be non-empty at sf0.001.
       val n = df.count()
-      assert(n >= 0)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
   }
 }
