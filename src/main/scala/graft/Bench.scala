@@ -30,8 +30,19 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+    val nFail = results.count(_._2 < 0)
+    // Per-query detail goes to a file + stderr; stdout's LAST line is a short
+    // total-only JSON (<200 chars) so the driver's tail capture can't
+    // truncate it mid-token (it did in r1/r2 with the 2.4 KB one-liner).
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    System.err.println(detail)
     spark.stop()
+    val totalR = math.round(total * 1000) / 1000.0
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"n_fail":$nFail,"sf":"$sfDir"}""")
   }
 }

@@ -102,8 +102,8 @@ object Outliers {
       s"""WITH qs AS ($iqrBounds),
          |b AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM qs)
          |SELECT count(*) AS n_total,
-         |sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS n_lo,
-         |sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_hi,
+         |cast(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) as bigint) AS n_lo,
+         |cast(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) as bigint) AS n_hi,
          |min(lo) AS lo, min(hi) AS hi
          |FROM lineitem CROSS JOIN b""".stripMargin,
     "outlier_zscore_flag" ->
@@ -113,7 +113,7 @@ object Outliers {
         |    count(l_extendedprice) AS n FROM lineitem),
         |ms AS (SELECT sx / n AS mean, sqrt((sx2 - sx * sx / n) / (n - 1)) AS std FROM st)
         |SELECT count(*) AS n_total,
-        |sum(CASE WHEN abs((l_extendedprice - mean) / std) > 3.0 THEN 1 ELSE 0 END) AS n_out,
+        |cast(sum(CASE WHEN abs((l_extendedprice - mean) / std) > 3.0 THEN 1 ELSE 0 END) as bigint) AS n_out,
         |round(min(mean), 6) AS mean, round(min(std), 6) AS std
         |FROM lineitem CROSS JOIN ms""".stripMargin,
     "outlier_clip" ->

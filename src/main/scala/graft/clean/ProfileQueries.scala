@@ -98,9 +98,9 @@ object ProfileQueries {
     "profile_missingness" ->
       s"""WITH ev AS (${Missing.sqlEv})
          |SELECT count(*) AS n_rows,
-         |sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS value_nulls,
-         |sum(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS etype_nulls,
-         |sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS value_nans,
+         |cast(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) as bigint) AS value_nulls,
+         |cast(sum(CASE WHEN et IS NULL THEN 1 ELSE 0 END) as bigint) AS etype_nulls,
+         |cast(sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) as bigint) AS value_nans,
          |cast(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) as double) / count(*) AS value_null_rate,
          |cast(sum(CASE WHEN et IS NULL THEN 1 ELSE 0 END) as double) / count(*) AS etype_null_rate
          |FROM ev""".stripMargin,

@@ -58,11 +58,11 @@ object Reshape {
   val oracle: Map[String, String] = Map(
     "reshape_pivot" ->
       """SELECT cast(year(o_orderdate) as int) AS y,
-        |coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END), 0) AS "1-URGENT",
-        |coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END), 0) AS "2-HIGH",
-        |coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END), 0) AS "3-MEDIUM",
-        |coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END), 0) AS "4-NOT SPECIFIED",
-        |coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END), 0) AS "5-LOW"
+        |cast(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END), 0) as bigint) AS "1-URGENT",
+        |cast(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END), 0) as bigint) AS "2-HIGH",
+        |cast(coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END), 0) as bigint) AS "3-MEDIUM",
+        |cast(coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END), 0) as bigint) AS "4-NOT SPECIFIED",
+        |cast(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END), 0) as bigint) AS "5-LOW"
         |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
     "reshape_unpivot" ->
       """SELECT p_partkey, attr, val FROM (

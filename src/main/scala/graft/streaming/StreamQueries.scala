@@ -80,8 +80,8 @@ object StreamQueries {
         |       WHEN lag(t, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
         |sess AS (SELECT user_id, t,
-        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(t) AS start_us, max(t) AS end_us,

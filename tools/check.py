@@ -65,6 +65,18 @@ def main():
             failures.append((name, f"ROWS: spark={len(got)} oracle={len(want)}"))
             n_fail += 1
             continue
+        # dtype-kind compare — the driver hashes value reprs, so int-vs-float
+        # (DuckDB HUGEINT -> float64 vs Spark int64: '60000.0' != '60000')
+        # fails even when values are equal, while int32-vs-int64 (5 == 5) is
+        # fine. Compare at kind granularity so the local gate catches exactly
+        # the class the driver catches.
+        dt_bad = [(c, str(got.dtypes[c]), str(want.dtypes[c]))
+                  for c in got.columns
+                  if got.dtypes[c].kind != want.dtypes[c].kind]
+        if dt_bad:
+            failures.append((name, f"DTYPE: {dt_bad}"))
+            n_fail += 1
+            continue
         # dtype report (informational) + exact value compare
         bad = None
         gv, wv = got.values.tolist(), want.values.tolist()
