@@ -23,12 +23,16 @@ sealed trait CleanOp {
 }
 
 object CleanOp {
-  /** Deterministic mean as a window expression: exact decimal sum / count. */
-  private[clean] def meanOverAll(c: String): Column = {
-    val w = Window.partitionBy()
-    sum(col(c).cast("decimal(18,4)")).over(w).cast("double") /
-      count(col(c)).over(w)
-  }
+  /** Attach 1-row whole-table `stats` to every row via a broadcast
+    * cross join. This replaces the empty-`partitionBy()` window form,
+    * whose physical plan is `Exchange SinglePartition → Window` over the
+    * full table — THE scale-killer at 100 TB. Here the stats reduce
+    * map-side to one row and ship back as a broadcast; the main table is
+    * never reshuffled. An agg with no keys always yields exactly one row
+    * (nulls for an all-null column), so crossJoin cannot drop rows.
+    */
+  private[clean] def withScalarStats(df: DataFrame, stats: DataFrame): DataFrame =
+    df.crossJoin(broadcast(stats))
 }
 
 /** Fill nulls in `column` with a constant. */
@@ -42,25 +46,34 @@ final case class FillConstant(column: String, value: Any) extends CleanOp {
   def code: String = s"""df.withColumn("$column", coalesce(col("$column"), lit($litRepr)))"""
 }
 
-/** Fill numeric nulls with the column mean (classic ipydataclean fix). */
+/** Fill numeric nulls with the column mean (classic ipydataclean fix).
+  * Exact decimal sum / count, broadcast back as a scalar. */
 final case class FillMean(column: String) extends CleanOp {
-  def apply(df: DataFrame): DataFrame =
-    df.withColumn(column, coalesce(col(column), CleanOp.meanOverAll(column)))
+  def apply(df: DataFrame): DataFrame = {
+    val stats = df.agg(
+      (sum(col(column).cast("decimal(18,4)")).cast("double") /
+        count(col(column))).as("__graft_mean"))
+    CleanOp.withScalarStats(df, stats)
+      .withColumn(column, coalesce(col(column), col("__graft_mean")))
+      .drop("__graft_mean")
+  }
   def code: String =
-    s"""df.withColumn("$column", coalesce(col("$column"), avg over ()))  // exact decimal mean"""
+    s"""df.crossJoin(broadcast(df.agg(mean))).withColumn("$column", coalesce(col("$column"), mean))  // exact decimal mean"""
 }
 
 /** Fill numeric nulls with the exact median (linear-interpolated). Only the
   * FILLED values are rounded — non-null data passes through untouched. */
 final case class FillMedian(column: String, roundTo: Int = 6) extends CleanOp {
   def apply(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy()
-    df.withColumn(column,
-      when(col(column).isNotNull, col(column))
-        .otherwise(round(expr(s"percentile($column, 0.5)").over(w), roundTo)))
+    val stats = df.agg(
+      round(expr(s"percentile($column, 0.5)"), roundTo).as("__graft_med"))
+    CleanOp.withScalarStats(df, stats)
+      .withColumn(column,
+        when(col(column).isNotNull, col(column)).otherwise(col("__graft_med")))
+      .drop("__graft_med")
   }
   def code: String =
-    s"""df.withColumn("$column", when(col("$column").isNotNull, col("$column")).otherwise(round(percentile($column, 0.5) over (), $roundTo)))"""
+    s"""df.crossJoin(broadcast(df.agg(round(percentile($column, 0.5), $roundTo)))).withColumn("$column", when(col("$column").isNotNull, col("$column")).otherwise(med))"""
 }
 
 /** Fill categorical nulls with the most frequent value
@@ -147,10 +160,13 @@ final case class DedupByKey(keys: Seq[String], order: Seq[String]) extends Clean
 final case class ClipToQuantiles(column: String, pLo: Double, pHi: Double)
     extends CleanOp {
   def apply(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy()
-    val lo = round(expr(s"percentile($column, $pLo)").over(w), 4)
-    val hi = round(expr(s"percentile($column, $pHi)").over(w), 4)
-    df.withColumn(column, least(greatest(col(column), lo), hi))
+    val stats = df.agg(
+      round(expr(s"percentile($column, $pLo)"), 4).as("__graft_lo"),
+      round(expr(s"percentile($column, $pHi)"), 4).as("__graft_hi"))
+    CleanOp.withScalarStats(df, stats)
+      .withColumn(column,
+        least(greatest(col(column), col("__graft_lo")), col("__graft_hi")))
+      .drop("__graft_lo", "__graft_hi")
   }
   def code: String = s"""df.withColumn("$column", least(greatest(col, p$pLo), p$pHi))"""
 }

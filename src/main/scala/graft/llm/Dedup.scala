@@ -4,7 +4,6 @@ import graft._
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** §2.12 near-duplicate detection: MinHash-LSH, SimHash, and n-gram-Jaccard
   * verification — the training-data dedup stack.
@@ -16,9 +15,14 @@ import org.apache.spark.sql.expressions.Window
   * at Jaccard ≈ 0.01 while the planted near-dup clusters stay ≈ 0.97 —
   * exactly why real LLM dedup shingles at n≥3.
   *
-  * Portability (SURVEY.md §2.12): shingle-ids come from a dictionary built
-  * with row_number over sorted distinct shingles; all hashes are arithmetic
+  * Portability (SURVEY.md §2.12): shingle-ids are an open-vocabulary
+  * polynomial string hash ([[graft.functions.StringPolyHash]], mirrored in
+  * DuckDB by list_reduce over ord()) — pure map-side, no dictionary state,
+  * no global-ORDER window; all downstream hashes are arithmetic
   * (aᵢ·x + bᵢ mod p, p = 2³¹−1) — bit-identical in DuckDB, unlike xxhash64.
+  * A same-id shingle collision (~0.2 expected at a 30k vocab, P = 2³¹−1)
+  * is reproduced identically by both engines, so the differential gate
+  * still holds exactly.
   *
   * Scale & shape: shingles are built array-natively (no window), the 16
   * minhashes and 32 simhash bit-planes are AGGREGATE COLUMNS (no ×k row
@@ -50,15 +54,23 @@ object Dedup {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleSet(Tables(s, dir, "documents"), "doc_id", "text")
 
-  /** shingle → dense deterministic id (1-based, sorted order). */
-  private def dict(sh: DataFrame): DataFrame =
-    sh.select(col("bg")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("bg"))).cast("long"))
+  /** shingle string → deterministic id: open-vocab polynomial hash. */
+  private[llm] def shingleId(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.StringPolyHash(ColumnBridge.expression(c)))
+  }
+
+  /** DuckDB mirror of [[shingleId]] on column `c`. */
+  private[llm] def sqlShingleId(c: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(generate_series(1, length($c)), i -> ord(substring($c, i, 1))::BIGINT)),
+       |  (a,b) -> (a*31+b) % 2147483647)""".stripMargin
 
   /** (doc_id, band, sig): 16 minhashes h_i(tid) = ((2i+3)·tid+5i+7) mod p
     * as 16 aggregate columns, banded 4×4 — one shuffle, no row explosion. */
   private def bandSigsFrom(sh: DataFrame): DataFrame = {
-    val withTid = sh.join(broadcast(dict(sh)), "bg")
+    val withTid = sh.withColumn("tid", shingleId(col("bg")))
     val minCols = (0 until 16).map { i =>
       min(pmod(col("tid") * (2 * i + 3) + (5 * i + 7), lit(P))).as(s"mh$i")
     }
@@ -88,13 +100,13 @@ object Dedup {
 
   /** SQL mirror of the shingle→minhash→band chain (shared CTE prefix). */
   private[llm] val sqlBands =
-    """pos AS (SELECT doc_id,
+    s"""pos AS (SELECT doc_id,
       |  unnest(string_split(lower(text), ' ')) AS word,
       |  generate_subscripts(string_split(lower(text), ' '), 1) AS pos FROM documents),
       |sh AS (SELECT DISTINCT doc_id, bg FROM (
       |  SELECT doc_id, word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS bg
       |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) WHERE bg IS NOT NULL),
-      |dict AS (SELECT bg, row_number() OVER (ORDER BY bg) AS tid
+      |dict AS (SELECT bg, ${sqlShingleId("bg")} AS tid
       |         FROM (SELECT DISTINCT bg FROM sh)),
       |mh AS (SELECT doc_id, i, min(((2*i+3) * tid + 5*i+7) % 2147483647) AS mh
       |       FROM sh JOIN dict USING (bg) CROSS JOIN range(16) r(i)
@@ -124,7 +136,7 @@ object Dedup {
         .withColumn("toks", split(lower(col("text")), " "))
         .select(col("doc_id"), explode(ngramArray(col("toks"), 3)).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
-      val withTid = tf.join(broadcast(dict(tf.select(col("doc_id"), col("bg")))), "bg")
+      val withTid = tf.withColumn("tid", shingleId(col("bg")))
         .withColumn("thash", pmod(col("tid") * 737 + 97, lit(P)))
       val vjCols = (0 until 32).map { j =>
         sum(col("tf") * (expr(s"shiftright(thash, $j) & 1") * 2 - 1)).as(s"v$j")
@@ -191,14 +203,14 @@ object Dedup {
       s"""WITH $sqlBands
          |SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
-      """WITH pos AS (SELECT doc_id,
+      s"""WITH pos AS (SELECT doc_id,
         |  unnest(string_split(lower(text), ' ')) AS word,
         |  generate_subscripts(string_split(lower(text), ' '), 1) AS pos FROM documents),
         |tf AS (SELECT doc_id, bg, count(*) AS tf FROM (
         |  SELECT doc_id, word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS bg
         |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) WHERE bg IS NOT NULL
         |  GROUP BY 1, 2),
-        |dict AS (SELECT bg, row_number() OVER (ORDER BY bg) AS tid
+        |dict AS (SELECT bg, ${sqlShingleId("bg")} AS tid
         |         FROM (SELECT DISTINCT bg FROM tf)),
         |bits AS (SELECT doc_id, j,
         |    CASE WHEN sum(tf * (((((tid * 737 + 97) % 2147483647) >> j) & 1) * 2 - 1)) > 0

@@ -36,13 +36,20 @@ object Dedup2 {
     "sim_ann_lsh" -> { (s, dir) =>
       val all = Similarity.withUnit(Tables(s, dir, "embeddings"), col("embedding"))
         .select(col("vec_id"), col("v"))
-      val planes = all.where(col("vec_id").between(1, 8))
-        .select(col("vec_id").as("pid"), col("v").as("pv"))
-      val bucketed = all.crossJoin(broadcast(planes))
-        .withColumn("bit",
-          when(round(Similarity.cosine(col("v"), col("pv")), 6) >= 0, 1L).otherwise(0L))
-        .groupBy(col("vec_id"), col("v"))
-        .agg(sum(expr("shiftleft(bit, cast(pid as int) - 1)")).as("bucket"))
+      // The 8 hyperplanes pivot into ONE broadcast row of 8 array columns,
+      // so the bucket bits are pure map-side expressions over `all` — no
+      // 8× row inflation and no hash aggregation keyed on a 64-double
+      // array (the r1/r2 plan grouped by (vec_id, v) after the explode).
+      val pvCols = (1 to 8).map(p =>
+        first(when(col("vec_id") === p, col("v")), ignoreNulls = true).as(s"pv$p"))
+      val planeRow = all.where(col("vec_id").between(1, 8))
+        .agg(pvCols.head, pvCols.tail: _*)
+      val bucketExpr = (1 to 8).map(p =>
+        shiftleft(when(round(Similarity.cosine(col("v"), col(s"pv$p")), 6) >= 0, 1L)
+          .otherwise(0L), p - 1)).reduce(_ + _)
+      val bucketed = all.crossJoin(broadcast(planeRow))
+        .withColumn("bucket", bucketExpr)
+        .select(col("vec_id"), col("v"), col("bucket"))
       val q = bucketed.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))

@@ -8,9 +8,15 @@ class GraftOpsSpec extends SparkSuite {
   import TestSpark.spark.implicits._
 
   test("nearDuplicates finds a planted near-dup in a user corpus") {
+    // near-dup pair differs only in the LAST token → 1 of 28 trigrams
+    // changed, Jaccard ≈ 0.93; P(no shared LSH band) < 0.5% per hash
+    // family, and the hash family is fixed, so this is deterministic.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "phi chi psi omega aleph bet gimel dalet he vav"
     val docs = Seq(
-      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
-      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (1L, base),
+      (2L, base.stripSuffix("vav") + "zayin"), // near-dup of 1
       (3L, "one two three four five six seven eight nine ten")
     ).toDF("id", "body")
     val pairs = GraftOps.nearDuplicates(docs, "id", "body")

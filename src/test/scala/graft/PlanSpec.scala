@@ -56,4 +56,28 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
     }
   }
+
+  test("no declared query feeds a Window from an Exchange SinglePartition") {
+    // A whole-table window (empty partitionBy / global ORDER) plans
+    // `Exchange SinglePartition → [Sort] → Window` — every row through one
+    // task; THE scale-killer at 100 TB. Scalar stats must instead reduce
+    // via agg and come back with crossJoin(broadcast(...)).
+    // Allowlisted: ops whose DECLARED semantics are one globally ordered
+    // sequence, applied to already-aggregated/tiny inputs (a per-day series,
+    // one ranked customer list) — documented in SCALE.md.
+    val allow = Set("window_moving_avg", "window_ntile_percent")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => allow(q._1)).foreach { case (name, fn) =>
+        val lines = fn(spark, sf).queryExecution.executedPlan
+          .toString.linesIterator.toVector
+        lines.zipWithIndex.foreach { case (l, i) =>
+          if (l.contains("Window [")) {
+            val feeder = lines.slice(i + 1, i + 4)
+            assert(!feeder.exists(_.contains("Exchange SinglePartition")),
+              s"$name plans Exchange SinglePartition -> Window:\n" +
+                lines.slice(i, i + 4).mkString("\n"))
+          }
+        }
+      }
+  }
 }
