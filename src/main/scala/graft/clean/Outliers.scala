@@ -56,16 +56,22 @@ object Outliers {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("clipped"))
     },
 
-    // drop rows outside the IQR fences, aggregate the survivors
+    // drop rows outside the IQR fences, aggregate the survivors.
+    // The keep-predicate lives INSIDE the aggregates, not in a .where():
+    // a filter referencing the broadcast scalars gets pulled up into the
+    // cross join's condition, degrading it to a conditioned
+    // BroadcastNestedLoopJoin — interpreted row-at-a-time, measured 10×
+    // slower than this conditional-agg form (4.5 s vs 0.45 s at sf0.1).
     "outlier_remove" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
       val qs = li.agg(
         round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
         round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+      val keep = col("l_extendedprice") >= col("q1") - (col("q3") - col("q1")) * 1.5 &&
+        col("l_extendedprice") <= col("q3") + (col("q3") - col("q1")) * 1.5
       li.crossJoin(broadcast(qs))
-        .where(col("l_extendedprice") >= col("q1") - (col("q3") - col("q1")) * 1.5 &&
-          col("l_extendedprice") <= col("q3") + (col("q3") - col("q1")) * 1.5)
-        .agg(count(lit(1)).as("n_kept"), dsum(col("l_extendedprice")).as("sum_kept"))
+        .agg(sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          dsum(when(keep, col("l_extendedprice"))).as("sum_kept"))
     },
 
     // error-tolerant string→double over a deterministically mixed column

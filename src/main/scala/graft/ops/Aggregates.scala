@@ -23,12 +23,18 @@ object Aggregates {
         .orderBy(col("c_mktsegment"))
     },
 
-    // HLL sketch — no DuckDB oracle (different sketch); ScalaTest bounds it
-    // against the exact count instead.
+    // HLL sketch. DuckDB can't reproduce Spark's sketch value, so the
+    // DECLARED result is the oracle-checkable contract: the exact count
+    // plus a bounded-relative-error boolean (HLL default rsd = 0.05);
+    // the oracle asserts the same count and `true`. ScalaTest additionally
+    // bounds the raw approx value against the exact count.
     "agg_approx_distinct" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("approx_ok"))
     },
 
     // sales by (nation), (nation, segment), () — Spark 4 native groupingSets
@@ -70,6 +76,9 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
+        |FROM lineitem""".stripMargin,
     "agg_distinct" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_cust
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,

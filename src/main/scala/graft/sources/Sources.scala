@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** §2.1 non-parquet sources as DECLARED, oracle-checked queries.
+  *
+  * A cleaning engine's first real user action is loading a CSV/JSON file.
+  * Each query materializes a deterministic text copy of a small dimension
+  * table, reads it back through the corresponding source, and aggregates;
+  * the DuckDB oracle computes the same aggregate straight from the parquet
+  * table — so the gate proves the source path is LOSSLESS, not just that
+  * it round-trips row counts.
+  *
+  * Scale notes: schemas are EXPLICIT (inference = an extra full read of
+  * the data — an anti-pattern at any scale); aggregation + sort make the
+  * result independent of file/partition order, so the same query shape
+  * holds on a thousand-split distributed read.
+  */
+object Sources {
+
+  private def tmpRoot: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_sources"
+
+  val queries: Map[String, Q] = Map(
+    "source_csv" -> { (s, dir) =>
+      val path = s"$tmpRoot/nation_csv"
+      Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .option("header", "true")
+        .csv(path)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n_nationkey")).as("sum_key"),
+          min(col("n_name")).as("first_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    "source_json" -> { (s, dir) =>
+      val path = s"$tmpRoot/supplier_json"
+      Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .coalesce(1)
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE")
+        .json(path)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          dsum(col("s_acctbal")).as("sum_bal"),
+          max(col("s_name")).as("last_name"))
+        .orderBy(col("s_nationkey"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "source_csv" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |cast(sum(n_nationkey) as bigint) AS sum_key, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "source_json" ->
+      s"""SELECT s_nationkey, count(*) AS n_supp,
+         |${sqlDsum("s_acctbal")} AS sum_bal, max(s_name) AS last_name
+         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+  )
+}

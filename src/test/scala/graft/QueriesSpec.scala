@@ -28,4 +28,10 @@ class QueriesSpec extends SparkSuite {
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("approx_count_distinct stays within 5% of the exact count") {
+    val row = SparkEntry.queries("agg_approx_distinct")(spark, sf).head()
+    assert(row.getAs[Boolean]("approx_ok"),
+      s"HLL drifted beyond rsd bound: $row")
+  }
 }
