@@ -31,7 +31,7 @@ object GraftOps {
 
   /** one-call near-dup candidates for a (id, text) corpus. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    minhashCandidates(shingleSet(df, idCol, textCol, n))
+    llm.Dedup.candidatesFromArrays(llm.Dedup.shingleArrays(df, idCol, textCol, n))
 
   // ---- embedding similarity ----------------------------------------------
 

@@ -49,6 +49,97 @@ case class WordNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** All k minhashes of a shingle ARRAY in one flat pass — map-side, per
+  * document, no explode and no groupBy(doc) shuffle.
+  *
+  * mhᵢ = min over shingles s of hᵢ(polyhash(s)), hᵢ(x) = ((2i+3)x+5i+7) mod p
+  * — exactly the exploded formulation the DuckDB oracle mirrors; min is
+  * idempotent under duplicates, so the RAW (non-distinct) n-gram array
+  * feeds it directly. Returns null for an empty/absent shingle array so
+  * sub-n-token documents drop out, matching the exploded form where they
+  * simply produce no rows.
+  *
+  * At 100 TB this moves the whole signature phase from a
+  * (docs × shingles)-row explode + shuffle to a per-doc map — the only
+  * remaining shuffle in MinHash-LSH is the tiny (band, sig) equi-join.
+  */
+case class MinHashSig(child: Expression, k: Int = 16, mult: Long = 31L,
+    mod: Long = 2147483647L) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) null
+    else {
+      val mins = Array.fill(k)(Long.MaxValue)
+      var s = 0
+      while (s < n) {
+        val str = arr.getUTF8String(s).toString
+        var h = 0L
+        var c = 0
+        while (c < str.length) { h = (h * mult + str.charAt(c)) % mod; c += 1 }
+        var i = 0
+        while (i < k) {
+          val v = ((2 * i + 3) * h + (5 * i + 7)) % mod
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(mins.map(x => x: Any))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The 32 tf-weighted SimHash component sums of a shingle ARRAY in one
+  * flat pass: vⱼ = Σ over OCCURRENCES of (bitⱼ(thash)·2−1), where
+  * thash = (737·polyhash(s)+97) mod p. Iterating the raw array (with
+  * duplicates) IS the tf weighting — identical to the exploded
+  * groupBy(doc,bg).count() formulation the DuckDB oracle mirrors.
+  * Null for an empty array (doc shorter than the n-gram width).
+  */
+case class SimHashVec(child: Expression, bits: Int = 32, mult: Long = 31L,
+    mod: Long = 2147483647L) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) null
+    else {
+      val v = new Array[Long](bits)
+      var s = 0
+      while (s < n) {
+        val str = arr.getUTF8String(s).toString
+        var h = 0L
+        var c = 0
+        while (c < str.length) { h = (h * mult + str.charAt(c)) % mod; c += 1 }
+        val t = (h * 737L + 97L) % mod
+        var j = 0
+        while (j < bits) {
+          v(j) += (((t >> j) & 1L) * 2L - 1L)
+          j += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(v.map(x => x: Any))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Portable polynomial string hash: h = fold((h·mult + char) mod `mod`).
   *
   * Open-vocabulary shingle/token id — replaces the dictionary built with

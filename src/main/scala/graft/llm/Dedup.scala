@@ -51,11 +51,26 @@ object Dedup {
       .withColumn("__sh", array_distinct(ngramArray(col("__toks"), n)))
       .select(col(idCol).as("doc_id"), explode(col("__sh")).as("bg"))
 
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleSet(Tables(s, dir, "documents"), "doc_id", "text")
+  /** PUBLIC API: (doc_id, sh) with the n-gram shingle ARRAY kept whole —
+    * the preferred input shape for signatures: minhash/simhash read the
+    * array in one native pass per document, so nothing is exploded and
+    * nothing shuffles until the (band, sig) candidate join.
+    * `dedup=true` applies per-doc array_distinct (needed for exact
+    * Jaccard sizes/intersections; minhash is duplicate-idempotent). */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, dedup: Boolean = false): DataFrame = {
+    val raw = ngramArray(split(lower(col(textCol)), " "), n)
+    df.select(col(idCol).as("doc_id"),
+      (if (dedup) array_distinct(raw) else raw).as("sh"))
+  }
 
-  /** shingle string → deterministic id: open-vocab polynomial hash. */
-  private[llm] def shingleId(c: Column): Column = {
+  private def docArrays(s: SparkSession, dir: String, dedup: Boolean = false): DataFrame =
+    shingleArrays(Tables(s, dir, "documents"), "doc_id", "text", 3, dedup)
+
+  /** shingle string → deterministic id: open-vocab polynomial hash.
+    * (The declared queries now hash inside MinHashSig/SimHashVec; this
+    * Column form is the composable building block for custom pipelines.) */
+  def shingleId(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(
       graft.functions.StringPolyHash(ColumnBridge.expression(c)))
@@ -67,26 +82,31 @@ object Dedup {
        |  list_transform(generate_series(1, length($c)), i -> ord(substring($c, i, 1))::BIGINT)),
        |  (a,b) -> (a*31+b) % 2147483647)""".stripMargin
 
-  /** (doc_id, band, sig): 16 minhashes h_i(tid) = ((2i+3)·tid+5i+7) mod p
-    * as 16 aggregate columns, banded 4×4 — one shuffle, no row explosion. */
-  private def bandSigsFrom(sh: DataFrame): DataFrame = {
-    val withTid = sh.withColumn("tid", shingleId(col("bg")))
-    val minCols = (0 until 16).map { i =>
-      min(pmod(col("tid") * (2 * i + 3) + (5 * i + 7), lit(P))).as(s"mh$i")
-    }
-    withTid.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  /** (doc_id, band, sig): the 16 minhashes come from ONE native
+    * [[graft.functions.MinHashSig]] pass over the per-doc shingle array —
+    * fully map-side (no explode, no groupBy(doc) shuffle), banded 4×4.
+    * Values are identical to the exploded h_i(polyhash(bg)) formulation
+    * the DuckDB oracle runs (min is duplicate-idempotent). */
+  private def bandSigsFromArrays(da: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val mhs = ColumnBridge.column(
+      graft.functions.MinHashSig(ColumnBridge.expression(col("sh"))))
+    da.select(col("doc_id"), mhs.as("mhs"))
+      .where(col("mhs").isNotNull)
       .select(col("doc_id"), explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          concat_ws(",", col(s"mh${b * 4}"), col(s"mh${b * 4 + 1}"),
-            col(s"mh${b * 4 + 2}"), col(s"mh${b * 4 + 3}")).as("sig"))
+          concat_ws(",",
+            element_at(col("mhs"), b * 4 + 1), element_at(col("mhs"), b * 4 + 2),
+            element_at(col("mhs"), b * 4 + 3), element_at(col("mhs"), b * 4 + 4))
+            .as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** PUBLIC API: MinHash-LSH near-duplicate candidate pairs over any
-    * shingle set from [[shingleSet]]; output (doc_a, doc_b, n_bands). */
-  def candidatesFrom(sh: DataFrame): DataFrame = {
-    val sigs = bandSigsFrom(sh)
+  /** PUBLIC API: MinHash-LSH candidate pairs from [[shingleArrays]] shape
+    * (doc_id, sh: array<string>); output (doc_a, doc_b, n_bands). */
+  def candidatesFromArrays(da: DataFrame): DataFrame = {
+    val sigs = bandSigsFromArrays(da)
     val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).where(col("doc_a") < col("doc_b"))
@@ -94,9 +114,16 @@ object Dedup {
       .agg(countDistinct(col("band")).as("n_bands"))
   }
 
+  /** PUBLIC API (exploded-shape adapter): candidate pairs over any
+    * (doc_id, bg) shingle set from [[shingleSet]] — regroups to arrays
+    * (one shuffle), then takes the map-side signature path. */
+  def candidatesFrom(sh: DataFrame): DataFrame =
+    candidatesFromArrays(
+      sh.groupBy(col("doc_id")).agg(collect_list(col("bg")).as("sh")))
+
   /** candidate pairs: docs sharing ≥1 LSH band, with matching-band count. */
   private[llm] def candidates(s: SparkSession, dir: String): DataFrame =
-    candidatesFrom(shingles(s, dir))
+    candidatesFromArrays(docArrays(s, dir))
 
   /** SQL mirror of the shingle→minhash→band chain (shared CTE prefix). */
   private[llm] val sqlBands =
@@ -130,18 +157,18 @@ object Dedup {
 
     // 32-bit SimHash over tf-weighted trigram shingles; candidates share ≥1
     // of 4 8-bit chunks (pigeonhole for hamming ≤ 3), verified with exact
-    // bit_count(xor). Bit-planes are 32 aggregate COLUMNS — no ×32 rows.
+    // bit_count(xor). The 32 component sums come from ONE native SimHashVec
+    // pass over the RAW shingle array (iterating duplicates IS the tf
+    // weighting) — map-side, no explode, no groupBy(doc,bg) shuffle.
     "dedup_simhash" -> { (s, dir) =>
-      val tf = Tables(s, dir, "documents")
-        .withColumn("toks", split(lower(col("text")), " "))
-        .select(col("doc_id"), explode(ngramArray(col("toks"), 3)).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
-      val withTid = tf.withColumn("tid", shingleId(col("bg")))
-        .withColumn("thash", pmod(col("tid") * 737 + 97, lit(P)))
-      val vjCols = (0 until 32).map { j =>
-        sum(col("tf") * (expr(s"shiftright(thash, $j) & 1") * 2 - 1)).as(s"v$j")
-      }
-      val sbit = (0 until 32).map(j => when(col(s"v$j") > 0, 1L).otherwise(0L))
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val vv = ColumnBridge.column(
+        graft.functions.SimHashVec(ColumnBridge.expression(col("sh"))))
+      val withVec = docArrays(s, dir)
+        .select(col("doc_id"), vv.as("vv"))
+        .where(col("vv").isNotNull)
+      val sbit = (0 until 32).map(j =>
+        when(element_at(col("vv"), j + 1) > 0, 1L).otherwise(0L))
       val simCols: Seq[Column] =
         col("doc_id") +:
           (0 until 32).map(j => shiftleft(sbit(j), j)).reduce(_ + _).as("simhash") +:
@@ -149,8 +176,7 @@ object Dedup {
             (0 until 8).map(k => shiftleft(sbit(c * 8 + k), k)).reduce(_ + _)
               .as(s"cval$c")
           }
-      val sims = withTid.groupBy(col("doc_id")).agg(vjCols.head, vjCols.tail: _*)
-        .select(simCols: _*)
+      val sims = withVec.select(simCols: _*)
       val chunks = sims.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("c"), col(s"cval$c").as("cval"))): _*)).as("ch"))
@@ -168,30 +194,25 @@ object Dedup {
     },
 
     // exact trigram Jaccard, verified ONLY over MinHash-LSH candidates.
-    // The shingle set feeds four consumers (dict, minhash, sizes, common) —
-    // persist it once instead of recomputing the explode+distinct chain.
-    // Cache lifetime: intentionally left to LRU eviction — the query is
-    // built once per Verify/Bench session and the cached blocks are small;
-    // callers embedding this in a long-lived service should unpersist.
+    // The per-doc DISTINCT shingle arrays feed both the signatures and the
+    // verification: candidate pairs pull the two arrays back via broadcast
+    // joins (the candidate set is LSH-small) and the intersection size is
+    // one native array_intersect per pair — no exploded shingle join at
+    // all. Cache lifetime: LRU eviction — built once per Verify/Bench
+    // session; long-lived services should unpersist.
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      val bigrams = shingles(s, dir).persist()
-      // set size per doc straight from the array — no groupBy shuffle
-      val sizes = Tables(s, dir, "documents")
-        .withColumn("toks", split(lower(col("text")), " "))
-        .select(col("doc_id"),
-          size(array_distinct(ngramArray(col("toks"), 3))).cast("long").as("nbg"))
-      val cand = candidatesFrom(bigrams).select(col("doc_a"), col("doc_b")).persist()
-      val common = cand
-        .join(bigrams.select(col("doc_id").as("doc_a"), col("bg")), "doc_a")
-        .join(bigrams.select(col("doc_id").as("doc_b"), col("bg").as("bg2")), "doc_b")
-        .where(col("bg") === col("bg2"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-      cand.join(common, Seq("doc_a", "doc_b"), "left")
-        .join(sizes.select(col("doc_id").as("doc_a"), col("nbg").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("nbg").as("nb")), "doc_b")
+      val da = docArrays(s, dir, dedup = true).persist()
+      val cand = candidatesFromArrays(da).select(col("doc_a"), col("doc_b"))
+      val withA = da.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val withB = da.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      // At an adversarial 100 TB (candidate set too big to broadcast),
+      // drop the two broadcast() hints: the same plan runs as shuffle
+      // hash joins on doc_id with arrays carried once each.
+      withB.join(broadcast(withA.join(broadcast(cand), "doc_a")), "doc_b")
+        .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
         .withColumn("jaccard",
-          round(coalesce(col("common"), lit(0L)).cast("double") /
-            (col("na") + col("nb") - coalesce(col("common"), lit(0L))), 6))
+          round(col("common").cast("double") /
+            (size(col("sha")) + size(col("shb")) - col("common")), 6))
         .where(col("jaccard") >= 0.3)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, WordNgrams}
+import graft.functions.{DotProduct, MinHashSig, SimHashVec, StringPolyHash, WordNgrams}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,57 @@ class ExpressionsSpec extends SparkSuite {
     out.foreach { r =>
       assert(r.getSeq[String](r.fieldIndex("tri")) == r.getSeq[String](r.fieldIndex("hof3")))
     }
+  }
+
+  test("StringPolyHash equals the explicit fold, survives codegen") {
+    val p = 2147483647L
+    def ref(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c) % p)
+    val rows = Seq("abc", "the quick brown", "lorem ipsum dolor", "x", "")
+      .toDF("s")
+      .withColumn("h", ColumnBridge.column(StringPolyHash(ColumnBridge.expression(col("s")))))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == ref(r.getString(0)), r.getString(0)))
+  }
+
+  test("MinHashSig equals the exploded min-over-hashes formulation") {
+    val p = lit(2147483647L)
+    val da = llm.Dedup.shingleArrays(
+      Tables(spark, sf, "documents").limit(200), "doc_id", "text")
+    val native = da
+      .withColumn("mhs", ColumnBridge.column(MinHashSig(ColumnBridge.expression(col("sh")))))
+      .where(col("mhs").isNotNull)
+      .select(col("doc_id") +: (0 until 16).map(i =>
+        element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
+    val exploded = da.select(col("doc_id"), explode(col("sh")).as("bg"))
+      .withColumn("tid", llm.Dedup.shingleId(col("bg")))
+      .groupBy("doc_id")
+      .agg((0 until 16).map(i =>
+        min(pmod(col("tid") * (2 * i + 3) + (5 * i + 7), p)).as(s"mh$i")).head,
+        (1 until 16).map(i =>
+          min(pmod(col("tid") * (2 * i + 3) + (5 * i + 7), p)).as(s"mh$i")): _*)
+    assert(native.exceptAll(exploded).count() == 0)
+    assert(exploded.exceptAll(native).count() == 0)
+  }
+
+  test("SimHashVec equals the exploded tf-weighted component sums") {
+    val p = lit(2147483647L)
+    val da = llm.Dedup.shingleArrays(
+      Tables(spark, sf, "documents").limit(200), "doc_id", "text")
+    val native = da
+      .withColumn("vv", ColumnBridge.column(SimHashVec(ColumnBridge.expression(col("sh")))))
+      .where(col("vv").isNotNull)
+      .select(col("doc_id") +: (0 until 32).map(j =>
+        element_at(col("vv"), j + 1).as(s"v$j")): _*)
+    val exploded = da.select(col("doc_id"), explode(col("sh")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+      .withColumn("thash", pmod(llm.Dedup.shingleId(col("bg")) * 737 + 97, p))
+      .groupBy("doc_id")
+      .agg((0 until 32).map(j =>
+        sum(col("tf") * (expr(s"shiftright(thash, $j) & 1") * 2 - 1)).as(s"v$j")).head,
+        (1 until 32).map(j =>
+          sum(col("tf") * (expr(s"shiftright(thash, $j) & 1") * 2 - 1)).as(s"v$j")): _*)
+    assert(native.exceptAll(exploded).count() == 0)
+    assert(exploded.exceptAll(native).count() == 0)
   }
 
   test("WordNgrams returns empty (not an error) when the doc is shorter than n") {
