@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Tier-5 escape hatch (SURVEY.md §4/§7): a native Catalyst expression for
   * the dense dot product.
@@ -56,6 +56,69 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Unit-normalize a float/double vector in one flat pass: cast each element
+  * to double, accumulate Σx² in ASCENDING index order, divide by √Σx².
+  *
+  * Replaces the three-HOF chain transform(cast) → aggregate(zip_with) →
+  * transform(divide), which is interpreted per element (~3 µs/lambda) and
+  * sat on the map side of EVERY similarity query. Operation order is
+  * identical to the HOF chain and to the DuckDB
+  * list_transform/list_dot_product mirror, so doubles stay bit-identical.
+  * Null input → null; a zero vector yields ±Infinity/NaN elements exactly
+  * as the HOF form did (no silent re-interpretation).
+  */
+case class UnitVector(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val d = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      d(i) = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var s = 0.0
+    i = 0
+    while (i < n) { s += d(i) * d(i); i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = d(i) / norm; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out")
+      val get = if (childIsFloat) s"(double) $c.getFloat($i)" else s"$c.getDouble($i)"
+      s"""
+         |int $n = $c.numElements();
+         |double[] $d = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) { $d[$i] = $get; }
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $d[$i] * $d[$i]; }
+         |double $norm = java.lang.Math.sqrt($s);
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) { $out[$i] = $d[$i] / $norm; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object VectorFunctions {

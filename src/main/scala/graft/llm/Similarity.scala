@@ -26,14 +26,14 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** PUBLIC API: attach unit-normalized double vector `v` computed from
-    * `raw`; the squared norm is materialized as a column so it's evaluated
-    * once per row, not once per element inside the lambda. */
-  def withUnit(df: DataFrame, raw: Column): DataFrame =
-    df.withColumn("__v0", transform(raw, x => x.cast("double")))
-      .withColumn("__d2", aggregate(zip_with(col("__v0"), col("__v0"), _ * _),
-        lit(0.0), _ + _))
-      .withColumn("v", transform(col("__v0"), x => x / sqrt(col("__d2"))))
-      .drop("__v0", "__d2")
+    * `raw` — one native codegen pass per row ([[graft.functions.UnitVector]];
+    * same cast → ascending Σx² → divide order as the HOF chain it replaced,
+    * so doubles are bit-identical; ExpressionsSpec asserts it). */
+  def withUnit(df: DataFrame, raw: Column): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.withColumn("v", ColumnBridge.column(
+      graft.functions.UnitVector(ColumnBridge.expression(raw))))
+  }
 
   /** embeddings as double unit vectors. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
@@ -126,11 +126,16 @@ object Similarity {
       val all = vecs(s, dir)
       val cents = all.where(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      // nearest-centroid assignment as a map-side-combinable aggregate:
+      // max_by over (ccos, -cid) ≡ the (ccos DESC, cid ASC) argmin window,
+      // but partial aggregation collapses the ×|centroids| inflation BEFORE
+      // the shuffle — only |vectors| rows move (the window form shuffled
+      // all inflated rows, then sorted each group).
       val assigned = all.crossJoin(broadcast(cents))
         .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
-        .withColumn("arn", row_number().over(wAssign))
-        .where(col("arn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"),
+          max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
         .select(col("vec_id"), col("v"), col("cid"))
       val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
       val probes = all.where(col("vec_id") % 50 === 0)

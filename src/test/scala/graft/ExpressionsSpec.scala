@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSig, SimHashVec, StringPolyHash, WordNgrams}
+import graft.functions.{DotProduct, MinHashSig, SimHashVec, StringPolyHash, UnitVector, WordNgrams}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,26 @@ class ExpressionsSpec extends SparkSuite {
     out.foreach { r =>
       assert(r.getSeq[String](r.fieldIndex("tri")) == r.getSeq[String](r.fieldIndex("hof3")))
     }
+  }
+
+  test("UnitVector equals the transform/aggregate/zip_with chain bit-for-bit") {
+    val df = Tables(spark, sf, "embeddings")
+      .withColumn("__v0", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("__d2", aggregate(zip_with(col("__v0"), col("__v0"), _ * _),
+        lit(0.0), _ + _))
+      .withColumn("hof", transform(col("__v0"), x => x / sqrt(col("__d2"))))
+      .withColumn("native", ColumnBridge.column(
+        UnitVector(ColumnBridge.expression(col("embedding")))))
+    assert(df.where(not(col("hof") <=> col("native"))).count() == 0)
+    // double input path (the scaled-copies case)
+    val scaled = Tables(spark, sf, "embeddings")
+      .withColumn("raw", transform(col("embedding"), x => x.cast("double") * 1.01))
+      .withColumn("__d2", aggregate(zip_with(col("raw"), col("raw"), _ * _),
+        lit(0.0), _ + _))
+      .withColumn("hof", transform(col("raw"), x => x / sqrt(col("__d2"))))
+      .withColumn("native", ColumnBridge.column(
+        UnitVector(ColumnBridge.expression(col("raw")))))
+    assert(scaled.where(not(col("hof") <=> col("native"))).count() == 0)
   }
 
   test("StringPolyHash equals the explicit fold, survives codegen") {
