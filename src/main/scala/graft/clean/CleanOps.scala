@@ -142,16 +142,29 @@ final case class DropNaAny(columns: Seq[String]) extends CleanOp {
   def code: String = s"""df.na.drop("any", Seq(${columns.mkString(", ")}))"""
 }
 
-/** Keep exactly one row per key, deterministically: first by `order`.
-  * (NOT dropDuplicates — its keep choice is partition-order-dependent.) */
+/** Keep exactly one row per key, deterministically: first by `order`
+  * (remaining columns break any residual ties — a total order, so the
+  * result never depends on partition layout; NOT dropDuplicates, whose
+  * keep choice is partition-order-dependent).
+  *
+  * Plan shape: min(struct(order ++ rest)) per key — a hash aggregate
+  * whose partial (map-side) phase collapses duplicates BEFORE the
+  * shuffle. The equivalent row_number window shuffles and SORTS every
+  * duplicate row; at 100 TB with skewed keys that sort is the
+  * bottleneck, while min(struct) stays one combine-friendly pass.
+  * Struct comparison is field-by-field with nulls first — the same
+  * ordering the window's default ASC gave. */
 final case class DedupByKey(keys: Seq[String], order: Seq[String]) extends CleanOp {
   def apply(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    val packCols = (order ++ df.columns.toSeq.filterNot(c =>
+      keys.contains(c) || order.contains(c))).map(col)
+    df.groupBy(keys.map(col): _*)
+      .agg(min(struct(packCols: _*)).as("__row"))
+      .select(df.columns.toSeq.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__row.`$c`").as(c)): _*)
   }
   def code: String =
-    s"""df.withColumn("rn", row_number over (partition ${keys.mkString(",")} order ${order.mkString(",")})).where("rn=1")"""
+    s"""df.groupBy(${keys.mkString(",")}).agg(min(struct(${order.mkString(",")}, *rest))).select(unpacked)  // keep-first by order"""
 }
 
 /** Clip (winsorize) into the [pLo, pHi] exact-percentile range.
