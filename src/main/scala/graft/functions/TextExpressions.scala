@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram expression (tier-5 escape hatch, SURVEY.md §4).
@@ -43,6 +43,51 @@ case class WordNgrams(child: Expression, n: Int)
       }
       new GenericArrayData(res)
     }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-document term frequencies in one pass: token array →
+  * array<struct<word, cnt>> with first-occurrence order (deterministic).
+  *
+  * Token counting inside a document is doc-local work — it needs no
+  * shuffle by definition. The explode → groupBy(doc_id, word) form still
+  * ships every token OCCURRENCE through an exchange; exploding this
+  * map-side result instead ships one row per DISTINCT (doc, word), which
+  * is what every downstream consumer (tf-idf, df, lexicon join, language
+  * profiles) actually keys on. At 100 TB that cuts the first text-stage
+  * shuffle by the average within-doc repetition factor.
+  */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("word", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      val prev = m.get(w)
+      if (prev == null) m.put(w.clone(), java.lang.Long.valueOf(1L))
+      else m.put(w, java.lang.Long.valueOf(prev.longValue() + 1L))
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue.longValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -16,9 +16,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Text {
 
-  private def tokens(s: SparkSession, dir: String): DataFrame =
+  /** Per-doc term frequencies (doc_id, word, cnt) — the native TokenCounts
+    * pass makes this MAP-SIDE (rows are distinct (doc, word) pairs by
+    * construction); everything downstream that used exploded occurrences
+    * now shuffles ~repetition-factor fewer rows with counts pre-combined. */
+  private def termFreqs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("doc_id"), explode(ColumnBridge.column(
+        graft.functions.TokenCounts(ColumnBridge.expression(col("toks"))))).as("wc"))
+      .select(col("doc_id"), col("wc.word").as("word"), col("wc.cnt").as("cnt"))
+  }
 
   /** Word-bigram ARRAY built without a window: index the token array
     * directly. Zero shuffle — the posexplode+lead formulation costs a full
@@ -35,21 +44,20 @@ object Text {
 
   val queries: Map[String, Q] = Map(
     "text_tokenize_tf" -> { (s, dir) =>
-      tokens(s, dir).groupBy(col("word")).agg(count(lit(1)).as("tf"))
+      termFreqs(s, dir).groupBy(col("word")).agg(sum(col("cnt")).as("tf"))
         .orderBy(col("tf").desc, col("word"))
     },
 
     // TF-IDF with ln(N/df), top-3 terms per doc
     "text_tfidf_topk" -> { (s, dir) =>
-      val toks = tokens(s, dir)
-      val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      val dfreq = toks.select(col("doc_id"), col("word")).distinct()
-        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val tf = termFreqs(s, dir)
+      // tf rows are distinct (doc, word) pairs → df is a plain count
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("word"))
       tf.join(broadcast(dfreq), "word").crossJoin(broadcast(n))
-        .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df")))
+        .withColumn("tfidf", col("cnt") * log(col("n").cast("double") / col("df")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .select(col("doc_id"), col("rn"), col("word"), round(col("tfidf"), 6).as("tfidf"))
@@ -80,8 +88,8 @@ object Text {
       import s.implicits._
       val lex = Seq(("fast", 2L), ("slow", -2L), ("big", 1L), ("small", -1L))
         .toDF("word", "weight")
-      val scores = tokens(s, dir).join(broadcast(lex), "word")
-        .groupBy(col("doc_id")).agg(sum(col("weight")).as("score"))
+      val scores = termFreqs(s, dir).join(broadcast(lex), "word")
+        .groupBy(col("doc_id")).agg(sum(col("weight") * col("cnt")).as("score"))
       Tables(s, dir, "documents").select(col("doc_id"))
         .join(scores, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
@@ -92,16 +100,17 @@ object Text {
     // split (doc_id % 10 < 8), prediction = argmax token-set overlap
     "text_langid" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val toks = tokens(s, dir)
-      val train = toks.join(docs.where(col("doc_id") % 10 < 8)
+      val tf = termFreqs(s, dir)
+      val train = tf.join(docs.where(col("doc_id") % 10 < 8)
         .select(col("doc_id"), col("lang")), "doc_id")
       val wProf = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word"))
       val profile = train.groupBy(col("lang"), col("word"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("cnt"))
         .withColumn("prn", row_number().over(wProf))
         .where(col("prn") <= 5)
         .select(col("lang").as("cand_lang"), col("word"))
-      val overlap = toks.distinct()
+      // tf rows are already distinct (doc, word) — no global distinct shuffle
+      val overlap = tf.select(col("doc_id"), col("word"))
         .join(broadcast(profile), "word")
         .groupBy(col("doc_id"), col("cand_lang"))
         .agg(count(lit(1)).as("hits"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSig, SimHashVec, StringPolyHash, UnitVector, WordNgrams}
+import graft.functions.{DotProduct, MinHashSig, SimHashVec, StringPolyHash, TokenCounts, UnitVector, WordNgrams}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
@@ -112,6 +112,18 @@ class ExpressionsSpec extends SparkSuite {
         sum(col("tf") * (expr(s"shiftright(thash, $j) & 1") * 2 - 1)).as(s"v$j")).head,
         (1 until 32).map(j =>
           sum(col("tf") * (expr(s"shiftright(thash, $j) & 1") * 2 - 1)).as(s"v$j")): _*)
+    assert(native.exceptAll(exploded).count() == 0)
+    assert(exploded.exceptAll(native).count() == 0)
+  }
+
+  test("TokenCounts equals explode + groupBy(doc, word) counts") {
+    val da = Tables(spark, sf, "documents").limit(200)
+      .withColumn("toks", split(lower(col("text")), " "))
+    val native = da.select(col("doc_id"), explode(ColumnBridge.column(
+      TokenCounts(ColumnBridge.expression(col("toks"))))).as("wc"))
+      .select(col("doc_id"), col("wc.word").as("word"), col("wc.cnt").as("cnt"))
+    val exploded = da.select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
     assert(native.exceptAll(exploded).count() == 0)
     assert(exploded.exceptAll(native).count() == 0)
   }
