@@ -26,12 +26,23 @@ object GraftOps {
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     llm.Dedup.shingleSet(df, idCol, textCol, n)
 
+  /** (doc_id, sh) with the n-gram shingle ARRAY kept whole — the preferred
+    * signature input: minhash/simhash read it map-side, nothing shuffles
+    * until the candidate join. */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, dedup: Boolean = false): DataFrame =
+    llm.Dedup.shingleArrays(df, idCol, textCol, n, dedup)
+
   /** MinHash-LSH candidate pairs (doc_a, doc_b, n_bands) over a shingle set. */
   def minhashCandidates(sh: DataFrame): DataFrame = llm.Dedup.candidatesFrom(sh)
 
   /** one-call near-dup candidates for a (id, text) corpus. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     llm.Dedup.candidatesFromArrays(llm.Dedup.shingleArrays(df, idCol, textCol, n))
+
+  /** open-vocabulary deterministic string id (polynomial hash, no
+    * dictionary state; mirrored exactly by the DuckDB-side list_reduce). */
+  def stringId(c: Column): Column = llm.Dedup.shingleId(c)
 
   // ---- embedding similarity ----------------------------------------------
 

@@ -218,14 +218,14 @@ final case class FingerprintCanonicalize(column: String) extends CleanOp {
     val fp = when(col(column).isNotNull, concat_ws(" ",
       array_sort(array_distinct(split(
         lower(trim(regexp_replace(col(column), "\\s+", " "))), " ")))))
-    val wRank = Window.partitionBy(col("__fp"))
-      .orderBy(col("__cnt").desc, col(column))
+    // canonical per key = min_by over (count DESC, value ASC) — two hash
+    // aggregates with map-side partials; no per-key window sort.
     val canon = df.where(col(column).isNotNull)
       .groupBy(fp.as("__fp"), col(column))
       .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__rn", row_number().over(wRank))
-      .where(col("__rn") === 1)
-      .select(col("__fp"), col(column).as("__canon"))
+      .groupBy(col("__fp"))
+      .agg(min_by(col(column),
+        struct((-col("__cnt")).as("nc"), col(column))).as("__canon"))
     df.withColumn("__fp", fp)
       .join(broadcast(canon), Seq("__fp"), "left")
       .withColumn(column, coalesce(col("__canon"), col(column)))

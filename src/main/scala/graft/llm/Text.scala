@@ -114,11 +114,13 @@ object Text {
         .join(broadcast(profile), "word")
         .groupBy(col("doc_id"), col("cand_lang"))
         .agg(count(lit(1)).as("hits"))
-      val wBest = Window.partitionBy(col("doc_id"))
-        .orderBy(col("hits").desc, col("cand_lang"))
-      val best = overlap.withColumn("rn", row_number().over(wBest))
-        .where(col("rn") === 1)
-        .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits"))
+      // argmax per doc as min_by over (hits DESC, cand_lang ASC) — a
+      // map-side-combinable aggregate instead of a per-doc window sort
+      val best = overlap.groupBy(col("doc_id"))
+        .agg(min_by(struct(col("cand_lang").as("pred_lang"), col("hits")),
+          struct((-col("hits")).as("nh"), col("cand_lang"))).as("b"))
+        .select(col("doc_id"), col("b.pred_lang").as("pred_lang"),
+          col("b.hits").as("hits"))
       docs.select(col("doc_id"), col("lang"))
         .join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
