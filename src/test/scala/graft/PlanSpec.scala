@@ -57,6 +57,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("dedup signatures are map-side: no shuffle keyed on doc_id before the LSH join") {
+    // The r1/r2 plans exploded shingles and shuffled them into a
+    // groupBy(doc_id) aggregate; MinHashSig/SimHashVec compute signatures
+    // per document in a map pass, so the first exchange keyed on doc_id
+    // alone must not exist (the candidate join keys on (band|c, sig), the
+    // final pair agg on (doc_a, doc_b)).
+    Seq("dedup_minhash", "dedup_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning(doc_id#"),
+        s"$q shuffles per-doc rows before the LSH join")
+    }
+  }
+
+  test("term frequencies are map-side: no shuffle keyed on (doc_id, word)") {
+    // the old tf relation shuffled every token occurrence into a
+    // groupBy(doc_id, word); TokenCounts builds it per document, so the
+    // only doc_id-keyed exchange left is the top-k window's
+    val p = plan("text_tfidf_topk")
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(doc_id#") && l.contains(" word#"))
+    assert(!bad, "tf relation shuffles token occurrences")
+  }
+
   test("no declared query feeds a Window from an Exchange SinglePartition") {
     // A whole-table window (empty partitionBy / global ORDER) plans
     // `Exchange SinglePartition → [Sort] → Window` — every row through one
