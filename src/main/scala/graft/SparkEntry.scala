@@ -33,6 +33,7 @@ object SparkEntry {
     (llm.Dedup.queries, llm.Dedup.oracle),
     (llm.Similarity.queries, llm.Similarity.oracle),
     (llm.Multimodal.queries, llm.Multimodal.oracle),
+    (llm.Pipeline.queries, llm.Pipeline.oracle),
     (streaming.StreamQueries.queries, streaming.StreamQueries.oracle)
   )
 
