@@ -104,9 +104,13 @@ object Dedup {
   }
 
   /** PUBLIC API: MinHash-LSH candidate pairs from [[shingleArrays]] shape
-    * (doc_id, sh: array<string>); output (doc_a, doc_b, n_bands). */
+    * (doc_id, sh: array<string>); output (doc_a, doc_b, n_bands).
+    * The band-sig relation feeds BOTH sides of the self-join, so it is
+    * persisted — otherwise the whole map-side signature pass runs twice.
+    * (Tiny: 4 rows/doc of (id, band, sig). Lifetime: LRU eviction, same
+    * policy as the jaccard cache; long-lived services should unpersist.) */
   def candidatesFromArrays(da: DataFrame): DataFrame = {
-    val sigs = bandSigsFromArrays(da)
+    val sigs = bandSigsFromArrays(da).persist()
     val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).where(col("doc_a") < col("doc_b"))
@@ -177,10 +181,13 @@ object Dedup {
               .as(s"cval$c")
           }
       val sims = withVec.select(simCols: _*)
+      // both self-join sides read `chunks` — persist so the map-side
+      // SimHashVec pass runs once (same LRU-lifetime policy as minhash)
       val chunks = sims.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("c"), col(s"cval$c").as("cval"))): _*)).as("ch"))
         .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.cval").as("cval"))
+        .persist()
       val ca = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
         col("c"), col("cval"))
       val cb = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
