@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions._
   * is reproduced identically by both engines, so the differential gate
   * still holds exactly.
   *
-  * Scale & shape: shingles are built array-natively (no window), the 16
-  * minhashes and 32 simhash bit-planes are AGGREGATE COLUMNS (no ×k row
-  * explosion), and candidate generation is an equi-join on (band|chunk,
-  * signature) — quadratic work only inside an LSH bucket. Exact Jaccard is
-  * verified ONLY over LSH candidates.
+  * Scale & shape: shingles are built array-natively (no window), and the
+  * 16 minhashes / 32 simhash component sums are computed in ONE native
+  * pass per document over the shingle array (MinHashSig / SimHashVec) —
+  * fully map-side, no explode and no per-doc shuffle. Candidate
+  * generation is an equi-join on (band|chunk, signature) — quadratic work
+  * only inside an LSH bucket. Exact Jaccard is verified ONLY over LSH
+  * candidates, via one array_intersect per candidate pair.
   */
 object Dedup {
 

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
-  private def tmpRoot: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_sources"
+  // scratch inside the repo's gitignored build dir (stays within the
+  // project tree; never pollutes git status)
+  private def tmpRoot: String = "target/graft_sources"
 
   val queries: Map[String, Q] = Map(
     "source_csv" -> { (s, dir) =>
