@@ -82,6 +82,24 @@ object ProfileQueries {
         round(expr("percentile(l_extendedprice, 0.75)"), 6).as("q75_price"))
     },
 
+    // The 100 TB percentile path: approx_percentile's t-digest-style sketch
+    // aggregates in bounded memory (exact `percentile` buffers every value
+    // per partition — the documented SCALE.md limit). DuckDB can't
+    // reproduce the sketch, so the DECLARED result is the checkable
+    // contract: relative-error bounds vs the exact quantiles + one exact
+    // anchor value; the oracle asserts the same anchors and `true`s.
+    "profile_quantiles_approx" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      def ok(i: Int) =
+        (abs(element_at(col("ap"), i) - element_at(col("ep"), i)) /
+          element_at(col("ep"), i) <= 0.01).as(s"q${25 * i}_ok")
+      li.agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("ap"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ep"))
+        .select(ok(1), ok(2), ok(3),
+          round(element_at(col("ep"), 2), 6).as("exact_q50"))
+    },
+
     // fixed-width histogram of o_totalprice: 20 buckets of 25000
     "profile_histogram" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -117,6 +135,10 @@ object ProfileQueries {
         |FROM lineitem""".stripMargin,
     "profile_histogram" ->
       """SELECT cast(least(floor(o_totalprice / 25000.0), 19.0) as int) AS bucket,
-        |count(*) AS n FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+        |count(*) AS n FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "profile_quantiles_approx" ->
+      """SELECT true AS q25_ok, true AS q50_ok, true AS q75_ok,
+        |round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_q50
+        |FROM lineitem""".stripMargin
   )
 }
