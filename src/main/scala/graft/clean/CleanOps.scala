@@ -143,23 +143,32 @@ final case class DropNaAny(columns: Seq[String]) extends CleanOp {
 }
 
 /** Keep exactly one row per key, deterministically: first by `order`
-  * (remaining columns break any residual ties — a total order, so the
-  * result never depends on partition layout; NOT dropDuplicates, whose
-  * keep choice is partition-order-dependent).
+  * (orderable remaining columns break any residual ties, so the result
+  * never depends on partition layout when the row is orderable at all;
+  * NOT dropDuplicates, whose keep choice is partition-order-dependent).
   *
-  * Plan shape: min(struct(order ++ rest)) per key — a hash aggregate
-  * whose partial (map-side) phase collapses duplicates BEFORE the
-  * shuffle. The equivalent row_number window shuffles and SORTS every
+  * Plan shape: min_by(value-struct, ordering-struct) per key — a hash
+  * aggregate whose partial (map-side) phase collapses duplicates BEFORE
+  * the shuffle. The equivalent row_number window shuffles and SORTS every
   * duplicate row; at 100 TB with skewed keys that sort is the
-  * bottleneck, while min(struct) stays one combine-friendly pass.
-  * Struct comparison is field-by-field with nulls first — the same
-  * ordering the window's default ASC gave. */
+  * bottleneck, while min_by stays one combine-friendly pass. Non-orderable
+  * payload columns (maps) ride in the value struct only. Struct
+  * comparison is field-by-field with nulls first — the same ordering the
+  * window's default ASC gave. */
 final case class DedupByKey(keys: Seq[String], order: Seq[String]) extends CleanOp {
   def apply(df: DataFrame): DataFrame = {
-    val packCols = (order ++ df.columns.toSeq.filterNot(c =>
-      keys.contains(c) || order.contains(c))).map(col)
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    val rest = df.columns.toSeq.filterNot(c =>
+      keys.contains(c) || order.contains(c))
+    // the ORDERING struct may only contain orderable types (a MapType
+    // payload column would make min/min_by unplannable); non-orderable
+    // columns still travel in the VALUE struct and are returned intact
+    val orderableRest = rest.filter(c =>
+      RowOrdering.isOrderable(df.schema(c).dataType))
+    val valueCols = (order ++ rest).map(col)
+    val ordCols = (order ++ orderableRest).map(col)
     df.groupBy(keys.map(col): _*)
-      .agg(min(struct(packCols: _*)).as("__row"))
+      .agg(min_by(struct(valueCols: _*), struct(ordCols: _*)).as("__row"))
       .select(df.columns.toSeq.map(c =>
         if (keys.contains(c)) col(c) else col(s"__row.`$c`").as(c)): _*)
   }

@@ -73,10 +73,13 @@ case class TokenCounts(child: Expression)
     val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
     var i = 0
     while (i < n) {
-      val w = arr.getUTF8String(i)
-      val prev = m.get(w)
-      if (prev == null) m.put(w.clone(), java.lang.Long.valueOf(1L))
-      else m.put(w, java.lang.Long.valueOf(prev.longValue() + 1L))
+      // null tokens are absent, matching the exploded form's null-drop
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        val prev = m.get(w)
+        if (prev == null) m.put(w.clone(), java.lang.Long.valueOf(1L))
+        else m.put(w, java.lang.Long.valueOf(prev.longValue() + 1L))
+      }
       i += 1
     }
     val out = new Array[Any](m.size())
@@ -121,21 +124,26 @@ case class MinHashSig(child: Expression, k: Int = 16, mult: Long = 31L,
     if (n == 0) null
     else {
       val mins = Array.fill(k)(Long.MaxValue)
+      var any = false
       var s = 0
       while (s < n) {
-        val str = arr.getUTF8String(s).toString
-        var h = 0L
-        var c = 0
-        while (c < str.length) { h = (h * mult + str.charAt(c)) % mod; c += 1 }
-        var i = 0
-        while (i < k) {
-          val v = ((2 * i + 3) * h + (5 * i + 7)) % mod
-          if (v < mins(i)) mins(i) = v
-          i += 1
+        // null shingles are absent (the exploded formulation dropped them)
+        if (!arr.isNullAt(s)) {
+          any = true
+          val str = arr.getUTF8String(s).toString
+          var h = 0L
+          var c = 0
+          while (c < str.length) { h = (h * mult + str.charAt(c)) % mod; c += 1 }
+          var i = 0
+          while (i < k) {
+            val v = ((2 * i + 3) * h + (5 * i + 7)) % mod
+            if (v < mins(i)) mins(i) = v
+            i += 1
+          }
         }
         s += 1
       }
-      new GenericArrayData(mins.map(x => x: Any))
+      if (!any) null else new GenericArrayData(mins.map(x => x: Any))
     }
   }
 
@@ -163,21 +171,26 @@ case class SimHashVec(child: Expression, bits: Int = 32, mult: Long = 31L,
     if (n == 0) null
     else {
       val v = new Array[Long](bits)
+      var any = false
       var s = 0
       while (s < n) {
-        val str = arr.getUTF8String(s).toString
-        var h = 0L
-        var c = 0
-        while (c < str.length) { h = (h * mult + str.charAt(c)) % mod; c += 1 }
-        val t = (h * 737L + 97L) % mod
-        var j = 0
-        while (j < bits) {
-          v(j) += (((t >> j) & 1L) * 2L - 1L)
-          j += 1
+        // null shingles are absent (the exploded formulation dropped them)
+        if (!arr.isNullAt(s)) {
+          any = true
+          val str = arr.getUTF8String(s).toString
+          var h = 0L
+          var c = 0
+          while (c < str.length) { h = (h * mult + str.charAt(c)) % mod; c += 1 }
+          val t = (h * 737L + 97L) % mod
+          var j = 0
+          while (j < bits) {
+            v(j) += (((t >> j) & 1L) * 2L - 1L)
+            j += 1
+          }
         }
         s += 1
       }
-      new GenericArrayData(v.map(x => x: Any))
+      if (!any) null else new GenericArrayData(v.map(x => x: Any))
     }
   }
 

@@ -73,6 +73,9 @@ case class UnitVector(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // nullable even over a non-null child: a null ELEMENT nulls the vector
+  override def nullable: Boolean = true
+
   private lazy val childIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -82,6 +85,10 @@ case class UnitVector(child: Expression) extends UnaryExpression {
     val d = new Array[Double](n)
     var i = 0
     while (i < n) {
+      // a null element means the vector is not well-defined — return null
+      // for the WHOLE vector (the HOF chain produced null-poisoned
+      // elements; reading the slot raw would fabricate a plausible value)
+      if (arr.isNullAt(i)) return null
       d(i) = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
@@ -107,13 +114,22 @@ case class UnitVector(child: Expression) extends UnaryExpression {
       s"""
          |int $n = $c.numElements();
          |double[] $d = new double[$n];
-         |for (int $i = 0; $i < $n; $i++) { $d[$i] = $get; }
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += $d[$i] * $d[$i]; }
-         |double $norm = java.lang.Math.sqrt($s);
-         |Object[] $out = new Object[$n];
-         |for (int $i = 0; $i < $n; $i++) { $out[$i] = $d[$i] / $norm; }
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |boolean ${ev.value}_bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) { ${ev.value}_bad = true; break; }
+         |  $d[$i] = $get;
+         |}
+         |if (${ev.value}_bad) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = null;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $d[$i] * $d[$i]; }
+         |  double $norm = java.lang.Math.sqrt($s);
+         |  Object[] $out = new Object[$n];
+         |  for (int $i = 0; $i < $n; $i++) { $out[$i] = $d[$i] / $norm; }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 

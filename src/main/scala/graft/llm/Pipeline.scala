@@ -27,8 +27,10 @@ object Pipeline {
       val toks = split(lower(col("text")), " ")
       val quality = Tables(s, dir, "documents")
         .withColumn("n_tok", size(toks).cast("long"))
+        // native stopword count (no interpreted per-token lambda), same
+        // value as the oracle's list_filter formulation
         .withColumn("n_stop",
-          size(filter(toks, t => t.isin("the", "a"))).cast("long"))
+          (col("n_tok") - size(array_remove(array_remove(toks, "the"), "a"))).cast("long"))
         .withColumn("score_e6",
           least(col("n_tok") * 10000L, lit(1000000L)) -
             expr("(n_stop * 1000000 DIV n_tok) DIV 2"))

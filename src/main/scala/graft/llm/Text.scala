@@ -138,7 +138,11 @@ object Text {
       Tables(s, dir, "documents")
         .withColumn("n_tok", size(toks).cast("long"))
         .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")).cast("long"))
-        .withColumn("n_stop", size(filter(toks, t => t.isin("the", "a"))).cast("long"))
+        // stopword count natively: n_tok − |tokens with stopwords removed|
+        // (array_remove is a flat collection op; size(filter(λ)) runs an
+        // interpreted lambda per token — the measured HOF trap)
+        .withColumn("n_stop",
+          (col("n_tok") - size(array_remove(array_remove(toks, "the"), "a"))).cast("long"))
         .withColumn("avg_tok_len_e6", expr("n_alpha * 1000000 DIV n_tok"))
         .withColumn("stop_ratio_e6", expr("n_stop * 1000000 DIV n_tok"))
         .withColumn("score_e6",

@@ -25,16 +25,18 @@ object Aggregates {
 
     // HLL sketch. DuckDB can't reproduce Spark's sketch value, so the
     // DECLARED result is the oracle-checkable contract: the exact count
-    // plus a bounded-relative-error boolean (HLL default rsd = 0.05);
-    // the oracle asserts the same count and `true`. ScalaTest additionally
-    // bounds the raw approx value against the exact count.
+    // plus a bounded-relative-error boolean; the oracle asserts the same
+    // count and `true`. The bound is 3× the sketch's rsd (0.05 is a
+    // 1-sigma figure, not a guarantee — a tight bound could fail honestly
+    // on an unlucky cardinality); ScalaTest additionally checks the raw
+    // value against the 1-sigma figure on the fixed test data.
     "agg_approx_distinct" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("exact_parts"),
           (abs(col("approx") - col("exact_parts")).cast("double") /
-            col("exact_parts") <= 0.05).as("approx_ok"))
+            col("exact_parts") <= 0.15).as("approx_ok"))
     },
 
     // sales by (nation), (nation, segment), () — Spark 4 native groupingSets

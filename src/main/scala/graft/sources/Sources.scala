@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
 object Sources {
 
   // scratch inside the repo's gitignored build dir (stays within the
-  // project tree; never pollutes git status)
-  private def tmpRoot: String = "target/graft_sources"
+  // project tree; never pollutes git status). Keyed by the source sf dir
+  // so runs against different scale factors never clobber each other;
+  // note the write happens when the query lambda is INVOKED (Verify /
+  // Bench / plan tests), not at cluster execution time.
+  private def tmpRoot(dir: String): String =
+    "target/graft_sources/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   val queries: Map[String, Q] = Map(
     "source_csv" -> { (s, dir) =>
-      val path = s"$tmpRoot/nation_csv"
+      val path = s"${tmpRoot(dir)}/nation_csv"
       Tables(s, dir, "nation")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .coalesce(1)
@@ -43,7 +47,7 @@ object Sources {
     },
 
     "source_json" -> { (s, dir) =>
-      val path = s"$tmpRoot/supplier_json"
+      val path = s"${tmpRoot(dir)}/supplier_json"
       Tables(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
           col("s_acctbal"))

@@ -52,6 +52,15 @@ class CleanOpsSpec extends SparkSuite {
       None, Some(6.0), Some(8.0), None))
   }
 
+  test("DedupByKey tolerates non-orderable (map) payload columns") {
+    val df = Seq((1L, 2, Map("a" -> "x")), (1L, 1, Map("b" -> "y")))
+      .toDF("k", "o", "m")
+    val out = DedupByKey(Seq("k"), Seq("o"))(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getInt(1) == 1)
+    assert(out(0).getMap[String, String](2) == Map("b" -> "y"))
+  }
+
   test("DedupByKey is idempotent and keeps the ordered-first row") {
     val df = Seq((1L, "x", 2.0), (1L, "a", 9.0), (2L, "b", 1.0))
       .toDF("k", "s", "x")

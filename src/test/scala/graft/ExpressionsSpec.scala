@@ -65,6 +65,30 @@ class ExpressionsSpec extends SparkSuite {
     assert(scaled.where(not(col("hof") <=> col("native"))).count() == 0)
   }
 
+  test("UnitVector nulls the whole vector on a null element (no fabricated values)") {
+    val df = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0)),
+      (2L, Seq[java.lang.Double](3.0, 4.0))).toDF("id", "raw")
+      .withColumn("v", ColumnBridge.column(
+        UnitVector(ColumnBridge.expression(col("raw")))))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(2))
+    assert(rows(1).getSeq[Double](2) == Seq(0.6, 0.8))
+  }
+
+  test("MinHashSig/SimHashVec/TokenCounts skip null elements like the exploded form") {
+    val df = Seq((1L, Seq[String]("a b c", null, "a b c"))).toDF("id", "sh")
+    val clean = Seq((1L, Seq[String]("a b c", "a b c"))).toDF("id", "sh")
+    def sig(d: org.apache.spark.sql.DataFrame) = d.select(
+      ColumnBridge.column(MinHashSig(ColumnBridge.expression(col("sh")))).as("m"),
+      ColumnBridge.column(SimHashVec(ColumnBridge.expression(col("sh")))).as("s"),
+      ColumnBridge.column(TokenCounts(ColumnBridge.expression(col("sh")))).as("t"))
+    assert(sig(df).collect().toSeq == sig(clean).collect().toSeq)
+    // all-null array → null signatures (doc drops out), not a crash
+    val allNull = Seq((1L, Seq[String](null))).toDF("id", "sh")
+    val r = sig(allNull).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("StringPolyHash equals the explicit fold, survives codegen") {
     val p = 2147483647L
     def ref(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c) % p)

@@ -95,10 +95,20 @@ class PlanSpec extends SparkSuite {
           .toString.linesIterator.toVector
         lines.zipWithIndex.foreach { case (l, i) =>
           if (l.contains("Window [")) {
-            val feeder = lines.slice(i + 1, i + 4)
+            // Walk down through the window's single-child wrapper stack
+            // (Sort / WholeStageCodegen / InputAdapter / AQEShuffleRead /
+            // Project…) to the FIRST exchange below it — that is the
+            // exchange satisfying the window's distribution requirement.
+            // Stopping there avoids false positives from legitimate
+            // SinglePartition exchanges in deeper broadcast-stats
+            // subplans, while catching arbitrarily deep wrapper stacks
+            // (the fixed 3-line peek missed those).
+            val feeder = lines.drop(i + 1).take(12)
+              .find(x => x.contains("Exchange") || x.contains("Scan ") ||
+                x.contains("Join") || x.contains("Window ["))
             assert(!feeder.exists(_.contains("Exchange SinglePartition")),
               s"$name plans Exchange SinglePartition -> Window:\n" +
-                lines.slice(i, i + 4).mkString("\n"))
+                lines.slice(i, i + 12).mkString("\n"))
           }
         }
       }
