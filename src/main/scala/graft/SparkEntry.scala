@@ -43,10 +43,22 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.map(_._1).reduce(_ ++ _)
+    merged(modules.map(_._1), "queries")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.iterator.map(_._2).reduce(_ ++ _)
+    merged(modules.map(_._2), "oracleSql")
+
+  // ++ would silently keep only the LAST definition of a duplicated key,
+  // shrinking the declared inventory with zero signal — fail loudly
+  private def merged[V](maps: Seq[Map[String, V]], what: String): Map[String, V] = {
+    val m = maps.reduce(_ ++ _)
+    require(m.size == maps.map(_.size).sum, {
+      val dups = maps.flatMap(_.keys).groupBy(identity)
+        .collect { case (k, vs) if vs.size > 1 => k }
+      s"duplicate $what keys across modules: ${dups.mkString(", ")}"
+    })
+    m
+  }
 }

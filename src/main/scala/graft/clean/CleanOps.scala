@@ -40,7 +40,10 @@ final case class FillConstant(column: String, value: Any) extends CleanOp {
   def apply(df: DataFrame): DataFrame =
     df.withColumn(column, coalesce(col(column), lit(value)))
   private def litRepr: String = value match {
-    case s: String => "\"" + s.replace("\"", "\\\"") + "\""
+    // backslash FIRST, then quote — or an embedded backslash corrupts the
+    // exported snippet (lit("C:\tmp") reads as a tab escape)
+    case s: String =>
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     case other => String.valueOf(other)
   }
   def code: String = s"""df.withColumn("$column", coalesce(col("$column"), lit($litRepr)))"""

@@ -125,11 +125,18 @@ object Missing {
     "dropna_rows" -> q(
       """SELECT event_id, v, et FROM ev
         |WHERE v IS NOT NULL AND et IS NOT NULL ORDER BY event_id""".stripMargin),
+    // NULLS FIRST on every tiebreak: Spark's struct-min ordering puts
+    // nulls first, DuckDB's ORDER BY defaults to nulls LAST — explicit
+    // per the repo determinism rule (no nulls in these columns today,
+    // but the oracle must not depend on that)
     "dedup_exact" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM (
         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
-        |    ORDER BY l_quantity, l_extendedprice, l_discount, l_tax,
-        |      l_returnflag, l_linestatus, l_shipdate, l_partkey, l_suppkey) AS rn
+        |    ORDER BY l_quantity NULLS FIRST, l_extendedprice NULLS FIRST,
+        |      l_discount NULLS FIRST, l_tax NULLS FIRST,
+        |      l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+        |      l_shipdate NULLS FIRST, l_partkey NULLS FIRST,
+        |      l_suppkey NULLS FIRST) AS rn
         |  FROM lineitem
         |) WHERE rn = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin
   )

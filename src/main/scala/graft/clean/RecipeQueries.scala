@@ -37,7 +37,8 @@ object RecipeQueries {
          |  least(greatest(v, lo), hi) AS v FROM filled CROSS JOIN bounds),
          |dropped AS (SELECT * FROM clipped WHERE et IS NOT NULL),
          |deduped AS (SELECT event_id, user_id, v, et FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY user_id, v) AS rn
+         |  SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY user_id NULLS FIRST, v NULLS FIRST) AS rn
          |  FROM dropped) WHERE rn = 1)
          |SELECT event_id, user_id, round(v, 6) AS v, et FROM deduped
          |ORDER BY event_id""".stripMargin

@@ -32,16 +32,24 @@ case class WordNgrams(child: Expression, n: Int)
     val out = total - n + 1
     if (out <= 0) new GenericArrayData(Array.empty[Any])
     else {
-      val res = new Array[Any](out)
+      val res = new scala.collection.mutable.ArrayBuffer[Any](out)
       val window = new Array[UTF8String](n)
       var i = 0
       while (i < out) {
         var k = 0
-        while (k < n) { window(k) = toks.getUTF8String(i + k); k += 1 }
-        res(i) = UTF8String.concatWs(sep, window: _*)
+        var ok = true
+        while (k < n) {
+          // a window containing a null token yields NO shingle — the
+          // lead()-based formulation null-poisons and DROPS it, and
+          // concatWs would otherwise silently emit a SHORTENED n-gram
+          if (toks.isNullAt(i + k)) ok = false
+          else window(k) = toks.getUTF8String(i + k)
+          k += 1
+        }
+        if (ok) res += UTF8String.concatWs(sep, window.toIndexedSeq: _*)
         i += 1
       }
-      new GenericArrayData(res)
+      new GenericArrayData(res.toArray)
     }
   }
 

@@ -63,12 +63,10 @@ object Dedup2 {
     }
   )
 
+  // ONE unit-vector mirror for the package (Similarity.sqlUnit) — a
+  // second hand-maintained copy could silently drift from the sim family
   private val sqlUnitVecs =
-    """SELECT vec_id,
-      |list_transform(list_transform(embedding, x -> cast(x as double)),
-      |  x -> x / sqrt(list_dot_product(list_transform(embedding, x -> cast(x as double)),
-      |                                 list_transform(embedding, x -> cast(x as double))))) AS v
-      |FROM embeddings""".stripMargin
+    s"SELECT vec_id, ${Similarity.sqlUnit("embedding")} AS v FROM embeddings"
 
   val oracle: Map[String, String] = Map(
     "dedup_exact_docs" ->

@@ -24,16 +24,10 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "pipeline_corpus_curation" -> { (s, dir) =>
-      val toks = split(lower(col("text")), " ")
-      val quality = Tables(s, dir, "documents")
-        .withColumn("n_tok", size(toks).cast("long"))
-        // native stopword count (no interpreted per-token lambda), same
-        // value as the oracle's list_filter formulation
-        .withColumn("n_stop",
-          (col("n_tok") - size(array_remove(array_remove(toks, "the"), "a"))).cast("long"))
-        .withColumn("score_e6",
-          least(col("n_tok") * 10000L, lit(1000000L)) -
-            expr("(n_stop * 1000000 DIV n_tok) DIV 2"))
+      // the quality stage IS text_quality_score's core (Text.qualityScored)
+      // — one definition, so the composed pipeline can't drift from the
+      // primitive it chains
+      val quality = Text.qualityScored(Tables(s, dir, "documents"))
       val losers = Dedup.candidates(s, dir)
         .select(col("doc_b").as("doc_id")).distinct()
       quality.where(col("score_e6") >= 950000L)
@@ -58,13 +52,9 @@ object Pipeline {
     "pipeline_corpus_curation" ->
       s"""WITH ${Dedup.sqlBands},
          |losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand),
-         |q AS (SELECT doc_id, lang, n_chars,
-         |  cast(len(string_split(lower(text), ' ')) as bigint) AS n_tok,
-         |  cast(len(list_filter(string_split(lower(text), ' '),
-         |    t -> t IN ('the', 'a'))) as bigint) AS n_stop
-         |  FROM documents),
+         |q AS (${Text.sqlQualityBase}),
          |kept AS (SELECT doc_id, lang, n_chars FROM q
-         |  WHERE least(n_tok * 10000, 1000000) - (n_stop * 1000000 // n_tok) // 2 >= 950000
+         |  WHERE ${Text.sqlScoreE6} >= 950000
          |    AND doc_id NOT IN (SELECT doc_id FROM losers))
          |SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS sum_chars
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,

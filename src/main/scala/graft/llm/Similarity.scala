@@ -50,8 +50,9 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
-  /** DuckDB mirror: unit-normalized double vector from `embedding`. */
-  private def sqlUnit(src: String): String =
+  /** DuckDB mirror: unit-normalized double vector from `embedding`.
+    * private[llm]: Dedup2's sign-LSH oracle reuses it — one copy only. */
+  private[llm] def sqlUnit(src: String): String =
     s"""list_transform(list_transform($src, x -> cast(x as double)),
        |  x -> x / sqrt(list_dot_product(list_transform($src, x -> cast(x as double)),
        |                                 list_transform($src, x -> cast(x as double)))))""".stripMargin

@@ -16,6 +16,38 @@ import org.apache.spark.sql.expressions.Window
   */
 object Text {
 
+  /** Shared quality-score core (n_tok, n_stop, score_e6) — ONE definition
+    * per engine, consumed by text_quality_score AND
+    * pipeline_corpus_curation so the composed pipeline can't drift from
+    * the primitive it chains. Integer micro-units via floor division
+    * (round(x,6) on k/128-style ratios lands on rounding ties where the
+    * engines disagree). */
+  private[llm] def qualityScored(df: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    df.withColumn("n_tok", size(toks).cast("long"))
+      // stopword count natively: n_tok − |tokens with stopwords removed|
+      // (array_remove is a flat collection op; a filter(λ) lambda is the
+      // measured interpreted-HOF trap)
+      .withColumn("n_stop",
+        (col("n_tok") - size(array_remove(array_remove(toks, "the"), "a"))).cast("long"))
+      .withColumn("score_e6",
+        least(col("n_tok") * 10000L, lit(1000000L)) -
+          expr("(n_stop * 1000000 DIV n_tok) DIV 2"))
+  }
+
+  /** DuckDB mirror of [[qualityScored]]'s base columns (documents.* +
+    * n_tok + n_stop); compose with [[sqlScoreE6]]. */
+  private[llm] val sqlQualityBase: String =
+    """SELECT doc_id, lang, source, n_chars, text,
+      |  cast(len(string_split(lower(text), ' ')) as bigint) AS n_tok,
+      |  cast(len(list_filter(string_split(lower(text), ' '),
+      |    t -> t IN ('the', 'a'))) as bigint) AS n_stop
+      |FROM documents""".stripMargin
+
+  /** DuckDB mirror of the score_e6 expression over the base columns. */
+  private[llm] val sqlScoreE6: String =
+    "least(n_tok * 10000, 1000000) - (n_stop * 1000000 // n_tok) // 2"
+
   /** Per-doc term frequencies (doc_id, word, cnt) — the native TokenCounts
     * pass makes this MAP-SIDE (rows are distinct (doc, word) pairs by
     * construction); everything downstream that used exploded occurrences
@@ -56,11 +88,15 @@ object Text {
       val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("word"))
+      // rank on the ROUNDED score: ln() can differ by 1 ulp between the
+      // engines' libm, and an unrounded tie at the rank-3 cutoff would
+      // flip rows on one side only (same rule as the sim family's cos)
       tf.join(broadcast(dfreq), "word").crossJoin(broadcast(n))
-        .withColumn("tfidf", col("cnt") * log(col("n").cast("double") / col("df")))
+        .withColumn("tfidf",
+          round(col("cnt") * log(col("n").cast("double") / col("df")), 6))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
-        .select(col("doc_id"), col("rn"), col("word"), round(col("tfidf"), 6).as("tfidf"))
+        .select(col("doc_id"), col("rn"), col("word"), col("tfidf"))
         .orderBy(col("doc_id"), col("rn"))
     },
 
@@ -129,24 +165,13 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
-    // quality scoring: token stats + stopword ratio → composite score.
-    // Ratios are emitted in integer MICRO-units via floor division —
-    // round(x, 6) on ratios like k/128 lands exactly on a rounding tie,
-    // where the two engines' tie-breaking differs (found at sf0.1).
+    // quality scoring: token stats + stopword ratio → composite score
+    // (shared core in [[qualityScored]])
     "text_quality_score" -> { (s, dir) =>
-      val toks = split(lower(col("text")), " ")
-      Tables(s, dir, "documents")
-        .withColumn("n_tok", size(toks).cast("long"))
+      qualityScored(Tables(s, dir, "documents"))
         .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")).cast("long"))
-        // stopword count natively: n_tok − |tokens with stopwords removed|
-        // (array_remove is a flat collection op; size(filter(λ)) runs an
-        // interpreted lambda per token — the measured HOF trap)
-        .withColumn("n_stop",
-          (col("n_tok") - size(array_remove(array_remove(toks, "the"), "a"))).cast("long"))
         .withColumn("avg_tok_len_e6", expr("n_alpha * 1000000 DIV n_tok"))
         .withColumn("stop_ratio_e6", expr("n_stop * 1000000 DIV n_tok"))
-        .withColumn("score_e6",
-          least(col("n_tok") * 10000L, lit(1000000L)) - expr("stop_ratio_e6 DIV 2"))
         .select(col("doc_id"), col("n_tok"), col("avg_tok_len_e6"),
           col("stop_ratio_e6"), col("score_e6"))
         .orderBy(col("doc_id"))
@@ -185,11 +210,11 @@ object Text {
         |dfreq AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents),
         |scored AS (
-        |  SELECT doc_id, word, tf * ln(cast(n as double) / df) AS tfidf
+        |  SELECT doc_id, word, round(tf * ln(cast(n as double) / df), 6) AS tfidf
         |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
         |ranked AS (SELECT doc_id, word, tfidf,
         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn FROM scored)
-        |SELECT doc_id, rn, word, round(tfidf, 6) AS tfidf
+        |SELECT doc_id, rn, word, tfidf
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "text_ngram" ->
       """WITH t AS (SELECT doc_id,
@@ -231,16 +256,13 @@ object Text {
         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "text_quality_score" ->
-      """WITH d AS (SELECT doc_id,
-        |  cast(len(string_split(lower(text), ' ')) as bigint) AS n_tok,
-        |  cast(length(replace(text, ' ', '')) as bigint) AS n_alpha,
-        |  cast(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a'))) as bigint) AS n_stop
-        |  FROM documents)
-        |SELECT doc_id, n_tok,
-        |  n_alpha * 1000000 // n_tok AS avg_tok_len_e6,
-        |  n_stop * 1000000 // n_tok AS stop_ratio_e6,
-        |  least(n_tok * 10000, 1000000) - (n_stop * 1000000 // n_tok) // 2 AS score_e6
-        |FROM d ORDER BY doc_id""".stripMargin,
+      s"""WITH d AS (SELECT *, cast(length(replace(text, ' ', '')) as bigint) AS n_alpha
+         |  FROM ($sqlQualityBase))
+         |SELECT doc_id, n_tok,
+         |  n_alpha * 1000000 // n_tok AS avg_tok_len_e6,
+         |  n_stop * 1000000 // n_tok AS stop_ratio_e6,
+         |  $sqlScoreE6 AS score_e6
+         |FROM d ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |cast(len(string_split(text, ' ')) as bigint) AS ws_tokens,

@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
@@ -25,8 +35,12 @@ object Skew {
     require(ok.contains(joinType.toLowerCase.replace("_", "")) ||
       ok.contains(joinType.toLowerCase),
       s"saltedJoin does not support join type '$joinType' (small side is replicated)")
+    // hash() rejects MapType columns — hash only the hashable ones (there
+    // is always at least the join key); content-stable either way
+    val hashable = big.schema.fields
+      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
     val bigS = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(salt)))
+      pmod(hash(hashable.toSeq: _*), lit(salt)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
