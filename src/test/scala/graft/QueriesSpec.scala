@@ -29,9 +29,9 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
-  test("approx_count_distinct stays within 5% of the exact count") {
+  test("approx_count_distinct stays within the declared error bound") {
     val row = SparkEntry.queries("agg_approx_distinct")(spark, sf).head()
     assert(row.getAs[Boolean]("approx_ok"),
-      s"HLL drifted beyond rsd bound: $row")
+      s"HLL drifted beyond the declared 3x-rsd bound: $row")
   }
 }
