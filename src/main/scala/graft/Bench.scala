@@ -26,6 +26,13 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => }
       }
+      // JIT the native signature expressions (WordNgrams/MinHashSig/...)
+      // on a 64-doc sample so the first dedup query's timing measures the
+      // operator, not one-time codegen/JIT of the expression classes
+      try GraftOps.nearDuplicates(
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(64),
+        "doc_id", "text").count()
+      catch { case _: Throwable => }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
