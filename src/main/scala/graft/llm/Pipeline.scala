@@ -31,7 +31,10 @@ object Pipeline {
       val losers = Dedup.candidates(s, dir)
         .select(col("doc_b").as("doc_id")).distinct()
       quality.where(col("score_e6") >= 950000L)
-        .join(losers, Seq("doc_id"), "left_anti")
+        // the loser set is LSH-small — broadcast the anti-join so the
+        // corpus never shuffles (static plan was a SortMergeJoin LeftAnti
+        // sorting every document against ~10² losers)
+        .join(broadcast(losers), Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))

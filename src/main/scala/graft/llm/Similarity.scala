@@ -147,7 +147,9 @@ object Similarity {
         .where(col("prn") <= 2)
         .select(col("qid"), col("qv"), col("cid"))
       val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      probes.join(assigned, "cid")
+      // the probe set is |queries|×2 rows — broadcast it so `assigned`
+      // (every vector) streams map-side instead of shuffling on cid
+      broadcast(probes).join(assigned, "cid")
         .where(col("vec_id") =!= col("qid"))
         .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
         .withColumn("rank", row_number().over(wTop))
