@@ -21,6 +21,17 @@ class SkewSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("saltedJoin tolerates map columns on the big side (hash() rejects maps)") {
+    val big = (1 to 100).map(i => (i % 5L, i, Map("tag" -> s"v$i")))
+      .toDF("k", "payload", "props")
+    val small = (0L to 4L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+      .orderBy("k", "payload").collect().toSeq
+    val salted = Skew.saltedJoin(big, small, "k", 4)
+      .select("k", "payload", "name").orderBy("k", "payload").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("saltedJoin spreads the hot key across salt buckets") {
     val big = (1 to 1000).map(i => (1L, i)).toDF("k", "payload")
     val n = big.withColumn("__salt", pmod(hash(col("k"), col("payload")), lit(8)))
