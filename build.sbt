@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures sbt stdout and json-parses the LAST line for the
+// bench metric. Two sbt behaviors broke that in r1-r3: forked-run output is
+// logged with an "[info] " prefix (not valid JSON), and sbt appends its own
+// "[success] Total time ..." line AFTER the program's final println. Forward
+// forked output raw and suppress the success banner so the program's last
+// stdout line really is last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint so the warning doesn't pollute captured stdout.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
