@@ -22,6 +22,7 @@ object SparkEntry {
     (ops.Extras.queries, ops.Extras.oracle),
     (ops.Extras2.queries, ops.Extras2.oracle),
     (ops.Extras3.queries, ops.Extras3.oracle),
+    (ops.Extras4.queries, ops.Extras4.oracle),
     (llm.Dedup2.queries, llm.Dedup2.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
     (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),

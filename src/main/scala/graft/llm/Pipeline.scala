@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
   * key-mod sampling with a per-stratum rate (20% for `en`, 10% for the
   * rest) — reproducible across engines/retries, unlike TABLESAMPLE, and
   * the standard lever for rebalancing a training mixture.
+  *
+  * `split_train_test` assigns every document to train/valid/test by a
+  * deterministic arithmetic hash of its key (80/10/10) — pure map-side,
+  * content-stable across retries and engines, the standard way to split a
+  * corpus so the assignment never moves when the table is re-partitioned.
+  * The multiplier is applied to `doc_id % 100003` so the int64 product
+  * can't overflow for any key (both engines error or wrap differently on
+  * 64-bit overflow, so bounded inputs are part of the contract).
+  *
+  * `text_pii_scrub` is the PII-redaction stage of a curation pipeline:
+  * regex scrub of emails / phone numbers to placeholder tokens, counting
+  * redactions per document. The synthetic corpus contains no PII, so the
+  * query injects deterministic markers keyed on doc_id first — the scrub
+  * logic itself (Java regex on the Spark side, RE2 in DuckDB; patterns
+  * chosen inside the common dialect) is what the oracle checks.
   */
 object Pipeline {
 
@@ -48,6 +63,40 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))
+    },
+
+    "split_train_test" -> { (s, dir) =>
+      val bucket = pmod((col("doc_id") % 100003L) * 1103515245L + 12345L,
+        lit(1000L))
+      Tables(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 800, "train").when(bucket < 900, "valid")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))
+    },
+
+    "text_pii_scrub" -> { (s, dir) =>
+      val email = "[a-z0-9]+@[a-z]+\\.com"
+      val phone = "555-[0-9]{4}"
+      val raw = concat(col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" ph 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables(s, dir, "documents")
+        .withColumn("raw", raw)
+        .select(
+          col("doc_id"),
+          (regexp_count(col("raw"), lit(email)) +
+            regexp_count(col("raw"), lit(phone))).cast("long").as("n_pii"),
+          length(regexp_replace(regexp_replace(col("raw"), email, "[EMAIL]"),
+            phone, "[PHONE]")).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -67,6 +116,32 @@ object Pipeline {
         |cast(sum(doc_id) as bigint) AS sum_ids
         |FROM documents
         |WHERE CASE WHEN lang = 'en' THEN doc_id % 5 = 0 ELSE doc_id % 10 = 0 END
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "split_train_test" ->
+      """WITH b AS (
+        |  SELECT n_chars,
+        |    ((cast(doc_id AS bigint) % 100003) * 1103515245 + 12345) % 1000
+        |      AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 800 THEN 'train'
+        |            WHEN bucket < 900 THEN 'valid' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS sum_chars
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH raw AS (
+        |  SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 3 <> 0 THEN concat(' contact user',
+        |      cast(doc_id AS varchar), '@example.com') ELSE '' END,
+        |    CASE WHEN doc_id % 2 = 0 THEN concat(' ph 555-',
+        |      lpad(cast(doc_id % 10000 AS varchar), 4, '0')) ELSE '' END)
+        |    AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.com'))
+        |    + len(regexp_extract_all(raw, '555-[0-9]{4}')) AS n_pii,
+        |  length(regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9]+@[a-z]+\.com', '[EMAIL]', 'g'),
+        |    '555-[0-9]{4}', '[PHONE]', 'g')) AS clean_len
+        |FROM raw ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Round-4 relational additions.
+  *
+  * - `join_skew_salted`: the [[Skew.saltedJoin]] tooling as a declared,
+  *   oracle-checked query — semantics are exactly an inner equi-join, the
+  *   salt only changes the physical key distribution, so the oracle is the
+  *   plain join. At 100 TB this is the shape for a hot-key fact⋈dim join
+  *   where AQE's skew split is not enough.
+  * - `subquery_decorrelated`: the classic correlated scalar subquery
+  *   ("rows above their group's average"). The oracle states it in
+  *   correlated form; the Spark plan is the decorrelated aggregate +
+  *   broadcast join — one pass over the fact, no per-row subquery. The
+  *   group average uses the exact-decimal mean (Tables.davg) so both
+  *   engines compare against bit-identical doubles.
+  * - `events_funnel`: view → click → purchase conversion funnel via
+  *   conditional min-timestamp aggregates — one shuffle keyed on user_id,
+  *   then a scalar reduce; no self-joins, no windows. Timestamps compare
+  *   as unix micros on both sides (events.ts ns→µs rule, Tables.apply).
+  */
+object Extras4 {
+
+  val queries: Map[String, Q] = Map(
+    "join_skew_salted" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val part = Tables(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Skew.saltedJoin(li, part, "l_partkey", salt = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("p_brand"))
+    },
+
+    "subquery_decorrelated" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val avgs = c.groupBy(col("c_nationkey"))
+        .agg(davg(col("c_acctbal")).as("nat_avg"))
+      c.join(broadcast(avgs), Seq("c_nationkey"))
+        .where(col("c_acctbal") > col("nat_avg"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    "events_funnel" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+      def stepTs(step: String) =
+        min(when(col("event_type") === step, unix_micros(col("ts"))))
+      val perUser = e.groupBy(col("user_id")).agg(
+        stepTs("view").as("t_view"),
+        stepTs("click").as("t_click"),
+        stepTs("purchase").as("t_purchase"))
+      val clicked = col("t_click") > col("t_view")
+      val purchased = clicked && (col("t_purchase") > col("t_click"))
+      perUser.agg(
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(clicked, 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(purchased, 1L).otherwise(0L)).as("n_full_funnel"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_skew_salted" ->
+      s"""SELECT p_brand, count(*) AS n,
+         |${sqlDsum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "subquery_decorrelated" ->
+      """SELECT c_nationkey, count(*) AS n_above
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT cast(sum(cast(c2.c_acctbal AS decimal(18,4))) AS double)
+        |         / count(c2.c_acctbal)
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "events_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |        THEN epoch_us(cast(ts AS timestamp)) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click'
+        |        THEN epoch_us(cast(ts AS timestamp)) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_us(cast(ts AS timestamp)) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  cast(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_view,
+        |  cast(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS bigint) AS n_view_click,
+        |  cast(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+        |      THEN 1 ELSE 0 END) AS bigint) AS n_full_funnel
+        |FROM per_user""".stripMargin
+  )
+}
