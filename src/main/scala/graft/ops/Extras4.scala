@@ -21,12 +21,22 @@ import org.apache.spark.sql.functions._
   *   conditional min-timestamp aggregates — one shuffle keyed on user_id,
   *   then a scalar reduce; no self-joins, no windows. Timestamps compare
   *   as unix micros on both sides (events.ts ns→µs rule, Tables.apply).
+  * - `join_bucketed_colocated`: bucket-pruned shuffle-free join — both
+  *   sides written `bucketBy(8, orderkey)`, so the SortMergeJoin reads
+  *   pre-co-located buckets and plans NO exchange on the join keys (the
+  *   only hashpartitioning exchange left is the final small agg; PlanSpec
+  *   asserts it). At 100 TB this is the lever for repeated fact⋈fact
+  *   joins: pay the layout once at ingest, never shuffle the fact again.
   */
 object Extras4 {
 
   val queries: Map[String, Q] = Map(
     "join_skew_salted" -> { (s, dir) =>
+      // project BEFORE salting: saltedJoin hashes every big-side column for
+      // the content-stable salt, so an unprojected input would read all 11
+      // lineitem columns (pruning defeated) just to compute the salt
       val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"))
       val part = Tables(s, dir, "part")
         .select(col("p_partkey").as("l_partkey"), col("p_brand"))
       Skew.saltedJoin(li, part, "l_partkey", salt = 8)
@@ -60,6 +70,34 @@ object Extras4 {
         sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
         sum(when(clicked, 1L).otherwise(0L)).as("n_view_click"),
         sum(when(purchased, 1L).otherwise(0L)).as("n_full_funnel"))
+    },
+
+    "join_bucketed_colocated" -> { (s, dir) =>
+      // One-time layout per (session, sf): write both join sides bucketed
+      // by the join key into an external table under gitignored target/.
+      // The read side then satisfies the join's distribution requirement
+      // from the bucketing metadata — no exchange on either join input.
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val liT = s"li_bkt_$tag"
+      val ordT = s"ord_bkt_$tag"
+      if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .where(col("l_orderkey") % 4 === 0)
+          .write.mode("overwrite").bucketBy(8, "l_orderkey")
+          .option("path", s"target/graft-bucketed/$liT").saveAsTable(liT)
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").bucketBy(8, "o_orderkey")
+          .option("path", s"target/graft-bucketed/$ordT").saveAsTable(ordT)
+      }
+      // merge hint: without it the planner may broadcast the filtered side
+      // and the query would no longer exercise the co-located path
+      s.table(liT).hint("merge")
+        .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
@@ -92,6 +130,12 @@ object Extras4 {
         |  cast(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS bigint) AS n_view_click,
         |  cast(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
         |      THEN 1 ELSE 0 END) AS bigint) AS n_full_funnel
-        |FROM per_user""".stripMargin
+        |FROM per_user""".stripMargin,
+    "join_bucketed_colocated" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |${sqlDsum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_orderkey % 4 = 0
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

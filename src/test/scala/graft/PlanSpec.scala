@@ -50,6 +50,27 @@ class PlanSpec extends SparkSuite {
       p.take(2000))
   }
 
+  test("join_bucketed_colocated joins without exchanging either side") {
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    // bucketing satisfies the join's distribution requirement; the only
+    // hash exchange left is the final 5-group aggregate
+    val nHashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nHashEx <= 1, s"bucketed join shuffled its inputs:\n${p.take(3000)}")
+  }
+
+  test("subquery_decorrelated broadcasts the group-average side") {
+    val p = plan("subquery_decorrelated")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("join_skew_salted prunes the fact scan to the 2 referenced columns") {
+    val p = plan("join_skew_salted")
+    val badCol = p.linesIterator.filter(_.contains("ReadSchema"))
+      .exists(_.contains("l_shipdate"))
+    assert(!badCol, "salt hash forced a full-width lineitem scan")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
