@@ -61,6 +61,43 @@ object Sources {
           dsum(col("s_acctbal")).as("sum_bal"),
           max(col("s_name")).as("last_name"))
         .orderBy(col("s_nationkey"))
+    },
+
+    "source_orc" -> { (s, dir) =>
+      val path = s"${tmpRoot(dir)}/customer_orc"
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .coalesce(1)
+        .write.mode("overwrite").orc(path)
+      s.read
+        .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+        .orc(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Partitioned parquet SINK + pruned read-back: the write lays the data
+    // out by partition key, the filtered read must touch only the matching
+    // directories (PlanSpec asserts PartitionFilters on the scan). At
+    // 100 TB this is the difference between scanning 2 of 5 language
+    // shards and scanning the corpus.
+    "sink_partitioned_pruned" -> { (s, dir) =>
+      val path = s"${tmpRoot(dir)}/documents_by_lang"
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read
+        .schema("doc_id BIGINT, n_chars BIGINT, lang STRING")
+        .parquet(path)
+        .where(col("lang").isin("en", "fr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -72,6 +109,17 @@ object Sources {
     "source_json" ->
       s"""SELECT s_nationkey, count(*) AS n_supp,
          |${sqlDsum("s_acctbal")} AS sum_bal, max(s_name) AS last_name
-         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "source_orc" ->
+      s"""SELECT c_mktsegment, count(*) AS n_cust,
+         |${sqlDsum("c_acctbal")} AS sum_bal,
+         |cast(sum(c_custkey) as bigint) AS sum_key
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "sink_partitioned_pruned" ->
+      """SELECT lang, count(*) AS n_docs,
+        |cast(sum(n_chars) as bigint) AS sum_chars,
+        |cast(sum(doc_id) as bigint) AS sum_ids
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -71,6 +71,12 @@ class PlanSpec extends SparkSuite {
     assert(!badCol, "salt hash forced a full-width lineitem scan")
   }
 
+  test("sink_partitioned_pruned prunes partitions at the scan") {
+    val p = plan("sink_partitioned_pruned")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"no partition pruning on the read-back:\n$pf")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
