@@ -225,6 +225,43 @@ object Dedup {
         .where(col("jaccard") >= 0.3)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Transitive dedup CLUSTERS over the MinHash-LSH candidate pairs:
+    // pairs say "a~b"; dedup keeps one doc per connected component, so the
+    // engine needs components, not pairs. Iterative min-label propagation
+    // to fixpoint: each round is one edges⋈labels equi-join + a hash agg
+    // (both scale-out shuffles on node id); rounds needed = component
+    // diameter, a handful on near-dup graphs (tight cliques). The only
+    // driver-side value per round is the "did any label change" boolean —
+    // the standard iterative-algorithm convergence scalar, not a data
+    // collect. At 100 TB: identical loop plus DataFrame.checkpoint every
+    // few rounds to truncate lineage, or the large-star/small-star
+    // variant (Kiveris et al.) for a log-round bound.
+    "dedup_cluster_cc" -> { (s, dir) =>
+      val pairs = candidates(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.unionByName(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst").persist()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node")).persist()
+      var done = false
+      var rounds = 0
+      while (!done && rounds < 20) {
+        val prop = edges.join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("lab"))
+        val next = labels.unionByName(prop)
+          .groupBy(col("node")).agg(min(col("lab")).as("lab")).persist()
+        done = next.join(labels.withColumnRenamed("lab", "old"), "node")
+          .where(col("lab") < col("old")).isEmpty
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      labels.groupBy(col("lab").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"),
+          sum(col("node")).as("sum_docs"))
+        .orderBy(col("cluster_rep"))
     }
   )
 
@@ -273,6 +310,20 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = c.doc_b
          |WHERE round(cast(coalesce(m.common, 0) as double)
          |    / (sa.nbg + sb.nbg - coalesce(m.common, 0)), 6) >= 0.3
-         |ORDER BY c.doc_a, c.doc_b""".stripMargin
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "dedup_cluster_cc" ->
+      s"""WITH RECURSIVE $sqlBands,
+         |pr AS (SELECT doc_a, doc_b FROM cand),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         |labs AS (SELECT node, min(lab) AS lab FROM reach GROUP BY node)
+         |SELECT lab AS cluster_rep, count(*) AS n_docs, max(node) AS max_doc,
+         |  cast(sum(node) AS bigint) AS sum_docs
+         |FROM labs GROUP BY lab ORDER BY cluster_rep""".stripMargin
   )
 }

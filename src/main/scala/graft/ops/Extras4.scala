@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   *   only hashpartitioning exchange left is the final small agg; PlanSpec
   *   asserts it). At 100 TB this is the lever for repeated fact⋈fact
   *   joins: pay the layout once at ingest, never shuffle the fact again.
+  * - `upsert_latest_wins`: CDC merge-apply — base table ∪ change feed
+  *   (updates + inserts), keep the highest version per key. One hash
+  *   aggregate (`max_by` of the payload struct by version — map-side
+  *   partial agg, no window, no sort), so it scales as a single shuffle
+  *   on the upsert key; the per-key row_number window an engine without
+  *   max_by would use is stated in the oracle instead.
   */
 object Extras4 {
 
@@ -98,6 +104,28 @@ object Extras4 {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    "upsert_latest_wins" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val base = o.select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        col("o_orderstatus").as("status"), lit(1L).as("version"))
+      // deterministic change feed derived from the base: every 7th key gets
+      // a status update (version 2); every 11th key spawns a new key
+      val updates = o.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+          lit("U").as("status"), lit(2L).as("version"))
+      val inserts = o.where(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 10000000L).as("key"), col("o_custkey").as("cust"),
+          lit("N").as("status"), lit(1L).as("version"))
+      base.unionByName(updates).unionByName(inserts)
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("cust"), col("status")), col("version")).as("r"),
+          max(col("version")).as("version"))
+        .select(col("key"), col("r.cust").as("cust"),
+          col("r.status").as("status"), col("version"))
+        .orderBy(col("key"))
     }
   )
 
@@ -136,6 +164,21 @@ object Extras4 {
          |${sqlDsum("l_extendedprice")} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_orderkey % 4 = 0
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "upsert_latest_wins" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key, o_custkey AS cust,
+        |         o_orderstatus AS status, 1 AS version FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey AS key, o_custkey AS cust, 'U' AS status, 2 AS version
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS key, o_custkey AS cust, 'N', 1
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg)
+        |SELECT key, cust, status, cast(version AS bigint) AS version FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY version DESC) AS rn
+        |  FROM u)
+        |WHERE rn = 1 ORDER BY key""".stripMargin
   )
 }

@@ -98,6 +98,32 @@ object Sources {
           sum(col("n_chars")).as("sum_chars"),
           sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))
+    },
+
+    // Range-clustered layout + min/max skipping: repartitionByRange puts
+    // each user_id range in ONE file and sortWithinPartitions makes the
+    // parquet rowgroup min/max stats tight, so the pushed filter (PlanSpec
+    // asserts PushedFilters on user_id) skips whole files/rowgroups at the
+    // footer — the complement to directory-level partition pruning, and
+    // the right layout for a high-cardinality key where one-directory-per-
+    // value would explode the filesystem. At 100 TB: sort the corpus by
+    // its hottest filter key once, every later range query reads ~1/Nth.
+    "layout_sorted_skipping" -> { (s, dir) =>
+      val path = s"${tmpRoot(dir)}/events_by_user"
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions(col("user_id"))
+        .write.mode("overwrite").parquet(path)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .parquet(path)
+        .where(col("user_id").between(4L, 11L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          sum(col("event_id")).as("sum_ids"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -120,6 +146,12 @@ object Sources {
         |cast(sum(n_chars) as bigint) AS sum_chars,
         |cast(sum(doc_id) as bigint) AS sum_ids
         |FROM documents WHERE lang IN ('en', 'fr')
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "layout_sorted_skipping" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |${sqlDsum("value")} AS sum_value,
+         |cast(sum(event_id) as bigint) AS sum_ids
+         |FROM events WHERE user_id BETWEEN 4 AND 11
+         |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

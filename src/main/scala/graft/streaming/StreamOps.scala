@@ -49,4 +49,22 @@ object StreamOps {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each purchase matched to the same user's
+    * views in the preceding 10 minutes. Both sides carry a watermark and
+    * the join condition bounds event-time distance in BOTH directions —
+    * that pair is what lets Spark evict buffered rows instead of holding
+    * each side's state forever (the stream-stream join state-cleanup
+    * requirement). Output columns are the µs timestamps of the pair. */
+  def intervalJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("ts_view"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("ts_buy"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("ts_buy") >= col("ts_view") &&
+        col("ts_buy") <= col("ts_view") + expr("interval 10 minutes"))
+      .select(col("user_id"), unix_micros(col("ts_view")).as("t_view"),
+        unix_micros(col("ts_buy")).as("t_buy"))
+  }
 }

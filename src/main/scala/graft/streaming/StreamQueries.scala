@@ -49,6 +49,29 @@ object StreamQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // stream-stream interval join (batch form): purchases matched to the
+    // same user's views within the preceding 10 min, aggregated per user.
+    // The streaming form (watermarks both sides + two-sided time bound =
+    // bounded join state) is StreamOps.intervalJoin, asserted in
+    // StreamingSpec; this batch form shares the join condition and is what
+    // the oracle can check. Equi-key on user_id → one shuffle; the time
+    // bound is a post-join filter, not a nested loop.
+    "stream_join_interval" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("t").as("t_view"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t").as("t_buy"))
+      v.join(p, Seq("user_id"))
+        .where(col("t_buy").between(col("t_view"), col("t_view") + 600000000L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("t_buy") - col("t_view")).as("min_lag_us"),
+          max(col("t_buy") - col("t_view")).as("max_lag_us"))
+        .orderBy(col("user_id"))
+    },
+
     // duplicate-drop: events ∪ injected duplicate rows, keep one per id
     "stream_dedup_watermark" -> { (s, dir) =>
       val ev = Tables(s, dir, "events")
@@ -88,6 +111,16 @@ object StreamQueries {
         |  cast((max(t) - min(t)) // 1000000 as bigint) AS dur_s
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "stream_join_interval" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_us(cast(ts AS timestamp)) AS t FROM events),
+        |v AS (SELECT user_id, t AS t_view FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, t AS t_buy FROM e WHERE event_type = 'purchase')
+        |SELECT v.user_id, count(*) AS n_pairs,
+        |  min(t_buy - t_view) AS min_lag_us, max(t_buy - t_view) AS max_lag_us
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND t_buy BETWEEN t_view AND t_view + 600000000
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
     "stream_dedup_watermark" ->
       """WITH u AS (
         |  SELECT event_id, user_id, event_type FROM events

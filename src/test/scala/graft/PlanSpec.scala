@@ -77,6 +77,12 @@ class PlanSpec extends SparkSuite {
     assert(pf.contains("lang"), s"no partition pruning on the read-back:\n$pf")
   }
 
+  test("layout_sorted_skipping pushes the range filter to the parquet scan") {
+    val p = plan("layout_sorted_skipping")
+    val pf = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pf.contains("user_id"), s"range filter not pushed to the scan:\n$pf")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString

@@ -70,6 +70,26 @@ class StreamingSpec extends SparkSuite {
     assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join pairs purchases with same-user views within 10 min") {
+    implicit val sc = spark.sqlContext
+    val vm = MemoryStream[Ev]
+    val pm = MemoryStream[Ev]
+    sinkId += 1
+    val name = s"sink_$sinkId"
+    val q = StreamOps.intervalJoin(vm.toDF(), pm.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    vm.addData(Ev(1, t(0), 1, "view", 1.0), Ev(2, t(0), 2, "view", 1.0))
+    pm.addData(
+      Ev(3, t(5), 1, "purchase", 5.0),  // same user, 5 min later → pair
+      Ev(4, t(20), 1, "purchase", 9.0), // same user but 20 min later → no pair
+      Ev(5, t(5), 3, "purchase", 1.0))  // no view for this user → no pair
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).select("user_id", "t_view", "t_buy").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, t(0).getTime * 1000L, t(5).getTime * 1000L)))
+  }
+
   test("streaming and batch tumbling forms agree on the events table") {
     val batch = StreamOps.tumbling(Tables(spark, sf, "events"))
     val viaQuery = SparkEntry.queries("stream_tumbling_agg")(spark, sf)
