@@ -29,6 +29,7 @@ object SparkEntry {
     (clean.Missing.queries, clean.Missing.oracle),
     (clean.Outliers.queries, clean.Outliers.oracle),
     (clean.StringClean.queries, clean.StringClean.oracle),
+    (clean.Validate.queries, clean.Validate.oracle),
     (clean.RecipeQueries.queries, clean.RecipeQueries.oracle),
     (llm.Text.queries, llm.Text.oracle),
     (llm.Dedup.queries, llm.Dedup.oracle),
