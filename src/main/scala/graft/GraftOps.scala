@@ -60,4 +60,18 @@ object GraftOps {
   /** pairs within a blocking column whose cosine ≥ threshold. */
   def cosineThresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame =
     llm.Similarity.thresholdPairs(df, blockCol, threshold)
+
+  // ---- clustering / CDC ----------------------------------------------------
+
+  /** connected components of an undirected pair list → (node, component);
+    * turns near-dup candidate PAIRS into the transitive dedup CLUSTERS a
+    * keep-one-per-group policy needs. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    llm.Dedup.connectedComponents(pairs, aCol, bCol)
+
+  /** apply a change feed over a base table, highest version wins per key —
+    * one hash aggregate, no window. */
+  def upsertLatestWins(base: DataFrame, changes: DataFrame,
+      keyCol: String, versionCol: String): DataFrame =
+    ops.Extras4.upsertLatestWins(base, changes, keyCol, versionCol)
 }

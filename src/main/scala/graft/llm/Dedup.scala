@@ -229,41 +229,50 @@ object Dedup {
 
     // Transitive dedup CLUSTERS over the MinHash-LSH candidate pairs:
     // pairs say "a~b"; dedup keeps one doc per connected component, so the
-    // engine needs components, not pairs. Iterative min-label propagation
-    // to fixpoint: each round is one edges⋈labels equi-join + a hash agg
-    // (both scale-out shuffles on node id); rounds needed = component
-    // diameter, a handful on near-dup graphs (tight cliques). The only
-    // driver-side value per round is the "did any label change" boolean —
-    // the standard iterative-algorithm convergence scalar, not a data
-    // collect. At 100 TB: identical loop plus DataFrame.checkpoint every
-    // few rounds to truncate lineage, or the large-star/small-star
-    // variant (Kiveris et al.) for a log-round bound.
+    // engine needs components, not pairs (see [[connectedComponents]]).
     "dedup_cluster_cc" -> { (s, dir) =>
       val pairs = candidates(s, dir).select(col("doc_a"), col("doc_b"))
-      val edges = pairs.unionByName(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst").persist()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node")).persist()
-      var done = false
-      var rounds = 0
-      while (!done && rounds < 20) {
-        val prop = edges.join(labels, edges("src") === labels("node"))
-          .select(col("dst").as("node"), col("lab"))
-        val next = labels.unionByName(prop)
-          .groupBy(col("node")).agg(min(col("lab")).as("lab")).persist()
-        done = next.join(labels.withColumnRenamed("lab", "old"), "node")
-          .where(col("lab") < col("old")).isEmpty
-        labels.unpersist()
-        labels = next
-        rounds += 1
-      }
-      labels.groupBy(col("lab").as("cluster_rep"))
+      connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy(col("component").as("cluster_rep"))
         .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"),
           sum(col("node")).as("sum_docs"))
         .orderBy(col("cluster_rep"))
     }
   )
+
+  /** PUBLIC API: connected components of an undirected pair/edge list —
+    * output (node, component) where component = min node id reachable.
+    * Iterative min-label propagation to fixpoint: each round is one
+    * edges⋈labels equi-join + a hash agg (both scale-out shuffles on node
+    * id); rounds needed = component diameter, a handful on near-dup graphs
+    * (tight cliques). The only driver-side value per round is the "did any
+    * label change" boolean — the standard iterative-algorithm convergence
+    * scalar, not a data collect. At 100 TB: identical loop plus
+    * `DataFrame.checkpoint` every few rounds to truncate lineage, or the
+    * large-star/small-star variant (Kiveris et al.) for a log-round bound.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).persist()
+    var done = false
+    var rounds = 0
+    while (!done && rounds < maxRounds) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lab"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab")).persist()
+      done = next.join(labels.withColumnRenamed("lab", "old"), "node")
+        .where(col("lab") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("node"), col("lab").as("component"))
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_minhash" ->

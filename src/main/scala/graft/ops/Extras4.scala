@@ -2,6 +2,7 @@ package graft.ops
 
 import graft._
 import graft.Tables._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Round-4 relational additions.
@@ -119,15 +120,28 @@ object Extras4 {
       val inserts = o.where(col("o_orderkey") % 11 === 0)
         .select((col("o_orderkey") + 10000000L).as("key"), col("o_custkey").as("cust"),
           lit("N").as("status"), lit(1L).as("version"))
-      base.unionByName(updates).unionByName(inserts)
-        .groupBy(col("key"))
-        .agg(max_by(struct(col("cust"), col("status")), col("version")).as("r"),
-          max(col("version")).as("version"))
-        .select(col("key"), col("r.cust").as("cust"),
-          col("r.status").as("status"), col("version"))
+      upsertLatestWins(base, updates.unionByName(inserts), "key", "version")
+        .select(col("key"), col("cust"), col("status"), col("version"))
         .orderBy(col("key"))
     }
   )
+
+  /** PUBLIC API: apply a change feed over a base table, keeping the
+    * highest-`versionCol` row per `keyCol`. ONE hash aggregate —
+    * `max_by(payload struct, version)` with map-side partial agg — so it
+    * costs a single shuffle on the key, no window, no sort. Ties on
+    * (key, version) are resolved by struct ordering on the payload;
+    * callers wanting strict CDC semantics should keep versions unique
+    * per key (a commit LSN/timestamp). */
+  def upsertLatestWins(base: DataFrame, changes: DataFrame,
+      keyCol: String, versionCol: String): DataFrame = {
+    val payload = base.columns.filter(c => c != keyCol && c != versionCol)
+    base.unionByName(changes)
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(payload.map(col): _*), col(versionCol)).as("_r"),
+        max(col(versionCol)).as(versionCol))
+      .select(col(keyCol) +: payload.map(c => col(s"_r.$c").as(c)) :+ col(versionCol): _*)
+  }
 
   val oracle: Map[String, String] = Map(
     "join_skew_salted" ->

@@ -36,6 +36,25 @@ class GraftOpsSpec extends SparkSuite {
     assert(top == 2L)
   }
 
+  test("connectedComponents merges chained pairs into one cluster") {
+    // 1-2, 2-3 chain → {1,2,3}; 7-8 separate; component = min node id
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val cc = GraftOps.connectedComponents(pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("upsertLatestWins applies updates and inserts over a base table") {
+    val base = Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+      .toDF("key", "name", "amount", "version")
+    val changes = Seq((2L, "b2", 25.0, 3L), (9L, "new", 1.0, 1L))
+      .toDF("key", "name", "amount", "version")
+    val out = GraftOps.upsertLatestWins(base, changes, "key", "version")
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, "a", 10.0, 1L), (2L, "b2", 25.0, 3L), (9L, "new", 1.0, 1L)))
+  }
+
   test("cosineThresholdPairs respects the blocking column") {
     val vecs = GraftOps.withUnitVector(
       Seq((1L, "a", Seq(1.0f, 0.0f)), (2L, "a", Seq(1.0f, 0.001f)),
