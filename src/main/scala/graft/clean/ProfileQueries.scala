@@ -107,6 +107,24 @@ object ProfileQueries {
           least(floor(col("o_totalprice") / 25000.0), lit(19.0)).cast("int"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
+    },
+
+    // Shannon entropy + distinct count per categorical column. The
+    // -p·ln(p) terms are doubles (identical IEEE in both engines) but a
+    // double SUM is partition-order-dependent — so each term is cast to
+    // decimal(18,12) first and the sum is exact/associative (the dsum
+    // rule applied to information theory).
+    "profile_entropy" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      Seq("event_type", "user_id").map { c =>
+        val counts = ev.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("tot"))))
+          .select((col("n").cast("double") / col("tot").cast("double")).as("p"))
+          .agg(count(lit(1)).as("n_distinct"),
+            round(sum((-col("p") * log(col("p"))).cast("decimal(18,12)"))
+              .cast("double"), 6).as("entropy"))
+          .select(lit(c).as("col_name"), col("n_distinct"), col("entropy"))
+      }.reduce(_ unionByName _).orderBy(col("col_name"))
     }
   )
 
@@ -139,6 +157,15 @@ object ProfileQueries {
     "profile_quantiles_approx" ->
       """SELECT true AS q25_ok, true AS q50_ok, true AS q75_ok,
         |round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_q50
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "profile_entropy" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_distinct,
+           |round(cast(sum(cast(-p * ln(p) as decimal(18,12))) as double), 6) AS entropy
+           |FROM (SELECT cast(n as double) / cast(tot as double) AS p
+           |      FROM (SELECT $c, count(*) AS n FROM events GROUP BY $c) ct
+           |      CROSS JOIN (SELECT count(*) AS tot FROM events) t)""".stripMargin
+      one("event_type") + "\nUNION ALL\n" + one("user_id") + "\nORDER BY col_name"
+    }
   )
 }
