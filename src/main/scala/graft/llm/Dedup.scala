@@ -256,10 +256,14 @@ object Dedup {
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).persist()
+    // fused round 1: lab₀ = min(node, min neighbor) straight off the edge
+    // list — one agg instead of join+union+agg, and dedup graphs (cliques)
+    // usually converge here, leaving the loop a single confirm round
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"), least(col("mn"), col("src")).as("lab"))
+      .persist()
     var done = false
-    var rounds = 0
+    var rounds = 1
     while (!done && rounds < maxRounds) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("lab"))
