@@ -48,4 +48,10 @@ object Tables {
   /** Timestamps cross the Spark(µs)/DuckDB(ns) parquet boundary as epoch
     * seconds (BIGINT) — immune to precision/printing differences. */
   def epochS(c: Column): Column = unix_timestamp(c)
+
+  /** THE scratch-path convention: gitignored, per-(kind, sf-dir) so runs
+    * against different scale factors never clobber each other. Every query
+    * that writes a layout before reading it back goes through here. */
+  def scratchDir(kind: String, dir: String): String =
+    s"target/graft_scratch/${kind}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 }

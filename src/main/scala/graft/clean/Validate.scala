@@ -74,11 +74,14 @@ object Validate {
           sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
             .as("std"),
           col("vmin"), col("vmax"))
+      // nullif guards: a constant column (std = 0, vmax = vmin) must yield
+      // NULL in both engines, not Spark-NULL-vs-DuckDB-inf
       ev.crossJoin(broadcast(stats))
         .select(col("event_id"),
-          round((col("value") - col("mean")) / col("std"), 6).as("z"),
-          round((col("value") - col("vmin")) / (col("vmax") - col("vmin")), 6)
-            .as("minmax"))
+          round((col("value") - col("mean")) / nullif(col("std"), lit(0.0)), 6)
+            .as("z"),
+          round((col("value") - col("vmin")) /
+            nullif(col("vmax") - col("vmin"), lit(0.0)), 6).as("minmax"))
         .orderBy(col("event_id"))
     },
 
@@ -134,8 +137,8 @@ object Validate {
         |ms AS (SELECT sx / n AS mean,
         |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS std, vmin, vmax FROM st)
         |SELECT event_id,
-        |  round((value - mean) / std, 6) AS z,
-        |  round((value - vmin) / (vmax - vmin), 6) AS minmax
+        |  round((value - mean) / nullif(std, 0), 6) AS z,
+        |  round((value - vmin) / nullif(vmax - vmin, 0), 6) AS minmax
         |FROM events CROSS JOIN ms ORDER BY event_id""".stripMargin,
     "outlier_mad_flag" ->
       """WITH m AS (SELECT round(quantile_cont(value, 0.5), 4) AS med FROM events),

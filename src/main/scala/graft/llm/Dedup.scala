@@ -242,14 +242,16 @@ object Dedup {
 
   /** PUBLIC API: connected components of an undirected pair/edge list —
     * output (node, component) where component = min node id reachable.
-    * Iterative min-label propagation to fixpoint: each round is one
-    * edges⋈labels equi-join + a hash agg (both scale-out shuffles on node
-    * id); rounds needed = component diameter, a handful on near-dup graphs
-    * (tight cliques). The only driver-side value per round is the "did any
-    * label change" boolean — the standard iterative-algorithm convergence
-    * scalar, not a data collect. At 100 TB: identical loop plus
-    * `DataFrame.checkpoint` every few rounds to truncate lineage, or the
-    * large-star/small-star variant (Kiveris et al.) for a log-round bound.
+    * Min-label propagation with per-round PATH COMPRESSION (lab ← lab(lab)),
+    * so convergence needs ~log₂(diameter) rounds, not diameter — a 2²⁰-hop
+    * chain fits the default budget. Each round is two equi-joins + a hash
+    * agg, all scale-out shuffles on node id; the only driver-side value per
+    * round is the "did any label change" boolean — the standard
+    * iterative-algorithm convergence scalar, not a data collect. Throws if
+    * the round budget is exhausted rather than returning split components.
+    * At 100 TB: identical loop plus `DataFrame.checkpoint` every few rounds
+    * to truncate lineage. The returned labels stay cached (LRU lifetime,
+    * same policy as the LSH signature caches); edges are unpersisted here.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 20): DataFrame = {
@@ -258,23 +260,33 @@ object Dedup {
       .persist()
     // fused round 1: lab₀ = min(node, min neighbor) straight off the edge
     // list — one agg instead of join+union+agg, and dedup graphs (cliques)
-    // usually converge here, leaving the loop a single confirm round
+    // usually converge here, leaving the loop a single confirm round.
+    // localCheckpoint (not persist) each round: the compression SELF-join
+    // doubles the logical plan per round, so without lineage truncation the
+    // driver-side plan grows 2^rounds — checkpointing keeps it flat (the
+    // loop-local analogue of the reliable `checkpoint` a 100 TB run uses).
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("node"), least(col("mn"), col("src")).as("lab"))
-      .persist()
+      .localCheckpoint()
     var done = false
     var rounds = 1
     while (!done && rounds < maxRounds) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("lab"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab")).persist()
+      val fused = labels.unionByName(prop)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+      // compression: every label is itself a node, so lab(lab) exists and
+      // lab(lab) ≤ lab — following one extra hop halves chain depth
+      val byLab = fused.select(col("node").as("ln"), col("lab").as("lab2"))
+      val next = fused.join(byLab, fused("lab") === byLab("ln"))
+        .select(fused("node"), col("lab2").as("lab")).localCheckpoint()
       done = next.join(labels.withColumnRenamed("lab", "old"), "node")
         .where(col("lab") < col("old")).isEmpty
-      labels.unpersist()
       labels = next
       rounds += 1
     }
+    require(done, s"connectedComponents did not converge in $maxRounds rounds")
+    edges.unpersist()
     labels.select(col("node"), col("lab").as("component"))
   }
 

@@ -92,11 +92,11 @@ object Extras4 {
           .select(col("l_orderkey"), col("l_extendedprice"))
           .where(col("l_orderkey") % 4 === 0)
           .write.mode("overwrite").bucketBy(8, "l_orderkey")
-          .option("path", s"target/graft-bucketed/$liT").saveAsTable(liT)
+          .option("path", s"${Tables.scratchDir("bucketed", dir)}/$liT").saveAsTable(liT)
         Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority"))
           .write.mode("overwrite").bucketBy(8, "o_orderkey")
-          .option("path", s"target/graft-bucketed/$ordT").saveAsTable(ordT)
+          .option("path", s"${Tables.scratchDir("bucketed", dir)}/$ordT").saveAsTable(ordT)
       }
       // merge hint: without it the planner may broadcast the filtered side
       // and the query would no longer exercise the co-located path
@@ -113,12 +113,16 @@ object Extras4 {
       val base = o.select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
         col("o_orderstatus").as("status"), lit(1L).as("version"))
       // deterministic change feed derived from the base: every 7th key gets
-      // a status update (version 2); every 11th key spawns a new key
+      // a status update (version 2); every 11th key spawns a new key.
+      // Insert keys are NEGATIVE (-(k+1)) so they can never collide with a
+      // real orderkey at any scale factor — a fixed offset would alias once
+      // the table outgrew it, creating (key, version) ties with different
+      // payloads that the two engines would break differently.
       val updates = o.where(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
           lit("U").as("status"), lit(2L).as("version"))
       val inserts = o.where(col("o_orderkey") % 11 === 0)
-        .select((col("o_orderkey") + 10000000L).as("key"), col("o_custkey").as("cust"),
+        .select((-(col("o_orderkey") + 1L)).as("key"), col("o_custkey").as("cust"),
           lit("N").as("status"), lit(1L).as("version"))
       upsertLatestWins(base, updates.unionByName(inserts), "key", "version")
         .select(col("key"), col("cust"), col("status"), col("version"))
@@ -129,10 +133,10 @@ object Extras4 {
   /** PUBLIC API: apply a change feed over a base table, keeping the
     * highest-`versionCol` row per `keyCol`. ONE hash aggregate —
     * `max_by(payload struct, version)` with map-side partial agg — so it
-    * costs a single shuffle on the key, no window, no sort. Ties on
-    * (key, version) are resolved by struct ordering on the payload;
-    * callers wanting strict CDC semantics should keep versions unique
-    * per key (a commit LSN/timestamp). */
+    * costs a single shuffle on the key, no window, no sort. A (key,
+    * version) tie with different payloads is resolved ARBITRARILY (max_by
+    * keeps whichever row it meets first) — versions must be unique per key
+    * (a commit LSN/timestamp) for deterministic CDC semantics. */
   def upsertLatestWins(base: DataFrame, changes: DataFrame,
       keyCol: String, versionCol: String): DataFrame = {
     val payload = base.columns.filter(c => c != keyCol && c != versionCol)
@@ -187,7 +191,7 @@ object Extras4 {
         |  SELECT o_orderkey AS key, o_custkey AS cust, 'U' AS status, 2 AS version
         |  FROM orders WHERE o_orderkey % 7 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000 AS key, o_custkey AS cust, 'N', 1
+        |  SELECT -(o_orderkey + 1) AS key, o_custkey AS cust, 'N', 1
         |  FROM orders WHERE o_orderkey % 11 = 0),
         |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg)
         |SELECT key, cust, status, cast(version AS bigint) AS version FROM (

@@ -20,13 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
-  // scratch inside the repo's gitignored build dir (stays within the
-  // project tree; never pollutes git status). Keyed by the source sf dir
-  // so runs against different scale factors never clobber each other;
-  // note the write happens when the query lambda is INVOKED (Verify /
-  // Bench / plan tests), not at cluster execution time.
-  private def tmpRoot(dir: String): String =
-    "target/graft_sources/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+  // shared scratch convention (Tables.scratchDir); note the write happens
+  // when the query lambda is INVOKED (Verify / Bench / plan tests), not at
+  // cluster execution time.
+  private def tmpRoot(dir: String): String = Tables.scratchDir("sources", dir)
 
   val queries: Map[String, Q] = Map(
     "source_csv" -> { (s, dir) =>

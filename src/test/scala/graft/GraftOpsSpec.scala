@@ -44,6 +44,16 @@ class GraftOpsSpec extends SparkSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents handles a long path graph (path compression)") {
+    // a 60-hop chain needs ~diameter rounds under plain min-label
+    // propagation — far past the round budget; per-round path compression
+    // brings it to ~log2(60)
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = GraftOps.connectedComponents(pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 60 && cc.forall(_._2 == 1L))
+  }
+
   test("upsertLatestWins applies updates and inserts over a base table") {
     val base = Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
       .toDF("key", "name", "amount", "version")

@@ -7,8 +7,13 @@ package graft
   */
 class PlanSpec extends SparkSuite {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // default maxMetadataStringLength (100) truncates ReadSchema mid-struct,
+    // which would make the column-pruning assertions below vacuously pass:
+    // a full-width lineitem scan prints only its first ~3 columns
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   test("scan_prune_filter pushes the shipdate predicate into the parquet scan") {
     val p = plan("scan_prune_filter")
