@@ -63,4 +63,50 @@ object CleanOpsProps extends Properties("CleanOps") {
       val seq = ops.foldLeft(df)((d, op) => op(d)).orderBy("id", "v").collect().toSeq
       folded == seq
     }
+
+  property("connectedComponents == brute-force union-find on random graphs") =
+    Prop.forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { raw =>
+      val es = raw.filter { case (a, b) => a != b }
+      es.isEmpty || {
+        // reference: in-memory union-find with min-id representatives
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val px = parent.getOrElseUpdate(x, x)
+          if (px == x) x else { val r = find(px); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(n => n -> find(n)).toMap
+        val got = GraftOps.connectedComponents(es.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
+
+  property("upsertLatestWins: highest version wins, inserts appear, base survives") =
+    Prop.forAll(
+      Gen.listOfN(10, Gen.zip(Gen.choose(0L, 6L), Gen.choose(2L, 9L), Gen.choose(0, 99)))
+    ) { chg =>
+      val base = (0L to 6L).map(k => (k, k * 10, 1L))
+      val changes = chg.map { case (k, v, x) => (k, x.toLong, v) }
+      val df = GraftOps.upsertLatestWins(
+        base.toDF("key", "x", "version"), changes.toDF("key", "x", "version"),
+        "key", "version")
+      val got = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val expected = base.map { case (k, x, v) => k -> (x, v) }.toMap ++
+        changes.groupBy(_._1).view.mapValues { rows =>
+          val (_, x, v) = rows.maxBy(r => (r._3, r._2))
+          (x, v)
+        }.toMap
+      // versions always match; payload matches wherever the winning version
+      // is unique (ties are documented as arbitrary)
+      got.keySet == expected.keySet && got.forall { case (k, (_, v)) => expected(k)._2 == v } && {
+        val uniq = changes.groupBy(_._1).filter { case (_, rows) =>
+          rows.count(_._3 == rows.map(_._3).max) == 1
+        }.keySet
+        uniq.forall(k => got(k) == expected(k))
+      }
+    }
 }
