@@ -74,4 +74,10 @@ object GraftOps {
   def upsertLatestWins(base: DataFrame, changes: DataFrame,
       keyCol: String, versionCol: String): DataFrame =
     ops.Extras4.upsertLatestWins(base, changes, keyCol, versionCol)
+
+  /** as-of join: latest right payload at-or-before each left row's time,
+    * per key — one union + window pass, no range join. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame =
+    ops.Joins.asofJoin(left, right, keyCol, leftTime, rightTime, payloadCols)
 }

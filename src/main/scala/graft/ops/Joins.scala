@@ -2,6 +2,7 @@ package graft.ops
 
 import graft._
 import graft.Tables._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -204,4 +205,33 @@ object Joins {
          |FROM od FULL OUTER JOIN ed ON od.d = ed.d
          |ORDER BY d""".stripMargin
   )
+
+  /** PUBLIC API: as-of join — each left row gains the latest right-side
+    * payload whose `rightTime` ≤ its `leftTime`, per `keyCol` (the
+    * join_asof query parameterized over caller DataFrames). No native
+    * Spark operator exists: both sides union with a side tag and ONE
+    * window pass over (key, time) carries the payload forward — one
+    * shuffle, no range join, state one row per key. A right row at
+    * exactly `leftTime` matches (side 0 sorts before side 1). Unmatched
+    * left rows keep NULL payloads. Among right rows sharing one (key,
+    * time) µs the carried row is arbitrary — callers needing total
+    * determinism must make times unique per key. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.filterNot(_ == keyCol).toSeq
+    val l2 = left.select(col(keyCol) +: col(leftTime).as("__t") +:
+      lit(1).as("__side") +: (lCols.map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))): _*)
+    val r2 = right.select(col(keyCol) +: col(rightTime).as("__t") +:
+      lit(0).as("__side") +: (lCols.map(c =>
+        lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(s"__r_$c"))): _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payloadCols.foldLeft(l2.unionByName(r2)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+      .where(col("__side") === 1)
+      .select(col(keyCol) +: lCols.map(col) ++: payloadCols.map(c => col(s"asof_$c")): _*)
+  }
 }

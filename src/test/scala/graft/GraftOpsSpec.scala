@@ -65,6 +65,20 @@ class GraftOpsSpec extends SparkSuite {
     assert(out == Seq((1L, "a", 10.0, 1L), (2L, "b2", 25.0, 3L), (9L, "new", 1.0, 1L)))
   }
 
+  test("asofJoin attaches the latest at-or-before payload per key") {
+    val purchases = Seq((1L, 10L, "p1"), (1L, 3L, "p2"), (2L, 5L, "p3"))
+      .toDF("user", "pt", "pid")
+    val quotes = Seq((1L, 2L, 100.0), (1L, 9L, 200.0), (2L, 6L, 300.0))
+      .toDF("user", "qt", "price")
+    val out = GraftOps.asofJoin(purchases, quotes, "user", "pt", "qt", Seq("price"))
+      .orderBy("user", "pt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    // (1, t=3) sees the quote at t=2; (1, t=10) the one at t=9;
+    // (2, t=5) has no quote at-or-before → NULL
+    assert(out.toSeq == Seq((1L, 3L, Some(100.0)), (1L, 10L, Some(200.0)),
+      (2L, 5L, None)))
+  }
+
   test("cosineThresholdPairs respects the blocking column") {
     val vecs = GraftOps.withUnitVector(
       Seq((1L, "a", Seq(1.0f, 0.0f)), (2L, "a", Seq(1.0f, 0.001f)),
