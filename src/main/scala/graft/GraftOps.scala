@@ -80,4 +80,17 @@ object GraftOps {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame =
     ops.Joins.asofJoin(left, right, keyCol, leftTime, rightTime, payloadCols)
+
+  // ---- data quality / sessionization --------------------------------------
+
+  /** evaluate declarative data-quality [[graft.clean.Rule]]s →
+    * (rule, n_violations); row-predicate rules share one aggregate pass. */
+  def validate(df: DataFrame, rules: Seq[clean.Rule]): DataFrame =
+    clean.Validate.validate(df, rules)
+
+  /** per-key session ids with a max inactivity gap (batch gaps-and-islands;
+    * streaming path = StreamOps.sessions). */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long, orderCols: Seq[String] = Nil): DataFrame =
+    streaming.StreamOps.sessionize(df, keyCol, tsCol, gapSeconds, orderCols)
 }

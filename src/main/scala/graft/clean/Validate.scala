@@ -2,7 +2,33 @@ package graft.clean
 
 import graft._
 import graft.Tables._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+/** Declarative data-quality rules (the reference's "detect" surface as a
+  * library): each rule reports a violation COUNT. All row-predicate rules
+  * ride ONE aggregate pass over the table (conditional sum columns);
+  * each referential rule adds one broadcast anti-join against its dim. */
+sealed trait Rule { def name: String }
+object Rule {
+  /** duplicate rows on the key column(s): count − count(distinct). */
+  case class Unique(cols: Seq[String]) extends Rule {
+    val name = s"unique_${cols.mkString("_")}"
+  }
+  case class NotNull(col: String) extends Rule { val name = s"not_null_$col" }
+  /** value outside the allowed set (NULLs don't count — add NotNull). */
+  case class InSet(col: String, allowed: Seq[String]) extends Rule {
+    val name = s"in_set_$col"
+  }
+  /** numeric bounds, either side optional (NULLs don't count). */
+  case class Bounds(col: String, lo: Option[Double], hi: Option[Double]) extends Rule {
+    val name = s"bounds_$col"
+  }
+  /** value (non-NULL) has no match in the dimension column. */
+  case class RefIntegrity(col: String, dim: DataFrame, dimCol: String) extends Rule {
+    val name = s"ref_${col}_$dimCol"
+  }
+}
 
 /** Data-quality validation + feature scaling (cleaning-engine surface).
   *
@@ -28,6 +54,45 @@ import org.apache.spark.sql.functions._
   */
 object Validate {
 
+  /** PUBLIC API: evaluate [[Rule]]s against a table → (rule, n_violations),
+    * one output row per rule, sorted by rule name. */
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "validate needs at least one rule")
+    val (refs, aggable) = rules.partition(_.isInstanceOf[Rule.RefIntegrity])
+    val parts = Seq(
+      Option.when(aggable.nonEmpty) {
+        val aggCols = aggable.zipWithIndex.map {
+          case (Rule.Unique(cs), i) =>
+            (count(lit(1)) - countDistinct(col(cs.head), cs.tail.map(col): _*)).as(s"r$i")
+          case (Rule.NotNull(c), i) =>
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"r$i")
+          case (Rule.InSet(c, allowed), i) =>
+            sum(when(!col(c).isin(allowed: _*), 1L).otherwise(0L)).as(s"r$i")
+          case (Rule.Bounds(c, lo, hi), i) =>
+            val bad = lo.map(col(c) < _).getOrElse(lit(false)) ||
+              hi.map(col(c) > _).getOrElse(lit(false))
+            sum(when(bad, 1L).otherwise(0L)).as(s"r$i")
+          case (r, _) => throw new IllegalArgumentException(s"unexpected rule $r")
+        }
+        val kvs = aggable.zipWithIndex.map { case (r, i) =>
+          struct(lit(r.name).as("rule"), col(s"r$i").cast("long").as("n_violations"))
+        }
+        df.agg(aggCols.head, aggCols.tail: _*)
+          .select(explode(array(kvs: _*)).as("kv"))
+          .select(col("kv.rule").as("rule"), col("kv.n_violations").as("n_violations"))
+      },
+      Option.when(refs.nonEmpty) {
+        refs.collect { case r @ Rule.RefIntegrity(c, dim, dimCol) =>
+          df.where(col(c).isNotNull)
+            .join(broadcast(dim.select(col(dimCol))), col(c) === col(dimCol), "left_anti")
+            .agg(count(lit(1)).as("n_violations"))
+            .select(lit(r.name).as("rule"), col("n_violations"))
+        }.reduce(_ unionByName _)
+      }
+    ).flatten
+    parts.reduce(_ unionByName _).orderBy(col("rule"))
+  }
+
   val queries: Map[String, Q] = Map(
     "validate_constraints" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
@@ -43,23 +108,12 @@ object Validate {
           .otherwise(col("o_orderstatus")).as("status"),
         when(col("o_orderkey") % 83 === 0, -col("o_totalprice"))
           .otherwise(col("o_totalprice")).as("price"))
-      val single = dirty.agg(
-        (count(lit(1)) - countDistinct(col("key"))).as("key_dup"),
-        sum(when(col("cust").isNull, 1L).otherwise(0L)).as("cust_null"),
-        sum(when(col("price") < 0, 1L).otherwise(0L)).as("price_neg"),
-        sum(when(!col("status").isin("O", "F", "P"), 1L).otherwise(0L)).as("status_bad"))
-      val rules = single.select(expr(
-        """stack(4,
-          |  'key_unique', key_dup,
-          |  'cust_not_null', cust_null,
-          |  'price_nonneg', price_neg,
-          |  'status_domain', status_bad) as (rule, n_violations)""".stripMargin))
-      val c = Tables(s, dir, "customer").select(col("c_custkey"))
-      val ref = dirty.where(col("cust").isNotNull)
-        .join(broadcast(c), col("cust") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-        .select(lit("cust_ref_customer").as("rule"), col("n_violations"))
-      rules.unionByName(ref).orderBy(col("rule"))
+      validate(dirty, Seq(
+        Rule.Unique(Seq("key")),
+        Rule.NotNull("cust"),
+        Rule.Bounds("price", lo = Some(0.0), hi = None),
+        Rule.InSet("status", Seq("O", "F", "P")),
+        Rule.RefIntegrity("cust", Tables(s, dir, "customer"), "c_custkey")))
     },
 
     "scale_standardize" -> { (s, dir) =>
@@ -123,11 +177,11 @@ object Validate {
          |  LEFT JOIN customer c ON d.cust = c.c_custkey
          |  WHERE d.cust IS NOT NULL AND c.c_custkey IS NULL)
          |SELECT rule, cast(n_violations AS bigint) AS n_violations FROM (
-         |  SELECT 'key_unique' AS rule, key_dup AS n_violations FROM s
-         |  UNION ALL SELECT 'cust_not_null', cust_null FROM s
-         |  UNION ALL SELECT 'price_nonneg', price_neg FROM s
-         |  UNION ALL SELECT 'status_domain', status_bad FROM s
-         |  UNION ALL SELECT 'cust_ref_customer', n FROM r)
+         |  SELECT 'unique_key' AS rule, key_dup AS n_violations FROM s
+         |  UNION ALL SELECT 'not_null_cust', cust_null FROM s
+         |  UNION ALL SELECT 'bounds_price', price_neg FROM s
+         |  UNION ALL SELECT 'in_set_status', status_bad FROM s
+         |  UNION ALL SELECT 'ref_cust_c_custkey', n FROM r)
          |ORDER BY rule""".stripMargin,
     "scale_standardize" ->
       """WITH st AS (

@@ -79,6 +79,37 @@ class GraftOpsSpec extends SparkSuite {
       (2L, 5L, None)))
   }
 
+  test("validate counts violations per declarative rule on user data") {
+    import graft.clean.Rule
+    val dim = Seq(10L, 20L).toDF("id")
+    val df = Seq(
+      (1L, Option(10L), "A", 5.0),
+      (1L, Option(10L), "A", 5.0),     // duplicate key
+      (2L, None, "B", -1.0),           // null ref, bad status, negative
+      (3L, Option(99L), "A", 2.0)      // dangling ref
+    ).toDF("k", "ref", "status", "x")
+    val out = GraftOps.validate(df, Seq(
+      Rule.Unique(Seq("k")), Rule.NotNull("ref"),
+      Rule.InSet("status", Seq("A")), Rule.Bounds("x", Some(0.0), Some(4.0)),
+      Rule.RefIntegrity("ref", dim, "id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("unique_k" -> 1L, "not_null_ref" -> 1L,
+      "in_set_status" -> 1L, "bounds_x" -> 3L, "ref_ref_id" -> 1L))
+  }
+
+  test("sessionize assigns per-key session ids split on the gap") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")), // >30 min gap
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    ).toDF("user", "ts")
+    val out = GraftOps.sessionize(df, "user", "ts", gapSeconds = 1800)
+      .orderBy("user", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
   test("cosineThresholdPairs respects the blocking column") {
     val vecs = GraftOps.withUnitVector(
       Seq((1L, "a", Seq(1.0f, 0.0f)), (2L, "a", Seq(1.0f, 0.001f)),
