@@ -32,16 +32,13 @@ object StreamQueries {
         .orderBy(col("ws"), col("event_type"))
     },
 
-    // per-user sessions, 30 min gap (gaps-and-islands in event time)
+    // per-user sessions, 30 min gap — the StreamOps.sessionize API
+    // (gaps-and-islands in event time), aggregated per session
     "stream_session_window" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "events")
-        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
-        .withColumn("new_s",
-          when(col("t") - lag(col("t"), 1).over(w) > 1800000000L, 1L)
-            .when(lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
-        .withColumn("session_id", sum(col("new_s")).over(wRun))
+      StreamOps.sessionize(
+        Tables(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", gapSeconds = 1800, orderCols = Seq("event_id"))
+        .withColumn("t", unix_micros(col("ts")))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           min(col("t")).as("start_us"), max(col("t")).as("end_us"))
