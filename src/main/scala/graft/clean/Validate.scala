@@ -63,7 +63,11 @@ object Validate {
       Option.when(aggable.nonEmpty) {
         val aggCols = aggable.zipWithIndex.map {
           case (Rule.Unique(cs), i) =>
-            (count(lit(1)) - countDistinct(col(cs.head), cs.tail.map(col): _*)).as(s"r$i")
+            // distinct over a STRUCT of the key columns: a struct with NULL
+            // fields is itself non-NULL, so NULL-keyed rows count as values
+            // instead of being dropped (bare countDistinct would report
+            // every NULL-keyed row as a duplicate)
+            (count(lit(1)) - countDistinct(struct(cs.map(col): _*))).as(s"r$i")
           case (Rule.NotNull(c), i) =>
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"r$i")
           case (Rule.InSet(c, allowed), i) =>
@@ -83,8 +87,12 @@ object Validate {
       },
       Option.when(refs.nonEmpty) {
         refs.collect { case r @ Rule.RefIntegrity(c, dim, dimCol) =>
+          // rename the dim key before joining: an unqualified
+          // col(c) === col(dimCol) is ambiguous whenever df carries a
+          // column named dimCol (same-name FKs, self-referential dims)
           df.where(col(c).isNotNull)
-            .join(broadcast(dim.select(col(dimCol))), col(c) === col(dimCol), "left_anti")
+            .join(broadcast(dim.select(col(dimCol).as("__dim_key"))),
+              col(c) === col("__dim_key"), "left_anti")
             .agg(count(lit(1)).as("n_violations"))
             .select(lit(r.name).as("rule"), col("n_violations"))
         }.reduce(_ unionByName _)

@@ -248,13 +248,19 @@ object Dedup {
     * agg, all scale-out shuffles on node id; the only driver-side value per
     * round is the "did any label change" boolean — the standard
     * iterative-algorithm convergence scalar, not a data collect. Throws if
-    * the round budget is exhausted rather than returning split components.
-    * At 100 TB: identical loop plus `DataFrame.checkpoint` every few rounds
-    * to truncate lineage. The returned labels stay cached (LRU lifetime,
-    * same policy as the LSH signature caches); edges are unpersisted here.
+    * the round budget is exhausted rather than returning split components
+    * (maxRounds counts the fused init plus at least one confirm round, so
+    * it must be ≥ 2). The result is LOCALLY checkpointed: lineage is
+    * truncated, so on a cluster that loses an executor the blocks are not
+    * recomputable — a production 100 TB run should set a checkpoint dir
+    * and swap in reliable `DataFrame.checkpoint` (same call shape). Per-
+    * round label copies are node-sized and reclaimed by the ContextCleaner
+    * as each round's reference is dropped; edges are unpersisted here even
+    * on failure.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 2, "maxRounds must be >= 2 (init + one confirm round)")
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
@@ -270,23 +276,24 @@ object Dedup {
       .localCheckpoint()
     var done = false
     var rounds = 1
-    while (!done && rounds < maxRounds) {
-      val prop = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("lab"))
-      val fused = labels.unionByName(prop)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-      // compression: every label is itself a node, so lab(lab) exists and
-      // lab(lab) ≤ lab — following one extra hop halves chain depth
-      val byLab = fused.select(col("node").as("ln"), col("lab").as("lab2"))
-      val next = fused.join(byLab, fused("lab") === byLab("ln"))
-        .select(fused("node"), col("lab2").as("lab")).localCheckpoint()
-      done = next.join(labels.withColumnRenamed("lab", "old"), "node")
-        .where(col("lab") < col("old")).isEmpty
-      labels = next
-      rounds += 1
-    }
-    require(done, s"connectedComponents did not converge in $maxRounds rounds")
-    edges.unpersist()
+    try {
+      while (!done && rounds < maxRounds) {
+        val prop = edges.join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("lab"))
+        val fused = labels.unionByName(prop)
+          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        // compression: every label is itself a node, so lab(lab) exists and
+        // lab(lab) ≤ lab — following one extra hop halves chain depth
+        val byLab = fused.select(col("node").as("ln"), col("lab").as("lab2"))
+        val next = fused.join(byLab, fused("lab") === byLab("ln"))
+          .select(fused("node"), col("lab2").as("lab")).localCheckpoint()
+        done = next.join(labels.withColumnRenamed("lab", "old"), "node")
+          .where(col("lab") < col("old")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      require(done, s"connectedComponents did not converge in $maxRounds rounds")
+    } finally edges.unpersist()
     labels.select(col("node"), col("lab").as("component"))
   }
 

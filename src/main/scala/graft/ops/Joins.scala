@@ -213,25 +213,35 @@ object Joins {
     * window pass over (key, time) carries the payload forward — one
     * shuffle, no range join, state one row per key. A right row at
     * exactly `leftTime` matches (side 0 sorts before side 1). Unmatched
-    * left rows keep NULL payloads. Among right rows sharing one (key,
-    * time) µs the carried row is arbitrary — callers needing total
-    * determinism must make times unique per key. */
+    * left rows keep NULL payloads. The payload travels as ONE struct, so
+    * the matched columns always come from the SAME right row — even when
+    * that row carries NULL fields (a per-column `last(ignoreNulls)` would
+    * resurrect older non-null values and stitch columns from different
+    * rows). Among right rows sharing one (key, time) µs the carried row
+    * is arbitrary — callers needing total determinism must make times
+    * unique per key. Output column names `asof_<payload>`; `__t`/`__side`/
+    * `__r`/`asof_*` are reserved and must not exist on the inputs. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
+    val reserved = Seq("__t", "__side", "__r") ++ payloadCols.map(c => s"asof_$c")
+    require(!left.columns.exists(reserved.contains),
+      s"left input carries a reserved asofJoin column (${reserved.mkString(", ")})")
     val lCols = left.columns.filterNot(_ == keyCol).toSeq
+    val rStructT = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
     val l2 = left.select(col(keyCol) +: col(leftTime).as("__t") +:
-      lit(1).as("__side") +: (lCols.map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))): _*)
+      lit(1).as("__side") +: lCols.map(col) :+
+      lit(null).cast(rStructT).as("__r"): _*)
     val r2 = right.select(col(keyCol) +: col(rightTime).as("__t") +:
-      lit(0).as("__side") +: (lCols.map(c =>
-        lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"__r_$c"))): _*)
+      lit(0).as("__side") +: lCols.map(c =>
+        lit(null).cast(left.schema(c).dataType).as(c)) :+
+      struct(payloadCols.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payloadCols.foldLeft(l2.unionByName(r2)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    l2.unionByName(r2)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(col(keyCol) +: lCols.map(col) ++: payloadCols.map(c => col(s"asof_$c")): _*)
+      .select(col(keyCol) +: lCols.map(col) ++:
+        payloadCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

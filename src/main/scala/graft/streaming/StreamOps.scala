@@ -58,6 +58,8 @@ object StreamOps {
     * the key; `orderCols` break timestamp ties deterministically. */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
       gapSeconds: Long, orderCols: Seq[String] = Nil): DataFrame = {
+    require(!df.columns.exists(Seq("__t", "__new", "session_id").contains),
+      "sessionize reserves the column names __t, __new, session_id")
     val ord: Seq[Column] = col("__t") +: orderCols.map(col)
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

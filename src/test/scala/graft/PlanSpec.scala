@@ -10,9 +10,16 @@ class PlanSpec extends SparkSuite {
   private def plan(name: String): String = {
     // default maxMetadataStringLength (100) truncates ReadSchema mid-struct,
     // which would make the column-pruning assertions below vacuously pass:
-    // a full-width lineitem scan prints only its first ~3 columns
-    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // a full-width lineitem scan prints only its first ~3 columns. Restore
+    // after rendering — the session is shared JVM-wide across suites.
+    val key = "spark.sql.maxMetadataStringLength"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "4000")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("scan_prune_filter pushes the shipdate predicate into the parquet scan") {

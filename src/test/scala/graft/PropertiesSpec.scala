@@ -87,7 +87,9 @@ object CleanOpsProps extends Properties("CleanOps") {
 
   property("upsertLatestWins: highest version wins, inserts appear, base survives") =
     Prop.forAll(
-      Gen.listOfN(10, Gen.zip(Gen.choose(0L, 6L), Gen.choose(2L, 9L), Gen.choose(0, 99)))
+      // change keys 0..9 over base keys 0..6, so keys 7..9 exercise the
+      // true-insert branch (absent from base)
+      Gen.listOfN(10, Gen.zip(Gen.choose(0L, 9L), Gen.choose(2L, 9L), Gen.choose(0, 99)))
     ) { chg =>
       val base = (0L to 6L).map(k => (k, k * 10, 1L))
       val changes = chg.map { case (k, v, x) => (k, x.toLong, v) }
