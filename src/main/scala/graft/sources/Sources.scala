@@ -121,6 +121,38 @@ object Sources {
           dsum(col("value")).as("sum_value"),
           sum(col("event_id")).as("sum_ids"))
         .orderBy(col("user_id"))
+    },
+
+    // Z-ORDER layout: when TWO filter keys must both skip, a single-key
+    // sort leaves the second key scattered across every file. Interleaving
+    // the keys' bits into one z-value and range-sorting by it keeps file/
+    // rowgroup min-max boxes tight on BOTH dimensions, so pushed filters
+    // on either (or both) keys skip at the footer. The z-value is pure
+    // integer arithmetic (16 interleaved bits per key), the layout cost is
+    // one write — the read-back query never touches z.
+    "layout_zorder" -> { (s, dir) =>
+      val path = s"${tmpRoot(dir)}/events_zorder"
+      val vb = least(floor(col("value") / 10.0), lit(63.0)).cast("long")
+      val z = (0 until 16).map { i =>
+        shiftleft(shiftright(col("user_id"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("vb"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("vb", vb)
+        .withColumn("z", z)
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop(col("z"))
+        .write.mode("overwrite").parquet(path)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, vb BIGINT")
+        .parquet(path)
+        .where(col("user_id").between(1L, 3L) && col("vb").between(2L, 5L))
+        .groupBy(col("user_id"), col("vb"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("sum_ids"))
+        .orderBy(col("user_id"), col("vb"))
     }
   )
 
@@ -149,6 +181,14 @@ object Sources {
          |${sqlDsum("value")} AS sum_value,
          |cast(sum(event_id) as bigint) AS sum_ids
          |FROM events WHERE user_id BETWEEN 4 AND 11
-         |GROUP BY user_id ORDER BY user_id""".stripMargin
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "layout_zorder" ->
+      """SELECT user_id, vb, count(*) AS n_events,
+        |cast(sum(event_id) as bigint) AS sum_ids
+        |FROM (SELECT event_id, user_id,
+        |      cast(least(floor(value / 10.0), 63.0) as bigint) AS vb
+        |      FROM events)
+        |WHERE user_id BETWEEN 1 AND 3 AND vb BETWEEN 2 AND 5
+        |GROUP BY user_id, vb ORDER BY user_id, vb""".stripMargin
   )
 }

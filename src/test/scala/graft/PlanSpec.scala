@@ -95,6 +95,13 @@ class PlanSpec extends SparkSuite {
     assert(pf.contains("user_id"), s"range filter not pushed to the scan:\n$pf")
   }
 
+  test("layout_zorder pushes BOTH key filters to the parquet scan") {
+    val p = plan("layout_zorder")
+    val pf = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pf.contains("user_id") && pf.contains("vb"),
+      s"z-order read-back must push both filter keys:\n$pf")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
