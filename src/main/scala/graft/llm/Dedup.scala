@@ -227,6 +227,26 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // CONTAINMENT dedup: |A∩B| / min(|A|,|B|) — catches a document that is
+    // a near-SUBSET of another (boilerplate-wrapped copies, excerpt pages),
+    // which Jaccard misses because the size imbalance dilutes the union.
+    // Same LSH candidate machinery and per-pair array_intersect as the
+    // jaccard verify; only the denominator changes.
+    "dedup_containment" -> { (s, dir) =>
+      val da = docArrays(s, dir, dedup = true).persist()
+      val cand = candidatesFromArrays(da).select(col("doc_a"), col("doc_b"))
+      val withA = da.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val withB = da.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      withB.join(broadcast(withA.join(broadcast(cand), "doc_a")), "doc_b")
+        .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("containment",
+          round(col("common").cast("double") /
+            least(size(col("sha")), size(col("shb"))), 6))
+        .where(col("containment") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Transitive dedup CLUSTERS over the MinHash-LSH candidate pairs:
     // pairs say "a~b"; dedup keeps one doc per connected component, so the
     // engine needs components, not pairs (see [[connectedComponents]]).
@@ -342,6 +362,22 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = c.doc_b
          |WHERE round(cast(coalesce(m.common, 0) as double)
          |    / (sa.nbg + sb.nbg - coalesce(m.common, 0)), 6) >= 0.3
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $sqlBands,
+         |sizes AS (SELECT doc_id, count(*) AS nbg FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+         |  FROM cand c JOIN sh ba ON ba.doc_id = c.doc_a
+         |  JOIN sh bb ON bb.doc_id = c.doc_b AND ba.bg = bb.bg
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(cast(coalesce(m.common, 0) as double)
+         |    / least(sa.nbg, sb.nbg), 6) AS containment
+         |FROM cand c LEFT JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+         |JOIN sizes sa ON sa.doc_id = c.doc_a
+         |JOIN sizes sb ON sb.doc_id = c.doc_b
+         |WHERE round(cast(coalesce(m.common, 0) as double)
+         |    / least(sa.nbg, sb.nbg), 6) >= 0.5
          |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     "dedup_cluster_cc" ->
       s"""WITH RECURSIVE $sqlBands,
