@@ -87,12 +87,13 @@ object Validate {
       },
       Option.when(refs.nonEmpty) {
         refs.collect { case r @ Rule.RefIntegrity(c, dim, dimCol) =>
-          // rename the dim key before joining: an unqualified
-          // col(c) === col(dimCol) is ambiguous whenever df carries a
-          // column named dimCol (same-name FKs, self-referential dims)
+          // frame-qualified dim reference: an unqualified col(dimCol) is
+          // ambiguous whenever df carries a column of the same name
+          // (same-name FKs, self-referential dims) — d("…") resolves
+          // against the dim side only, for ANY input column names
+          val d = dim.select(col(dimCol).as("__dim_key"))
           df.where(col(c).isNotNull)
-            .join(broadcast(dim.select(col(dimCol).as("__dim_key"))),
-              col(c) === col("__dim_key"), "left_anti")
+            .join(broadcast(d), df(c) === d("__dim_key"), "left_anti")
             .agg(count(lit(1)).as("n_violations"))
             .select(lit(r.name).as("rule"), col("n_violations"))
         }.reduce(_ unionByName _)

@@ -210,41 +210,18 @@ object Dedup {
     // all. Cache lifetime: LRU eviction — built once per Verify/Bench
     // session; long-lived services should unpersist.
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      val da = docArrays(s, dir, dedup = true).persist()
-      val cand = candidatesFromArrays(da).select(col("doc_a"), col("doc_b"))
-      val withA = da.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val withB = da.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-      // At an adversarial 100 TB (candidate set too big to broadcast),
-      // drop the two broadcast() hints: the same plan runs as shuffle
-      // hash joins on doc_id with arrays carried once each.
-      withB.join(broadcast(withA.join(broadcast(cand), "doc_a")), "doc_b")
-        .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-        .withColumn("jaccard",
-          round(col("common").cast("double") /
-            (size(col("sha")) + size(col("shb")) - col("common")), 6))
-        .where(col("jaccard") >= 0.3)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      verifiedPairs(s, dir, "jaccard", 0.3,
+        (common, na, nb) => common.cast("double") / (na + nb - common))
     },
 
     // CONTAINMENT dedup: |A∩B| / min(|A|,|B|) — catches a document that is
     // a near-SUBSET of another (boilerplate-wrapped copies, excerpt pages),
     // which Jaccard misses because the size imbalance dilutes the union.
     // Same LSH candidate machinery and per-pair array_intersect as the
-    // jaccard verify; only the denominator changes.
+    // jaccard verify; only the denominator and threshold change.
     "dedup_containment" -> { (s, dir) =>
-      val da = docArrays(s, dir, dedup = true).persist()
-      val cand = candidatesFromArrays(da).select(col("doc_a"), col("doc_b"))
-      val withA = da.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val withB = da.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-      withB.join(broadcast(withA.join(broadcast(cand), "doc_a")), "doc_b")
-        .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-        .withColumn("containment",
-          round(col("common").cast("double") /
-            least(size(col("sha")), size(col("shb"))), 6))
-        .where(col("containment") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("containment"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      verifiedPairs(s, dir, "containment", 0.5,
+        (common, na, nb) => common.cast("double") / least(na, nb))
     },
 
     // Transitive dedup CLUSTERS over the MinHash-LSH candidate pairs:
@@ -259,6 +236,44 @@ object Dedup {
         .orderBy(col("cluster_rep"))
     }
   )
+
+  /** Exact set-overlap verification over the LSH candidate pairs: one
+    * `array_intersect` per candidate, scored by `score(common, |A|, |B|)`
+    * (Jaccard, containment, …), rounded to 6 and thresholded. At an
+    * adversarial 100 TB (candidate set too big to broadcast), drop the
+    * two broadcast() hints: the same plan runs as shuffle hash joins on
+    * doc_id with the shingle arrays carried once each. */
+  private def verifiedPairs(s: SparkSession, dir: String, scoreName: String,
+      threshold: Double, score: (Column, Column, Column) => Column): DataFrame = {
+    val da = docArrays(s, dir, dedup = true).persist()
+    val cand = candidatesFromArrays(da).select(col("doc_a"), col("doc_b"))
+    val withA = da.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val withB = da.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    withB.join(broadcast(withA.join(broadcast(cand), "doc_a")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn(scoreName,
+        round(score(col("common"), size(col("sha")), size(col("shb"))), 6))
+      .where(col(scoreName) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col(scoreName))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB mirror of [[verifiedPairs]] — shared sizes/common CTEs, the
+    * score expression injected over (coalesce(m.common,0), sa.nbg, sb.nbg). */
+  private def sqlVerifiedPairs(scoreName: String, scoreExpr: String,
+      threshold: String): String =
+    s"""WITH $sqlBands,
+       |sizes AS (SELECT doc_id, count(*) AS nbg FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c JOIN sh ba ON ba.doc_id = c.doc_a
+       |  JOIN sh bb ON bb.doc_id = c.doc_b AND ba.bg = bb.bg
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, round($scoreExpr, 6) AS $scoreName
+       |FROM cand c LEFT JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b
+       |WHERE round($scoreExpr, 6) >= $threshold
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
   /** PUBLIC API: connected components of an undirected pair/edge list —
     * output (node, component) where component = min node id reachable.
@@ -347,38 +362,12 @@ object Dedup {
         |JOIN sims sb ON cand.doc_b = sb.doc_id
         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      s"""WITH $sqlBands,
-         |sizes AS (SELECT doc_id, count(*) AS nbg FROM sh GROUP BY doc_id),
-         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
-         |  FROM cand c JOIN sh ba ON ba.doc_id = c.doc_a
-         |  JOIN sh bb ON bb.doc_id = c.doc_b AND ba.bg = bb.bg
-         |  GROUP BY 1, 2)
-         |SELECT c.doc_a, c.doc_b,
-         |  round(cast(coalesce(m.common, 0) as double)
-         |    / (sa.nbg + sb.nbg - coalesce(m.common, 0)), 6) AS jaccard
-         |FROM cand c LEFT JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
-         |JOIN sizes sa ON sa.doc_id = c.doc_a
-         |JOIN sizes sb ON sb.doc_id = c.doc_b
-         |WHERE round(cast(coalesce(m.common, 0) as double)
-         |    / (sa.nbg + sb.nbg - coalesce(m.common, 0)), 6) >= 0.3
-         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
-    "dedup_containment" ->
-      s"""WITH $sqlBands,
-         |sizes AS (SELECT doc_id, count(*) AS nbg FROM sh GROUP BY doc_id),
-         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
-         |  FROM cand c JOIN sh ba ON ba.doc_id = c.doc_a
-         |  JOIN sh bb ON bb.doc_id = c.doc_b AND ba.bg = bb.bg
-         |  GROUP BY 1, 2)
-         |SELECT c.doc_a, c.doc_b,
-         |  round(cast(coalesce(m.common, 0) as double)
-         |    / least(sa.nbg, sb.nbg), 6) AS containment
-         |FROM cand c LEFT JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
-         |JOIN sizes sa ON sa.doc_id = c.doc_a
-         |JOIN sizes sb ON sb.doc_id = c.doc_b
-         |WHERE round(cast(coalesce(m.common, 0) as double)
-         |    / least(sa.nbg, sb.nbg), 6) >= 0.5
-         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "dedup_ngram_jaccard" -> sqlVerifiedPairs("jaccard",
+      "cast(coalesce(m.common, 0) as double) / (sa.nbg + sb.nbg - coalesce(m.common, 0))",
+      "0.3"),
+    "dedup_containment" -> sqlVerifiedPairs("containment",
+      "cast(coalesce(m.common, 0) as double) / least(sa.nbg, sb.nbg)",
+      "0.5"),
     "dedup_cluster_cc" ->
       s"""WITH RECURSIVE $sqlBands,
          |pr AS (SELECT doc_a, doc_b FROM cand),

@@ -223,7 +223,7 @@ object Joins {
     * `__r`/`asof_*` are reserved and must not exist on the inputs. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
-    val reserved = Seq("__t", "__side", "__r") ++ payloadCols.map(c => s"asof_$c")
+    val reserved = Seq("__t", "__side", "__r", "__asof") ++ payloadCols.map(c => s"asof_$c")
     require(!left.columns.exists(reserved.contains),
       s"left input carries a reserved asofJoin column (${reserved.mkString(", ")})")
     val lCols = left.columns.filterNot(_ == keyCol).toSeq
