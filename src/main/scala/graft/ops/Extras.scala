@@ -35,6 +35,19 @@ object Extras {
         .orderBy(col("p_partkey"))
     },
 
+    // bitwise operators over bigints — pure map-side codegen expressions
+    "fn_bitwise_suite" -> { (s, dir) =>
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        col("event_id").bitwiseAND(col("user_id")).as("b_and"),
+        col("event_id").bitwiseOR(col("user_id")).as("b_or"),
+        col("event_id").bitwiseXOR(col("user_id")).as("b_xor"),
+        shiftleft(col("user_id"), 3).as("b_shl"),
+        shiftright(col("event_id"), 2).as("b_shr"),
+        expr("cast(bit_count(event_id) as bigint)").as("b_cnt"))
+        .orderBy(col("event_id"))
+    },
+
     "agg_corr_manual" -> { (s, dir) =>
       val x = col("l_quantity").cast("decimal(12,2)")
       val y = col("l_extendedprice").cast("decimal(12,2)")
@@ -66,6 +79,15 @@ object Extras {
     "fn_hash_suite" ->
       """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_bitwise_suite" ->
+      """SELECT event_id,
+        |event_id & user_id AS b_and,
+        |event_id | user_id AS b_or,
+        |xor(event_id, user_id) AS b_xor,
+        |user_id << 3 AS b_shl,
+        |event_id >> 2 AS b_shr,
+        |cast(bit_count(event_id) as bigint) AS b_cnt
+        |FROM events ORDER BY event_id""".stripMargin,
     "agg_corr_manual" ->
       """WITH s AS (SELECT count(*) AS n,
         |  cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sx,
