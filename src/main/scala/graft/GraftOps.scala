@@ -13,10 +13,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   * ONE Catalyst plan; `Recipe.exportCode` / `Recipe.undo` mirror the
   * reference's history feature.
   *
-  * LLM-pipeline operators are delegated below. Streaming transforms live in
-  * [[graft.streaming.StreamOps]] (same code paths serve batch and
-  * readStream DataFrames). Multimodal binary plumbing in
-  * [[graft.llm.Multimodal]].
+  * LLM-pipeline operators are delegated below, as are clustering/CDC
+  * (connected components, latest-wins upsert), the generic as-of join,
+  * declarative [[graft.clean.Rule]] validation, and batch sessionization.
+  * Streaming transforms live in [[graft.streaming.StreamOps]] (same code
+  * paths serve batch and readStream DataFrames). Multimodal binary
+  * plumbing in [[graft.llm.Multimodal]].
   */
 object GraftOps {
 
