@@ -69,8 +69,10 @@ object Multimodal {
       }(enc)
   }
 
-  /** Declared query: metadata plumbing is fully oracle-checkable (payload
-    * length + md5 checksum are engine-independent). */
+  /** Declared queries: metadata plumbing AND payload byte-ops are fully
+    * oracle-checkable (length/md5/byte-slices are engine-independent; the
+    * corpus is pure ASCII — verified byte length == char length — so the
+    * DuckDB text mirror sees identical bytes). */
   val queries: Map[String, Q] = Map(
     "multimodal_meta" -> { (s, dir) =>
       assets(s, dir).select(
@@ -79,6 +81,22 @@ object Multimodal {
         col("meta.n_bytes").as("n_bytes"),
         col("meta.checksum").as("checksum"))
         .orderBy(col("doc_id"))
+    },
+
+    // FRAME SAMPLING on the binary payload — the video/audio access
+    // pattern (fixed-size frame every stride), exact on bytes, no codec
+    // needed: substring on BinaryType slices the payload, md5 fingerprints
+    // each frame. The filter on (k·stride + len ≤ n_bytes) reads the
+    // METADATA struct only — payload bytes are touched exclusively for
+    // frames that exist. 64-byte frames every 128 bytes, ≤ 4 per asset.
+    "multimodal_frame_sample" -> { (s, dir) =>
+      assets(s, dir)
+        .select(col("doc_id"), col("content"), col("meta.n_bytes").as("n"))
+        .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+        .where(col("k") * 128L + 64L <= col("n"))
+        .select(col("doc_id"), col("k"),
+          md5(expr("substring(content, k * 128 + 1, 64)")).as("frame_md5"))
+        .orderBy(col("doc_id"), col("k"))
     }
   )
 
@@ -87,6 +105,11 @@ object Multimodal {
       """SELECT doc_id, 'utf8' AS format,
         |cast(strlen(text) as bigint) AS n_bytes,
         |md5(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, k, md5(substring(text, cast(k * 128 + 1 as int), 64)) AS frame_md5
+        |FROM documents CROSS JOIN range(4) r(k)
+        |WHERE k * 128 + 64 <= strlen(text)
+        |ORDER BY doc_id, k""".stripMargin
   )
 }
