@@ -97,6 +97,26 @@ object Multimodal {
         .select(col("doc_id"), col("k"),
           md5(expr("substring(content, k * 128 + 1, 64)")).as("frame_md5"))
         .orderBy(col("doc_id"), col("k"))
+    },
+
+    // RESIZE (downsample) on the payload — block-averaging, the shape a
+    // real image/audio resize takes after decode, exact on bytes with no
+    // codec: the first 128 payload bytes become 8 "pixels" of 16-byte
+    // block means. Positions explode map-side, the per-(doc, block) sum
+    // is one hash agg; integer sums are exact, the final /16.0 is the
+    // same IEEE divide in both engines. Metadata-gated: only assets with
+    // n_bytes ≥ 128 are touched.
+    "multimodal_resize" -> { (s, dir) =>
+      assets(s, dir)
+        .select(col("doc_id"), col("content"), col("meta.n_bytes").as("n"))
+        .where(col("n") >= 128L)
+        .withColumn("pos", explode(sequence(lit(1L), lit(128L))))
+        .select(col("doc_id"), expr("(pos - 1) div 16").as("block"),
+          expr("ascii(cast(substring(content, cast(pos as int), 1) as string))")
+            .cast("long").as("b"))
+        .groupBy(col("doc_id"), col("block"))
+        .agg((sum(col("b")) / 16.0).as("pixel"))
+        .orderBy(col("doc_id"), col("block"))
     }
   )
 
@@ -110,6 +130,13 @@ object Multimodal {
       """SELECT doc_id, k, md5(substring(text, cast(k * 128 + 1 as int), 64)) AS frame_md5
         |FROM documents CROSS JOIN range(4) r(k)
         |WHERE k * 128 + 64 <= strlen(text)
-        |ORDER BY doc_id, k""".stripMargin
+        |ORDER BY doc_id, k""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id, (pos - 1) // 16 AS block,
+        |sum(ord(substring(text, cast(pos as int), 1))) / 16.0 AS pixel
+        |FROM documents CROSS JOIN range(1, 129) r(pos)
+        |WHERE strlen(text) >= 128
+        |GROUP BY doc_id, (pos - 1) // 16
+        |ORDER BY doc_id, block""".stripMargin
   )
 }
