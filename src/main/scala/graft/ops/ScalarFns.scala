@@ -80,6 +80,20 @@ object ScalarFns {
       ).orderBy(col("event_id"))
     },
 
+    // parse_url over deterministic URLs built from the corpus columns
+    // (all alphanumeric — no encoding divergence); the oracle mirrors
+    // each part with an anchored regexp
+    "fn_url_suite" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/doc?id="), col("doc_id")))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'id')").as("qid"))
+        .orderBy(col("doc_id"))
+    },
+
     "fn_struct_nested" -> { (s, dir) =>
       val st = struct(col("c_name").as("name"), col("c_acctbal").as("bal"),
         struct(col("c_nationkey").as("nk")).as("geo"))
@@ -141,6 +155,15 @@ object ScalarFns {
         |cast(json_extract_string(props, '$.k') as int) AS k_val,
         |cast(len(json_keys(props)) as int) AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_url_suite" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.example.com/' || lang || '/doc?id=' || doc_id AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+        |regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+        |regexp_extract(url, 'id=([0-9]+)', 1) AS qid
+        |FROM u ORDER BY doc_id""".stripMargin,
     "fn_struct_nested" ->
       """SELECT c_custkey, c_name AS nm, c_acctbal AS bal, c_nationkey AS nk
         |FROM customer ORDER BY c_custkey""".stripMargin
