@@ -206,6 +206,36 @@ object Joins {
          |ORDER BY d""".stripMargin
   )
 
+  /** Correlated LATERAL join (top-N per group through the SQL surface):
+    * for each nation, its top-2 customers by balance. Catalyst decorrelates
+    * the lateral subquery into a window/join plan — no per-row re-execution
+    * — so the declared semantics survive scale-up like any other plan.
+    * Registered under [[lateralQueries]] and merged by SparkEntry via the
+    * Joins maps. */
+  val lateralQueries: Map[String, Q] = Map(
+    "join_lateral_topn" -> { (s, dir) =>
+      Tables(s, dir, "nation").createOrReplaceTempView("graft_lat_nation")
+      Tables(s, dir, "customer").createOrReplaceTempView("graft_lat_customer")
+      s.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM graft_lat_nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM graft_lat_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    }
+  )
+
+  val lateralOracle: Map[String, String] = Map(
+    "join_lateral_topn" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+  )
+
   /** PUBLIC API: as-of join — each left row gains the latest right-side
     * payload whose `rightTime` ≤ its `leftTime`, per `keyCol` (the
     * join_asof query parameterized over caller DataFrames). No native
