@@ -74,6 +74,26 @@ object Aggregates {
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
         .where(col("sum_qty") > 15000.0)
         .orderBy(col("l_suppkey"))
+    },
+
+    // boolean aggregates (every_/some_ surface)
+    "agg_bool_suite" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(bool_and(col("value") > 0.0).as("all_pos"),
+          bool_or(col("value") > 400.0).as("any_big"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // array aggregation made deterministic: collect_list has no order
+    // guarantee, so the declared result sorts the array before rendering
+    "agg_collect_sorted" -> { (s, dir) =>
+      Tables(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))
     }
   )
 
@@ -102,6 +122,14 @@ object Aggregates {
       s"""SELECT l_suppkey, ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY l_suppkey
          |HAVING ${sqlDsum("l_quantity")} > 15000.0
-         |ORDER BY l_suppkey""".stripMargin
+         |ORDER BY l_suppkey""".stripMargin,
+    "agg_bool_suite" ->
+      """SELECT event_type, bool_and(value > 0.0) AS all_pos,
+        |bool_or(value > 400.0) AS any_big, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT n_regionkey,
+        |string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
   )
 }
