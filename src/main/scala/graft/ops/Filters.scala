@@ -39,6 +39,20 @@ object Filters {
         .orderBy(col("o_orderkey"))
     },
 
+    // null-safe equality (<=> ≡ IS NOT DISTINCT FROM): NULL <=> NULL is
+    // TRUE, NULL <=> x is FALSE — the semantics dedup/upsert key compares
+    // rely on, distinct from three-valued `=`
+    "filter_null_safe_eq" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("a", when(col("event_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")))
+        .withColumn("b", when(col("event_id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")))
+        .select(col("event_id"), (col("a") <=> col("b")).as("nse"),
+          (col("a") === col("b")).as("eq3v"))
+        .orderBy(col("event_id"))
+    },
+
     // conditional banding with when/otherwise
     "case_when_derive" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -71,6 +85,13 @@ object Filters {
          |            WHEN o_totalprice < 200000 THEN 'medium'
          |            ELSE 'large' END AS tier,
          |count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
-         |FROM orders GROUP BY 1 ORDER BY tier""".stripMargin
+         |FROM orders GROUP BY 1 ORDER BY tier""".stripMargin,
+    "filter_null_safe_eq" ->
+      """WITH t AS (SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS a,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS b
+        |  FROM events)
+        |SELECT event_id, a IS NOT DISTINCT FROM b AS nse, a = b AS eq3v
+        |FROM t ORDER BY event_id""".stripMargin
   )
 }
