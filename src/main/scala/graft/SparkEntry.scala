@@ -14,7 +14,6 @@ object SparkEntry {
     (ops.Scans.queries, ops.Scans.oracle),
     (ops.Filters.queries, ops.Filters.oracle),
     (ops.Joins.queries, ops.Joins.oracle),
-    (ops.Joins.lateralQueries, ops.Joins.lateralOracle),
     (ops.Aggregates.queries, ops.Aggregates.oracle),
     (ops.Windows.queries, ops.Windows.oracle),
     (ops.SortSet.queries, ops.SortSet.oracle),

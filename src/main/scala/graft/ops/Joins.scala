@@ -141,6 +141,30 @@ object Joins {
         .orderBy(col("n_name"))
     },
 
+    // Correlated LATERAL join (top-N per group through the SQL surface):
+    // for each nation, its top-2 customers by balance. Catalyst
+    // decorrelates the lateral subquery into a WindowGroupLimit + join
+    // plan — no per-row re-execution (PLANS.md). View names are keyed by
+    // the sf dir and dropped once the plan is analyzed, so concurrent
+    // builders for different dirs can't cross-resolve and nothing leaks
+    // into the shared session catalog.
+    "join_lateral_topn" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (nv, cv) = (s"graft_lat_nation_$tag", s"graft_lat_customer_$tag")
+      Tables(s, dir, "nation").createOrReplaceTempView(nv)
+      Tables(s, dir, "customer").createOrReplaceTempView(cv)
+      val df = s.sql(s"""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM $nv n,
+        LATERAL (SELECT c_name, c_acctbal FROM $cv c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+      s.catalog.dropTempView(nv)
+      s.catalog.dropTempView(cv)
+      df
+    },
+
     "join_full_outer" -> { (s, dir) =>
       val od = Tables(s, dir, "orders")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
@@ -196,6 +220,13 @@ object Joins {
         |FROM od JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_lateral_topn" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
     "join_full_outer" ->
       s"""WITH od AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, ${sqlDsum("o_totalprice")} AS order_total
          |            FROM orders GROUP BY 1),
@@ -204,36 +235,6 @@ object Joins {
          |SELECT coalesce(od.d, ed.d) AS d, order_total, event_total
          |FROM od FULL OUTER JOIN ed ON od.d = ed.d
          |ORDER BY d""".stripMargin
-  )
-
-  /** Correlated LATERAL join (top-N per group through the SQL surface):
-    * for each nation, its top-2 customers by balance. Catalyst decorrelates
-    * the lateral subquery into a window/join plan — no per-row re-execution
-    * — so the declared semantics survive scale-up like any other plan.
-    * Registered under [[lateralQueries]] and merged by SparkEntry via the
-    * Joins maps. */
-  val lateralQueries: Map[String, Q] = Map(
-    "join_lateral_topn" -> { (s, dir) =>
-      Tables(s, dir, "nation").createOrReplaceTempView("graft_lat_nation")
-      Tables(s, dir, "customer").createOrReplaceTempView("graft_lat_customer")
-      s.sql("""
-        SELECT n.n_name, t.c_name, t.c_acctbal
-        FROM graft_lat_nation n,
-        LATERAL (SELECT c_name, c_acctbal FROM graft_lat_customer c
-                 WHERE c.c_nationkey = n.n_nationkey
-                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
-        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
-    }
-  )
-
-  val lateralOracle: Map[String, String] = Map(
-    "join_lateral_topn" ->
-      """SELECT n.n_name, t.c_name, t.c_acctbal
-        |FROM nation n,
-        |LATERAL (SELECT c_name, c_acctbal FROM customer c
-        |         WHERE c.c_nationkey = n.n_nationkey
-        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
-        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
   )
 
   /** PUBLIC API: as-of join — each left row gains the latest right-side
