@@ -42,6 +42,30 @@ object GraftOps {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     llm.Dedup.candidatesFromArrays(llm.Dedup.shingleArrays(df, idCol, textCol, n))
 
+  /** one-call VERIFIED near-dups: LSH candidates + exact n-gram Jaccard
+    * ≥ threshold → (doc_a, doc_b, jaccard). Join strategy is unhinted —
+    * AQE broadcasts the candidate side while it is small and degrades to
+    * shuffle joins when it is not. */
+  def jaccardDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.least
+    val da = llm.Dedup.shingleArrays(df, idCol, textCol, n, dedup = true)
+    llm.Dedup.verifyCandidates(da, llm.Dedup.candidatesFromArrays(da),
+      "jaccard", threshold,
+      (common, na, nb) => common.cast("double") / (na + nb - common))
+  }
+
+  /** same machinery scored by containment |A∩B|/min(|A|,|B|) — catches
+    * near-subset documents (boilerplate-wrapped copies) Jaccard dilutes. */
+  def containmentDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.least
+    val da = llm.Dedup.shingleArrays(df, idCol, textCol, n, dedup = true)
+    llm.Dedup.verifyCandidates(da, llm.Dedup.candidatesFromArrays(da),
+      "containment", threshold,
+      (common, na, nb) => common.cast("double") / least(na, nb))
+  }
+
   /** open-vocabulary deterministic string id (polynomial hash, no
     * dictionary state; mirrored exactly by the DuckDB-side list_reduce). */
   def stringId(c: Column): Column = llm.Dedup.shingleId(c)
@@ -55,9 +79,28 @@ object GraftOps {
   /** codegen'd dot product of two unit vectors (= cosine). */
   def cosine(a: Column, b: Column): Column = llm.Similarity.cosine(a, b)
 
-  /** exact top-k neighbours; inputs carry (qid, qv) / (vec_id, v). */
+  /** exact top-k neighbours; inputs carry (qid, qv) / (vec_id, v).
+    * Brute-force kernel (|queries|×|candidates| dot products) — bound the
+    * query batch, or use [[knnBlocked]] / [[annIvf]] for open query sets. */
   def knn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
     llm.Similarity.topKNeighbors(queries, candidates, k)
+
+  /** exact top-k neighbours within a blocking column — pair fan-out
+    * bounded by the block, shuffles on the block key. */
+  def knnBlocked(queries: DataFrame, candidates: DataFrame,
+      blockCol: String, k: Int): DataFrame =
+    llm.Similarity.topKNeighborsBlocked(queries, candidates, blockCol, k)
+
+  /** IVF-style ANN: assign vectors to their nearest centroid, probe the
+    * nProbe best clusters per query; centroid-set size is the scale knob
+    * (≈√N), decoupled from the table via [[ivfCentroids]]. */
+  def annIvf(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame =
+    llm.Similarity.annIvf(vectors, queries, centroids, nProbe, k)
+
+  /** deterministic fixed-size centroid sample for [[annIvf]]. */
+  def ivfCentroids(vectors: DataFrame, num: Int): DataFrame =
+    llm.Similarity.ivfCentroids(vectors, num)
 
   /** pairs within a blocking column whose cosine ≥ threshold. */
   def cosineThresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame =
@@ -67,9 +110,12 @@ object GraftOps {
 
   /** connected components of an undirected pair list → (node, component);
     * turns near-dup candidate PAIRS into the transitive dedup CLUSTERS a
-    * keep-one-per-group policy needs. */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    llm.Dedup.connectedComponents(pairs, aCol, bCol)
+    * keep-one-per-group policy needs. Per-round checkpointing is LOCAL by
+    * default (fast, not executor-loss-safe); pass `checkpointDir` (HDFS/
+    * object-store path) for reliable checkpoints on a real cluster. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 20, checkpointDir: Option[String] = None): DataFrame =
+    llm.Dedup.connectedComponents(pairs, aCol, bCol, maxRounds, checkpointDir)
 
   /** apply a change feed over a base table, highest version wins per key —
     * one hash aggregate, no window. */

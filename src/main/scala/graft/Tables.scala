@@ -49,9 +49,16 @@ object Tables {
     * seconds (BIGINT) — immune to precision/printing differences. */
   def epochS(c: Column): Column = unix_timestamp(c)
 
-  /** THE scratch-path convention: gitignored, per-(kind, sf-dir) so runs
-    * against different scale factors never clobber each other. Every query
-    * that writes a layout before reading it back goes through here. */
+  /** THE scratch-path convention: gitignored, per-(kind, sf-dir, JVM) so
+    * runs against different scale factors never clobber each other AND two
+    * concurrent JVMs against the same repo (e.g. a Verify racing a Bench)
+    * never overwrite under each other's reads — the bucketed-table catalog
+    * check is JVM-local, so without the pid key each process saw "table
+    * missing" and raced the rewrite. Every query that writes a layout
+    * before reading it back goes through here. Dirs accumulate per JVM
+    * run (tens of MB at sf0.1) under gitignored target/; `sbt clean` or a
+    * target/ wipe reclaims them. */
   def scratchDir(kind: String, dir: String): String =
-    s"target/graft_scratch/${kind}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"target/graft_scratch/p${ProcessHandle.current().pid()}_${kind}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
 }

@@ -66,7 +66,13 @@ object Validate {
             // distinct over a STRUCT of the key columns: a struct with NULL
             // fields is itself non-NULL, so NULL-keyed rows count as values
             // instead of being dropped (bare countDistinct would report
-            // every NULL-keyed row as a duplicate)
+            // every NULL-keyed row as a duplicate). ORACLE MIRROR CAVEAT:
+            // the textbook count(*) - count(DISTINCT key) DROPS NULL keys,
+            // so on a nullable key it undercounts vs this rule — a DuckDB
+            // mirror must write count(DISTINCT ROW(key...)) (or coalesce
+            // the key) to agree; the declared validate_constraints query
+            // only matches the plain pattern because its injected dirt
+            // never nulls the unique key.
             (count(lit(1)) - countDistinct(struct(cs.map(col): _*))).as(s"r$i")
           case (Rule.NotNull(c), i) =>
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"r$i")

@@ -69,6 +69,18 @@ object Dedup {
   private def docArrays(s: SparkSession, dir: String, dedup: Boolean = false): DataFrame =
     shingleArrays(Tables(s, dir, "documents"), "doc_id", "text", 3, dedup)
 
+  /** Memoized PERSISTED distinct-shingle arrays per (session, dir): the
+    * verify path is reached by two declared queries (jaccard, containment)
+    * plus every-query sweeps (PlanSpec, Verify, Bench) — per-call persist()
+    * registered a fresh cache entry each time that only LRU eviction
+    * reclaimed. One persisted copy per (session, dir) instead. */
+  private val daCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def docArraysCached(s: SparkSession, dir: String): DataFrame =
+    daCache.synchronized {
+      daCache.getOrElseUpdate((s, dir), docArrays(s, dir, dedup = true).persist())
+    }
+
   /** shingle string → deterministic id: open-vocab polynomial hash.
     * (The declared queries now hash inside MinHashSig/SimHashVec; this
     * Column form is the composable building block for custom pipelines.) */
@@ -204,11 +216,12 @@ object Dedup {
 
     // exact trigram Jaccard, verified ONLY over MinHash-LSH candidates.
     // The per-doc DISTINCT shingle arrays feed both the signatures and the
-    // verification: candidate pairs pull the two arrays back via broadcast
-    // joins (the candidate set is LSH-small) and the intersection size is
-    // one native array_intersect per pair — no exploded shingle join at
-    // all. Cache lifetime: LRU eviction — built once per Verify/Bench
-    // session; long-lived services should unpersist.
+    // verification: candidate pairs pull the two arrays back via unhinted
+    // joins (AQE broadcasts the LSH-small candidate side at runtime; at
+    // 100 TB the same plan degrades to shuffle joins) and the intersection
+    // size is one native array_intersect per pair — no exploded shingle
+    // join at all. The arrays are persisted ONCE per (session, dir)
+    // (docArraysCached); long-lived services should unpersist.
     "dedup_ngram_jaccard" -> { (s, dir) =>
       verifiedPairs(s, dir, "jaccard", 0.3,
         (common, na, nb) => common.cast("double") / (na + nb - common))
@@ -237,24 +250,36 @@ object Dedup {
     }
   )
 
-  /** Exact set-overlap verification over the LSH candidate pairs: one
-    * `array_intersect` per candidate, scored by `score(common, |A|, |B|)`
-    * (Jaccard, containment, …), rounded to 6 and thresholded. At an
-    * adversarial 100 TB (candidate set too big to broadcast), drop the
-    * two broadcast() hints: the same plan runs as shuffle hash joins on
-    * doc_id with the shingle arrays carried once each. */
-  private def verifiedPairs(s: SparkSession, dir: String, scoreName: String,
+  /** PUBLIC API: exact set-overlap verification of candidate pairs against
+    * per-doc DISTINCT shingle arrays (`da` in [[shingleArrays]] shape with
+    * dedup=true, `cand` as (doc_a, doc_b)): one `array_intersect` per
+    * candidate, scored by `score(common, |A|, |B|)` (Jaccard, containment,
+    * …), rounded to 6 and thresholded.
+    *
+    * Join strategy is deliberately UNHINTED: at bench scale AQE broadcasts
+    * the LSH-small candidate side at runtime (PlanSpec asserts the final
+    * adaptive plan does), and at an adversarial 100 TB — candidate set too
+    * big for any broadcast ceiling — the SAME code degrades to shuffle
+    * joins on doc_id with the shingle arrays carried once each, instead of
+    * OOMing the driver on a hardcoded broadcast() hint. */
+  def verifyCandidates(da: DataFrame, cand: DataFrame, scoreName: String,
       threshold: Double, score: (Column, Column, Column) => Column): DataFrame = {
-    val da = docArrays(s, dir, dedup = true).persist()
-    val cand = candidatesFromArrays(da).select(col("doc_a"), col("doc_b"))
     val withA = da.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val withB = da.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-    withB.join(broadcast(withA.join(broadcast(cand), "doc_a")), "doc_b")
+    withB.join(withA.join(cand.select(col("doc_a"), col("doc_b")), "doc_a"), "doc_b")
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn(scoreName,
         round(score(col("common"), size(col("sha")), size(col("shb"))), 6))
       .where(col(scoreName) >= threshold)
       .select(col("doc_a"), col("doc_b"), col(scoreName))
+  }
+
+  /** declared-query wrapper: memoized arrays → LSH candidates → verify. */
+  private def verifiedPairs(s: SparkSession, dir: String, scoreName: String,
+      threshold: Double, score: (Column, Column, Column) => Column): DataFrame = {
+    val da = docArraysCached(s, dir)
+    val cand = candidatesFromArrays(da)
+    verifyCandidates(da, cand, scoreName, threshold, score)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -285,30 +310,35 @@ object Dedup {
     * iterative-algorithm convergence scalar, not a data collect. Throws if
     * the round budget is exhausted rather than returning split components
     * (maxRounds counts the fused init plus at least one confirm round, so
-    * it must be ≥ 2). The result is LOCALLY checkpointed: lineage is
-    * truncated, so on a cluster that loses an executor the blocks are not
-    * recomputable — a production 100 TB run should set a checkpoint dir
-    * and swap in reliable `DataFrame.checkpoint` (same call shape). Per-
-    * round label copies are node-sized and reclaimed by the ContextCleaner
+    * it must be ≥ 2). Checkpointing (required — the compression self-join
+    * doubles the logical plan per round): by default LOCAL, which is fast
+    * but not recomputable after executor loss; pass `checkpointDir` (an
+    * HDFS/object-store path on a cluster) to switch every round to
+    * reliable `DataFrame.checkpoint` — the fault-tolerant mode a 100 TB
+    * run needs, same call shape, verified by PropertiesSpec. Per-round
+    * label copies are node-sized and reclaimed by the ContextCleaner
     * as each round's reference is dropped; edges are unpersisted here even
     * on failure.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
     require(maxRounds >= 2, "maxRounds must be >= 2 (init + one confirm round)")
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     // fused round 1: lab₀ = min(node, min neighbor) straight off the edge
     // list — one agg instead of join+union+agg, and dedup graphs (cliques)
     // usually converge here, leaving the loop a single confirm round.
-    // localCheckpoint (not persist) each round: the compression SELF-join
+    // checkpoint (not persist) each round: the compression SELF-join
     // doubles the logical plan per round, so without lineage truncation the
-    // driver-side plan grows 2^rounds — checkpointing keeps it flat (the
-    // loop-local analogue of the reliable `checkpoint` a 100 TB run uses).
-    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-      .select(col("src").as("node"), least(col("mn"), col("src")).as("lab"))
-      .localCheckpoint()
+    // driver-side plan grows 2^rounds — checkpointing keeps it flat
+    // (local by default; reliable when checkpointDir is set).
+    var labels = save(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"), least(col("mn"), col("src")).as("lab")))
     var done = false
     var rounds = 1
     try {
@@ -320,8 +350,8 @@ object Dedup {
         // compression: every label is itself a node, so lab(lab) exists and
         // lab(lab) ≤ lab — following one extra hop halves chain depth
         val byLab = fused.select(col("node").as("ln"), col("lab").as("lab2"))
-        val next = fused.join(byLab, fused("lab") === byLab("ln"))
-          .select(fused("node"), col("lab2").as("lab")).localCheckpoint()
+        val next = save(fused.join(byLab, fused("lab") === byLab("ln"))
+          .select(fused("node"), col("lab2").as("lab")))
         done = next.join(labels.withColumnRenamed("lab", "old"), "node")
           .where(col("lab") < col("old")).isEmpty
         labels = next

@@ -17,11 +17,14 @@ import org.apache.spark.sql.expressions.Window
   * expression shape is mirrored against DuckDB list_dot_product /
   * list_transform so the doubles agree bit-for-bit before round(…, 6).
   *
-  * Scale: `sim_cosine_pairs` blocks on `label`; `sim_knn_topk` is the
-  * brute-force baseline kernel (per-partition top-k then merge);
+  * Scale: `sim_cosine_pairs` and `sim_knn_topk` block on `label` (pair
+  * fan-out bounded by the block, plans shuffle on the block key);
+  * `topKNeighbors` is the open-corpus brute-force kernel kept as the
+  * documented baseline API (crossJoin — callers bound the query batch);
   * `sim_ann_ivf` is the scale path — assign every vector to its nearest
-  * centroid, probe only the best 2 clusters per query (REPOSE-style
-  * reference-point partitioning, PAPERS.md).
+  * centroid, probe only the best `nProbe` clusters per query (REPOSE-style
+  * reference-point partitioning, PAPERS.md), centroid count decoupled
+  * from table size via [[ivfCentroids]].
   */
 object Similarity {
 
@@ -64,13 +67,74 @@ object Similarity {
 
   /** PUBLIC API: exact top-k neighbours per query. `queries`/`candidates`
     * carry unit vectors from [[withUnit]] as (qid, qv) / (vec_id, v);
-    * per-partition heap + merge via row_number, never a global sort. */
+    * per-partition heap + merge via row_number, never a global sort.
+    * This is the documented BRUTE-FORCE kernel — |queries|×|candidates|
+    * dot products by construction; callers own bounding one side (a fixed
+    * query batch). For an open-ended query set use
+    * [[topKNeighborsBlocked]] or the IVF path ([[annIvf]]). */
   def topKNeighbors(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     queries.crossJoin(candidates).where(col("vec_id") =!= col("qid"))
       .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** PUBLIC API: exact top-k neighbours WITHIN a blocking column — the
+    * bounded form of [[topKNeighbors]]: the pair generation is an
+    * equi-join on `blockCol`, so per-query fan-out is the block size, not
+    * the corpus, and both sides shuffle/scale out on the block key.
+    * `queries` carry (qid, blockCol, qv); `candidates` (vec_id, blockCol, v). */
+  def topKNeighborsBlocked(queries: DataFrame, candidates: DataFrame,
+      blockCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    queries.join(candidates, Seq(blockCol)).where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** PUBLIC API: deterministic fixed-SIZE centroid sample for [[annIvf]] —
+    * rank vectors by a multiplicative hash of `vec_id` and keep the first
+    * `num` (TakeOrderedAndProject: only `num` rows survive, never a global
+    * sort). |centroids| is the caller's knob, DECOUPLED from table size —
+    * √N is the classic IVF choice; a modulus-style predicate would grow
+    * the centroid set (and its broadcast) linearly with the table. */
+  def ivfCentroids(vectors: DataFrame, num: Int): DataFrame =
+    vectors
+      .orderBy(pmod(col("vec_id") * 2654435761L, lit(4294967296L)), col("vec_id"))
+      .limit(num)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** PUBLIC API: IVF-style approximate nearest neighbours. `vectors`
+    * (vec_id, v) are assigned to their nearest centroid ONCE (one
+    * broadcast of the centroid set; max_by keeps the argmax partial-
+    * aggregable, so only |vectors| rows shuffle); each query probes its
+    * `nProbe` best clusters and ranks exactly inside them. `queries` is
+    * the small side by design (a query batch) — it broadcasts so the
+    * vector table streams map-side and never shuffles on cluster id. */
+  def annIvf(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val assigned = vectors.crossJoin(broadcast(centroids))
+      .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
+      .select(col("vec_id"), col("v"), col("cid"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("qcos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes).join(assigned, "cid")
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
   }
 
   /** PUBLIC API: all pairs within `blockCol` whose cosine ≥ threshold;
@@ -96,12 +160,18 @@ object Similarity {
         .limit(100)
     },
 
-    // brute-force exact kNN: queries = vec_id % 50 = 0, k = 5
+    // exact kNN bounded BY CONSTRUCTION: neighbours are sought within the
+    // query's label block (equi-join on label), so per-query fan-out is
+    // the block size and the plan scales out on the block key — the
+    // query set (vec_id % 50 = 0) can grow with the table without the
+    // plan going quadratic on the corpus. The open-corpus crossJoin
+    // kernel stays available as [[topKNeighbors]] (documented brute-force
+    // baseline) but is no longer a declared plan.
     "sim_knn_topk" -> { (s, dir) =>
       val q = vecs(s, dir).where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val c = vecs(s, dir).select(col("vec_id"), col("v"))
-      topKNeighbors(q, c, 5)
+        .select(col("vec_id").as("qid"), col("label"), col("v").as("qv"))
+      val c = vecs(s, dir).select(col("vec_id"), col("label"), col("v"))
+      topKNeighborsBlocked(q, c, "label", 5)
         .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
         .orderBy(col("qid"), col("rank"))
     },
@@ -121,40 +191,18 @@ object Similarity {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // IVF-style ANN: centroids = vec_id % 97 = 0; every vector is assigned
-    // to its nearest centroid; each query probes its 2 best clusters only.
+    // IVF-style ANN through the [[annIvf]] kernel; the DECLARED query pins
+    // centroids = vec_id % 97 = 0 so the DuckDB oracle is deterministic —
+    // the kernel itself takes ANY centroid set, and the production choice
+    // is [[ivfCentroids]](vectors, ≈√N), whose size does not grow with the
+    // table (GraftOpsSpec exercises a non-default count).
     "sim_ann_ivf" -> { (s, dir) =>
       val all = vecs(s, dir)
       val cents = all.where(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      // nearest-centroid assignment as a map-side-combinable aggregate:
-      // max_by over (ccos, -cid) ≡ the (ccos DESC, cid ASC) argmin window,
-      // but partial aggregation collapses the ×|centroids| inflation BEFORE
-      // the shuffle — only |vectors| rows move (the window form shuffled
-      // all inflated rows, then sorted each group).
-      val assigned = all.crossJoin(broadcast(cents))
-        .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
-        .groupBy(col("vec_id"))
-        .agg(first(col("v")).as("v"),
-          max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
-        .select(col("vec_id"), col("v"), col("cid"))
-      val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
-      val probes = all.where(col("vec_id") % 50 === 0)
+      val probesQ = all.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("qcos", round(cosine(col("qv"), col("cv")), 6))
-        .withColumn("prn", row_number().over(wProbe))
-        .where(col("prn") <= 2)
-        .select(col("qid"), col("qv"), col("cid"))
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      // the probe set is |queries|×2 rows — broadcast it so `assigned`
-      // (every vector) streams map-side instead of shuffling on cid
-      broadcast(probes).join(assigned, "cid")
-        .where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
-        .withColumn("rank", row_number().over(wTop))
-        .where(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      annIvf(all.select(col("vec_id"), col("v")), probesQ, cents, 2, 5)
         .orderBy(col("qid"), col("rank"))
     }
   )
@@ -168,10 +216,10 @@ object Similarity {
          |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin,
     "sim_knn_topk" ->
       s"""WITH e AS ($sqlVecs),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id AS qid, label, v AS qv FROM e WHERE vec_id % 50 = 0),
          |scored AS (SELECT qid, e.vec_id,
          |    round(${cosSql("qv", "e.v")}, 6) AS cos
-         |  FROM q CROSS JOIN e WHERE e.vec_id <> qid),
+         |  FROM q JOIN e USING (label) WHERE e.vec_id <> qid),
          |ranked AS (SELECT qid, vec_id, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
          |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5

@@ -24,6 +24,9 @@ object Joins {
 
   private val bucketUs = 300000000L // 5 minutes in microseconds
 
+  /** per-invocation suffix for join_lateral_topn's short-lived temp views. */
+  private val lateralSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   val queries: Map[String, Q] = Map(
     "join_inner_hash" -> { (s, dir) =>
       val orders = Tables(s, dir, "orders")
@@ -144,12 +147,15 @@ object Joins {
     // Correlated LATERAL join (top-N per group through the SQL surface):
     // for each nation, its top-2 customers by balance. Catalyst
     // decorrelates the lateral subquery into a WindowGroupLimit + join
-    // plan — no per-row re-execution (PLANS.md). View names are keyed by
-    // the sf dir and dropped once the plan is analyzed, so concurrent
-    // builders for different dirs can't cross-resolve and nothing leaks
-    // into the shared session catalog.
+    // plan — no per-row re-execution (PLANS.md). View names carry a
+    // per-INVOCATION unique suffix (besides the sf-dir tag) and are
+    // dropped once the plan is analyzed: two concurrent builders — even
+    // for the SAME dir, e.g. Verify and Bench sharing one JVM — can
+    // never drop each other's views between createOrReplaceTempView and
+    // s.sql, and nothing leaks into the shared session catalog.
     "join_lateral_topn" -> { (s, dir) =>
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + lateralSeq.incrementAndGet()
       val (nv, cv) = (s"graft_lat_nation_$tag", s"graft_lat_customer_$tag")
       Tables(s, dir, "nation").createOrReplaceTempView(nv)
       Tables(s, dir, "customer").createOrReplaceTempView(cv)
@@ -250,13 +256,20 @@ object Joins {
     * resurrect older non-null values and stitch columns from different
     * rows). Among right rows sharing one (key, time) µs the carried row
     * is arbitrary — callers needing total determinism must make times
-    * unique per key. Output column names `asof_<payload>`; `__t`/`__side`/
-    * `__r`/`asof_*` are reserved and must not exist on the inputs. */
+    * unique per key. NULL keys: matching runs through a window
+    * PARTITIONED on `keyCol`, so NULL keys group TOGETHER — a NULL-key
+    * left row picks up the latest NULL-key right payload (null-safe
+    * `<=>` semantics, NOT the equi-join rule where NULL never matches);
+    * pre-filter NULL keys for equi-join behaviour. Output column names
+    * `asof_<payload>`; `__t`/`__side`/`__r`/`asof_*` are reserved and
+    * must not exist on EITHER input. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
     val reserved = Seq("__t", "__side", "__r", "__asof") ++ payloadCols.map(c => s"asof_$c")
     require(!left.columns.exists(reserved.contains),
       s"left input carries a reserved asofJoin column (${reserved.mkString(", ")})")
+    require(!right.columns.exists(reserved.contains),
+      s"right input carries a reserved asofJoin column (${reserved.mkString(", ")})")
     val lCols = left.columns.filterNot(_ == keyCol).toSeq
     val rStructT = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => right.schema(c)))

@@ -54,6 +54,66 @@ class GraftOpsSpec extends SparkSuite {
     assert(cc.length == 60 && cc.forall(_._2 == 1L))
   }
 
+  test("connectedComponents converges with reliable checkpointing enabled") {
+    // the 100 TB mode: checkpointDir set → per-round df.checkpoint()
+    // (recomputable after executor loss) instead of localCheckpoint
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = GraftOps.connectedComponents(pairs, "a", "b",
+        checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 60 && cc.forall(_._2 == 1L))
+  }
+
+  test("jaccardDuplicates verifies the planted near-dup with its exact score") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "phi chi psi omega aleph bet gimel dalet he vav"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.stripSuffix("vav") + "zayin"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("id", "body")
+    val rows = GraftOps.jaccardDuplicates(docs, "id", "body", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 30 tokens → 28 trigrams, last one changed: |A∩B|=27, |A∪B|=29
+    assert(rows.toSeq == Seq((1L, 2L, math.rint(27.0 / 29.0 * 1e6) / 1e6)))
+  }
+
+  test("knnBlocked searches only inside the query's block") {
+    val vecs = GraftOps.withUnitVector(
+      Seq((1L, "x", Seq(1.0f, 0.0f)), (2L, "y", Seq(0.9f, 0.1f)),
+        (3L, "x", Seq(0.0f, 1.0f)), (4L, "x", Seq(0.5f, 0.5f)))
+        .toDF("vec_id", "grp", "emb"), col("emb"))
+      .select(col("vec_id"), col("grp"), col("v"))
+    val q = vecs.where(col("vec_id") === 1)
+      .select(col("vec_id").as("qid"), col("grp"), col("v").as("qv"))
+    val top = GraftOps.knnBlocked(q, vecs, "grp", 1)
+      .select("vec_id").head().getLong(0)
+    // vector 2 is geometrically nearest but lives in block "y" — the
+    // nearest IN-BLOCK neighbour is 4
+    assert(top == 4L)
+  }
+
+  test("ivfCentroids size is the caller's knob, decoupled from table size") {
+    val vecs = GraftOps.withUnitVector(
+      (1L to 40L).map(i => (i, Seq(i.toFloat, (41 - i).toFloat)))
+        .toDF("vec_id", "emb"), col("emb"))
+      .select(col("vec_id"), col("v"))
+    val cents = GraftOps.ivfCentroids(vecs, 4)
+    assert(cents.count() == 4)
+    val q = vecs.where(col("vec_id") <= 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val res = GraftOps.annIvf(vecs, q, cents, nProbe = 2, k = 3).collect()
+    // every query gets up to k ranked neighbours from its probed clusters
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(1L, 2L))
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 3 &&
+        rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+  }
+
   test("upsertLatestWins applies updates and inserts over a base table") {
     val base = Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
       .toDF("key", "name", "amount", "version")

@@ -102,6 +102,22 @@ class PlanSpec extends SparkSuite {
       s"z-order read-back must push both filter keys:\n$pf")
   }
 
+  test("dedup verify joins broadcast ADAPTIVELY (no hardcoded hints)") {
+    // verifiedPairs carries no broadcast() hints — a hardcoded hint OOMs
+    // once the 100 TB candidate set outgrows the broadcast ceiling. The
+    // plan must not regress to shuffling the corpus while the candidate
+    // side is small: AQE must pick broadcast at runtime, which is only
+    // observable on the FINAL adaptive plan (after an action).
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"AQE did not broadcast the small candidate sides:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
