@@ -225,11 +225,11 @@ final case class NormalizeWhitespace(column: String) extends CleanOp {
   * frequent original value of its key (tiebreak smallest). */
 final case class FingerprintCanonicalize(column: String) extends CleanOp {
   def apply(df: DataFrame): DataFrame = {
-    // Guard nulls: concat_ws would map a NULL value to fingerprint "" and
-    // the rewrite would invent a value for it; null fp never equi-joins.
-    val fp = when(col(column).isNotNull, concat_ws(" ",
-      array_sort(array_distinct(split(
-        lower(trim(regexp_replace(col(column), "\\s+", " "))), " ")))))
+    // Guard nulls (inside FingerprintForms.expr): concat_ws would map a
+    // NULL value to fingerprint "" and the rewrite would invent a value
+    // for it; null fp never equi-joins. ONE definition of the fingerprint
+    // key, shared with the §2.14 UDF A/B demo.
+    val fp = graft.functions.FingerprintForms.expr(col(column))
     // canonical per key = min_by over (count DESC, value ASC) — two hash
     // aggregates with map-side partials; no per-key window sort.
     val canon = df.where(col(column).isNotNull)
