@@ -1,11 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram expression (tier-5 escape hatch, SURVEY.md §4).
   *
@@ -14,44 +12,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * (higher-order functions are CodegenFallback) and costs ~3 µs per
   * shingle; at 100 TB of documents the shingle builder IS the dedup
   * pipeline's map-side budget. This expression emits all n-grams of the
-  * token array in one flat loop over ArrayData.
+  * token array in one flat loop over ArrayData ([[TextKernels.wordNgrams]])
+  * and participates in whole-stage codegen: `doGenCode` emits ONE static
+  * kernel call per row — no per-row `eval()` dispatch, no interpreted
+  * child evaluation (round 5; previously CodegenFallback).
   *
   * Output order and content are identical to the HOF form, so DuckDB
   * oracles (window-lead formulation) keep matching.
   */
-case class WordNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  private val sep = UTF8String.fromString(" ")
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val total = toks.numElements()
-    val out = total - n + 1
-    if (out <= 0) new GenericArrayData(Array.empty[Any])
-    else {
-      val res = new scala.collection.mutable.ArrayBuffer[Any](out)
-      val window = new Array[UTF8String](n)
-      var i = 0
-      while (i < out) {
-        var k = 0
-        var ok = true
-        while (k < n) {
-          // a window containing a null token yields NO shingle — the
-          // lead()-based formulation null-poisons and DROPS it, and
-          // concatWs would otherwise silently emit a SHORTENED n-gram
-          if (toks.isNullAt(i + k)) ok = false
-          else window(k) = toks.getUTF8String(i + k)
-          k += 1
-        }
-        if (ok) res += UTF8String.concatWs(sep, window.toIndexedSeq: _*)
-        i += 1
-      }
-      new GenericArrayData(res.toArray)
-    }
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordNgrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.wordNgrams($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -66,40 +44,21 @@ case class WordNgrams(child: Expression, n: Int)
   * map-side result instead ships one row per DISTINCT (doc, word), which
   * is what every downstream consumer (tf-idf, df, lexicon join, language
   * profiles) actually keys on. At 100 TB that cuts the first text-stage
-  * shuffle by the average within-doc repetition factor.
+  * shuffle by the average within-doc repetition factor. Codegen'd via a
+  * static [[TextKernels.tokenCounts]] call (round 5).
   */
-case class TokenCounts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TokenCounts(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("word", StringType, nullable = false),
       StructField("cnt", LongType, nullable = false))), containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
-    var i = 0
-    while (i < n) {
-      // null tokens are absent, matching the exploded form's null-drop
-      if (!arr.isNullAt(i)) {
-        val w = arr.getUTF8String(i)
-        val prev = m.get(w)
-        if (prev == null) m.put(w.clone(), java.lang.Long.valueOf(1L))
-        else m.put(w, java.lang.Long.valueOf(prev.longValue() + 1L))
-      }
-      i += 1
-    }
-    val out = new Array[Any](m.size())
-    val it = m.entrySet().iterator()
-    var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue.longValue()))
-      j += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.tokenCounts($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -118,42 +77,26 @@ case class TokenCounts(child: Expression)
   * At 100 TB this moves the whole signature phase from a
   * (docs × shingles)-row explode + shuffle to a per-doc map — the only
   * remaining shuffle in MinHash-LSH is the tiny (band, sig) equi-join.
+  * Codegen'd via a static [[TextKernels.minHashSig]] call (round 5);
+  * the kernel may return null (empty array), so generated code updates
+  * `isNull` after the call.
   */
 case class MinHashSig(child: Expression, k: Int = 16, mult: Long = 31L,
-    mod: Long = 2147483647L) extends UnaryExpression with CodegenFallback {
+    mod: Long = 2147483647L) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) null
-    else {
-      val mins = Array.fill(k)(Long.MaxValue)
-      var any = false
-      var s = 0
-      while (s < n) {
-        // null shingles are absent (the exploded formulation dropped them)
-        if (!arr.isNullAt(s)) {
-          any = true
-          val str = arr.getUTF8String(s).toString
-          var h = 0L
-          var c = 0
-          while (c < str.length) { h = (h * mult + str.charAt(c)) % mod; c += 1 }
-          var i = 0
-          while (i < k) {
-            val v = ((2 * i + 3) * h + (5 * i + 7)) % mod
-            if (v < mins(i)) mins(i) = v
-            i += 1
-          }
-        }
-        s += 1
-      }
-      if (!any) null else new GenericArrayData(mins.map(x => x: Any))
-    }
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minHashSig(input.asInstanceOf[ArrayData], k, mult, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.TextKernels.minHashSig($c, $k, ${mult}L, ${mod}L);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -165,42 +108,24 @@ case class MinHashSig(child: Expression, k: Int = 16, mult: Long = 31L,
   * duplicates) IS the tf weighting — identical to the exploded
   * groupBy(doc,bg).count() formulation the DuckDB oracle mirrors.
   * Null for an empty array (doc shorter than the n-gram width).
+  * Codegen'd via a static [[TextKernels.simHashVec]] call (round 5).
   */
 case class SimHashVec(child: Expression, bits: Int = 32, mult: Long = 31L,
-    mod: Long = 2147483647L) extends UnaryExpression with CodegenFallback {
+    mod: Long = 2147483647L) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) null
-    else {
-      val v = new Array[Long](bits)
-      var any = false
-      var s = 0
-      while (s < n) {
-        // null shingles are absent (the exploded formulation dropped them)
-        if (!arr.isNullAt(s)) {
-          any = true
-          val str = arr.getUTF8String(s).toString
-          var h = 0L
-          var c = 0
-          while (c < str.length) { h = (h * mult + str.charAt(c)) % mod; c += 1 }
-          val t = (h * 737L + 97L) % mod
-          var j = 0
-          while (j < bits) {
-            v(j) += (((t >> j) & 1L) * 2L - 1L)
-            j += 1
-          }
-        }
-        s += 1
-      }
-      if (!any) null else new GenericArrayData(v.map(x => x: Any))
-    }
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simHashVec(input.asInstanceOf[ArrayData], bits, mult, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.TextKernels.simHashVec($c, $bits, ${mult}L, ${mod}L);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -226,7 +151,7 @@ case class StringPolyHash(child: Expression, mult: Long = 31L,
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
     var h = 0L
     var i = 0
     while (i < s.length) { h = (h * mult + s.charAt(i)) % mod; i += 1 }

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The flat-loop kernels behind the native text/dedup expressions —
+  * ONE definition serving BOTH execution modes: `nullSafeEval` calls
+  * these directly (interpreted / fallback paths), and each expression's
+  * `doGenCode` emits a single static call here (Scala top-level objects
+  * expose static forwarders, so Janino-generated Java reaches them
+  * without `$.MODULE$` plumbing). That keeps the expressions inside
+  * whole-stage codegen — no per-row `eval()` dispatch, no interpreted
+  * child evaluation — while the loop logic stays in ordinary JIT-friendly
+  * Scala instead of string-templated Java. Semantics are byte-identical
+  * to the pre-codegen forms (ExpressionsSpec pins them).
+  */
+object TextKernels {
+
+  private val sep = UTF8String.fromString(" ")
+
+  /** all word n-grams of a token array; a window containing a null token
+    * yields NO shingle (the lead()-based formulation null-poisons and
+    * drops it; concatWs would silently emit a SHORTENED n-gram). */
+  def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    val out = total - n + 1
+    if (out <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val res = new scala.collection.mutable.ArrayBuffer[Any](out)
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i < out) {
+        var k = 0
+        var ok = true
+        while (k < n) {
+          if (toks.isNullAt(i + k)) ok = false
+          else window(k) = toks.getUTF8String(i + k)
+          k += 1
+        }
+        if (ok) res += UTF8String.concatWs(sep, window.toIndexedSeq: _*)
+        i += 1
+      }
+      new GenericArrayData(res.toArray)
+    }
+  }
+
+  /** per-document term frequencies, first-occurrence order; null tokens
+    * are absent (matching the exploded form's null-drop). */
+  def tokenCounts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        val prev = m.get(w)
+        if (prev == null) m.put(w.clone(), java.lang.Long.valueOf(1L))
+        else m.put(w, java.lang.Long.valueOf(prev.longValue() + 1L))
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue.longValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** k minhashes of a shingle array; null for empty/all-null input (the
+    * exploded formulation produced no rows for such documents). */
+  def minHashSig(arr: ArrayData, k: Int, mult: Long, mod: Long): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) null
+    else {
+      val mins = Array.fill(k)(Long.MaxValue)
+      var any = false
+      var s = 0
+      while (s < n) {
+        if (!arr.isNullAt(s)) {
+          any = true
+          val str = arr.getUTF8String(s).toString
+          var h = 0L
+          var c = 0
+          while (c < str.length) { h = (h * mult + str.charAt(c)) % mod; c += 1 }
+          var i = 0
+          while (i < k) {
+            val v = ((2 * i + 3) * h + (5 * i + 7)) % mod
+            if (v < mins(i)) mins(i) = v
+            i += 1
+          }
+        }
+        s += 1
+      }
+      if (!any) null else new GenericArrayData(mins.map(x => x: Any))
+    }
+  }
+
+  /** the `bits` tf-weighted SimHash component sums of a shingle array
+    * (iterating duplicates IS the tf weighting); null for empty input. */
+  def simHashVec(arr: ArrayData, bits: Int, mult: Long, mod: Long): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) null
+    else {
+      val v = new Array[Long](bits)
+      var any = false
+      var s = 0
+      while (s < n) {
+        if (!arr.isNullAt(s)) {
+          any = true
+          val str = arr.getUTF8String(s).toString
+          var h = 0L
+          var c = 0
+          while (c < str.length) { h = (h * mult + str.charAt(c)) % mod; c += 1 }
+          val t = (h * 737L + 97L) % mod
+          var j = 0
+          while (j < bits) {
+            v(j) += (((t >> j) & 1L) * 2L - 1L)
+            j += 1
+          }
+        }
+        s += 1
+      }
+      if (!any) null else new GenericArrayData(v.map(x => x: Any))
+    }
+  }
+}
