@@ -66,6 +66,16 @@ object GraftOps {
       (common, na, nb) => common.cast("double") / least(na, nb))
   }
 
+  /** THE one-call corpus dedup: LSH candidates → exact Jaccard verify
+    * ≥ threshold → connected components → keep the min-id doc per cluster,
+    * anti-join the rest out. Returns the surviving rows of `df` unchanged.
+    * Compose the pieces (nearDuplicates / jaccardDuplicates /
+    * connectedComponents) instead when the intermediate pairs or clusters
+    * need inspection. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame =
+    llm.Dedup.dedupCorpus(df, idCol, textCol, threshold, n)
+
   /** open-vocabulary deterministic string id (polynomial hash, no
     * dictionary state; mirrored exactly by the DuckDB-side list_reduce). */
   def stringId(c: Column): Column = llm.Dedup.shingleId(c)

@@ -168,9 +168,50 @@ object Dedup {
       |          AND a.doc_id < b.doc_id
       |         GROUP BY 1, 2)""".stripMargin
 
+  /** shared Jaccard score shape: |A∩B| / |A∪B| over (common, |A|, |B|). */
+  private val jaccardScore: (Column, Column, Column) => Column =
+    (common, na, nb) => common.cast("double") / (na + nb - common)
+
+  /** PUBLIC API: end-to-end corpus dedup — LSH candidates → exact n-gram
+    * Jaccard verify ≥ `threshold` → connected components → keep ONE doc
+    * per cluster (the min id: deterministic canonical) and drop the rest.
+    * This is the operation a training pipeline actually runs; the pieces
+    * (candidates / verify / clusters) stay public for inspection flows.
+    * The corpus itself is never shuffled or widened: losers arrive via a
+    * left_anti join on the id (AQE broadcasts them while small; at 100 TB
+    * the anti-join shuffles on the id — still corpus-linear). */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val da = shingleArrays(df, idCol, textCol, n, dedup = true).persist()
+    val verified = verifyCandidates(da, candidatesFromArrays(da),
+      "jaccard", threshold, jaccardScore)
+    val losers = connectedComponents(
+        verified.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+      .where(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_minhash" -> { (s, dir) =>
       candidates(s, dir).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // the end-to-end dedup: jaccard-verified pairs → transitive clusters →
+    // keep the min-id doc per cluster, anti-join the losers out. Declared
+    // over the session-cached shingle arrays (same memoized pass the
+    // jaccard/containment queries use).
+    "dedup_keep_canonical" -> { (s, dir) =>
+      val da = docArraysCached(s, dir)
+      val verified = verifyCandidates(da, candidatesFromArrays(da),
+        "jaccard", 0.3, jaccardScore)
+      val losers = connectedComponents(
+          verified.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+        .where(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
     },
 
     // 32-bit SimHash over tf-weighted trigram shingles; candidates share ≥1
@@ -366,6 +407,30 @@ object Dedup {
     "dedup_minhash" ->
       s"""WITH $sqlBands
          |SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_keep_canonical" ->
+      s"""WITH RECURSIVE $sqlBands,
+         |sizes AS (SELECT doc_id, count(*) AS nbg FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+         |  FROM cand c JOIN sh ba ON ba.doc_id = c.doc_a
+         |  JOIN sh bb ON bb.doc_id = c.doc_b AND ba.bg = bb.bg
+         |  GROUP BY 1, 2),
+         |vp AS (SELECT c.doc_a, c.doc_b
+         |  FROM cand c LEFT JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  WHERE round(cast(coalesce(m.common, 0) as double)
+         |          / (sa.nbg + sb.nbg - coalesce(m.common, 0)), 6) >= 0.3),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |          UNION ALL SELECT doc_b, doc_a FROM vp),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         |losers AS (SELECT node FROM (SELECT node, min(lab) AS lab FROM reach GROUP BY node)
+         |           WHERE lab <> node)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH pos AS (SELECT doc_id,
         |  unnest(string_split(lower(text), ' ')) AS word,

@@ -80,6 +80,20 @@ class GraftOpsSpec extends SparkSuite {
     assert(rows.toSeq == Seq((1L, 2L, math.rint(27.0 / 29.0 * 1e6) / 1e6)))
   }
 
+  test("dedupCorpus keeps one canonical doc per near-dup cluster") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "phi chi psi omega aleph bet gimel dalet he vav"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.stripSuffix("vav") + "zayin"), // near-dup of 1 → dropped
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("id", "body")
+    val kept = GraftOps.dedupCorpus(docs, "id", "body", 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L)) // min id survives, singleton kept
+  }
+
   test("knnBlocked searches only inside the query's block") {
     val vecs = GraftOps.withUnitVector(
       Seq((1L, "x", Seq(1.0f, 0.0f)), (2L, "y", Seq(0.9f, 0.1f)),

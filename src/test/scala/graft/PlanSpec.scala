@@ -125,6 +125,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("no declared query plans a CONDITIONED BroadcastNestedLoopJoin") {
+    // The unconditioned Cross BNLJ against a broadcast 1-row aggregate is
+    // the documented scalar-stat pattern (fillna_mean etc.) — fine. A BNLJ
+    // WITH a join condition is the scalar-broadcast trap (SCALE.md):
+    // row-at-a-time interpreted filtering, measured 10× on outlier_remove.
+    // In simple tree strings a condition prints as a trailing "(...)".
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, sf).queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+          assert(!l.contains("("), s"$name plans a conditioned BNLJ: $l")
+        }
+    }
+  }
+
   test("dedup signatures are map-side: no shuffle keyed on doc_id before the LSH join") {
     // The r1/r2 plans exploded shingles and shuffled them into a
     // groupBy(doc_id) aggregate; MinHashSig/SimHashVec compute signatures
