@@ -32,4 +32,36 @@ class StatefulSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 110.0, 1L), (1L, 205.0, 2L)))
   }
+
+  test("firstNPerUser admits only the first n rows per key across batches") {
+    // transformWithState (arbitrary-state v2) requires the RocksDB state
+    // store provider; set it for this stream and restore after — the
+    // session is shared JVM-wide across suites.
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Purchase]
+      val q = Stateful.firstNPerUser(mem.toDS(), n = 2)
+        .writeStream.format("memory").queryName("firstn")
+        .outputMode("append").start()
+      mem.addData(Purchase(1, t(0), 10.0), Purchase(1, t(1), 11.0),
+        Purchase(2, t(1), 20.0))
+      q.processAllAvailable()
+      // user 1 already used its quota of 2 — nothing more passes; user 2
+      // has one admission left
+      mem.addData(Purchase(1, t(2), 12.0), Purchase(2, t(3), 21.0),
+        Purchase(2, t(4), 22.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("firstn").orderBy("user_id", "value")
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(out.toSeq == Seq((1L, 10.0), (1L, 11.0), (2L, 20.0), (2L, 21.0)))
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
