@@ -23,6 +23,7 @@ object SparkEntry {
     (ops.Extras2.queries, ops.Extras2.oracle),
     (ops.Extras3.queries, ops.Extras3.oracle),
     (ops.Extras4.queries, ops.Extras4.oracle),
+    (ops.Extras5.queries, ops.Extras5.oracle),
     (llm.Dedup2.queries, llm.Dedup2.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
     (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),
