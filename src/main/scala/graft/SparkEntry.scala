@@ -37,6 +37,7 @@ object SparkEntry {
     (llm.Similarity.queries, llm.Similarity.oracle),
     (llm.Multimodal.queries, llm.Multimodal.oracle),
     (llm.Pipeline.queries, llm.Pipeline.oracle),
+    (llm.Curation.queries, llm.Curation.oracle),
     (streaming.StreamQueries.queries, streaming.StreamQueries.oracle)
   )
 

@@ -1,0 +1,240 @@
+package graft.llm
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-maintenance operators a production training-data pipeline runs
+  * BETWEEN full rebuilds — the operations that make the dedup/similarity
+  * stack usable continuously at 100 TB, not just once:
+  *
+  *  - `dedup_incremental`: dedup a NEW batch of documents against the
+  *    EXISTING corpus without re-pairing the corpus against itself. The
+  *    corpus contributes only its LSH band signatures (4 tiny rows/doc,
+  *    precomputable and storable as a side table), so per-increment work
+  *    is proportional to the BATCH, not the corpus — the whole point of
+  *    incremental ingestion. Candidate generation is a batch-sigs ⋈
+  *    corpus-sigs equi-join on (band, sig); exact n-gram Jaccard verifies
+  *    only those candidates (same verify shape as [[Dedup.verifyCandidates]]).
+  *  - `text_decontaminate`: benchmark decontamination — flag corpus
+  *    documents sharing ≥1 8-gram with an evaluation set (the standard
+  *    guard against test-set leakage into training data). The eval set is
+  *    small BY CONSTRUCTION (benchmarks are MBs, corpora are TBs), so its
+  *    distinct 8-gram set broadcasts and the corpus streams map-side
+  *    through shingle → broadcast-hash join; nothing corpus-sized
+  *    shuffles. 8-grams (not trigrams) so incidental phrase reuse doesn't
+  *    flag; only real overlap does.
+  *  - `pipeline_mix_epochs`: dataset mixing by UP-sampling — replicate
+  *    each source `epochs(source)` times (explode of a 1..n sequence, no
+  *    rand(), no shuffle before the stats agg). Downsampling mixtures are
+  *    `sample_stratified`; this is the complementary lever when a
+  *    high-quality source must be over-represented.
+  *  - `sim_ann_quantized`: two-stage ANN with int8 scalar quantization —
+  *    rank candidates by the cheap quantized dot product (4× smaller
+  *    vectors: memory-bandwidth, cache, and shuffle-size win at 100 TB),
+  *    then exact-rescore only the top-10 to emit the top-3. Quantized
+  *    values are integer-valued doubles, so the approximate score is
+  *    bit-deterministic and the DuckDB oracle mirrors it exactly.
+  */
+object Curation {
+
+  /** PUBLIC API: dedup a new `batch` against an existing `corpus` — both
+    * carry (`idCol`, `textCol`); returns the batch rows that are NOT a
+    * near-duplicate (n-gram Jaccard ≥ `threshold`) of any corpus doc.
+    * Corpus-side inputs to the candidate join are the LSH band signatures
+    * only; a production pipeline precomputes and stores them once per
+    * corpus (they are 4 rows of (id, band, sig) per doc), making each
+    * increment's cost ∝ |batch|. Batch-batch duplicates are intentionally
+    * NOT examined here — run [[Dedup.dedupCorpus]] over the batch first if
+    * arrivals can self-duplicate. */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int = 3): DataFrame = {
+    val ca = Dedup.shingleArrays(corpus, idCol, textCol, n, dedup = true)
+    val ba = Dedup.shingleArrays(batch, idCol, textCol, n, dedup = true)
+    val cand = Dedup.bandSigsFromArrays(ba)
+      .select(col("doc_id").as("b_id"), col("band"), col("sig"))
+      .join(Dedup.bandSigsFromArrays(ca)
+        .select(col("doc_id").as("c_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("b_id"), col("c_id")).distinct()
+    // exact verify over candidates only; joins stay UNHINTED — AQE
+    // broadcasts the LSH-small candidate side at bench scale, and at an
+    // adversarial corpus size the same plan degrades to shuffle joins on
+    // the id (same policy as Dedup.verifyCandidates)
+    val withB = ba.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+    val withC = ca.select(col("doc_id").as("c_id"), col("sh").as("shc"))
+    val rejected = withC.join(withB.join(cand, "b_id"), "c_id")
+      .withColumn("common", size(array_intersect(col("shb"), col("shc"))).cast("long"))
+      .where(round(col("common").cast("double")
+        / (size(col("shb")) + size(col("shc")) - col("common")), 6) >= threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    batch.join(rejected, Seq(idCol), "left_anti")
+  }
+
+  /** PUBLIC API: flag docs in `corpus` sharing at least one word-`n`-gram
+    * with any doc in `evalSet` (benchmark decontamination). Returns
+    * (`idCol`, n_shared = distinct shared n-grams). The eval n-gram set is
+    * broadcast — callers own that the eval side is benchmark-sized; the
+    * corpus side never shuffles before the per-doc count. For an
+    * adversarially large eval set, drop to a shuffle semi-join on a
+    * 64-bit n-gram hash ([[Dedup.shingleId]]) instead. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val ev = Dedup.shingleSet(evalSet, idCol, textCol, n)
+      .select(col("bg")).distinct()
+    Dedup.shingleSet(corpus, idCol, textCol, n)
+      .join(broadcast(ev), Seq("bg"))
+      .groupBy(col("doc_id").as(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** unit vectors + per-vector int8 scalar-quantization columns:
+    * s = max|v|/127 (the dequantization scale), q = round(v/s) held as
+    * integer-VALUED doubles so the native DotProduct expression computes
+    * the integer dot exactly (|q|≤127, 64 dims → |dot| ≤ ~10⁶ ≪ 2⁵³). */
+  private def quantized(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Similarity.withUnit(Tables(s, dir, "embeddings"), col("embedding"))
+      .withColumn("s", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .select(col("vec_id"), col("label"), col("v"), col("s"),
+        transform(col("v"), x => round(x / col("s"))).as("q"))
+
+  val queries: Map[String, Q] = Map(
+    // new batch = doc_id % 7 = 0 (stand-in arrival partition), corpus =
+    // the rest; batch docs near-duplicating a corpus doc are dropped.
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 7 =!= 0)
+      val batch = docs.where(col("doc_id") % 7 === 0)
+      dedupIncremental(corpus, batch, "doc_id", "text", 0.3)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // eval set = doc_id % 5 = 0 (stand-in benchmark), corpus = the rest;
+    // a corpus doc sharing ANY 8-gram with the eval set is contaminated.
+    "text_decontaminate" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      decontaminate(docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // mixture by replication: high-quality sources get 3 epochs, mid 2,
+    // rest 1 — explode(sequence(1, epochs)) is deterministic and map-side;
+    // the checksum makes the hash gate sensitive to per-epoch rows.
+    "pipeline_mix_epochs" -> { (s, dir) =>
+      val epochs =
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 3)
+          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 2)
+          .otherwise(1)
+      Tables(s, dir, "documents")
+        .withColumn("epoch", explode(sequence(lit(1), epochs)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id") * col("epoch")).as("checksum"))
+        .orderBy(col("source"))
+    },
+
+    // two-stage quantized ANN, label-blocked like sim_knn_topk: stage 1
+    // ranks by the int8 dot (map-side quantization, one native DotProduct
+    // per pair over integer-valued doubles — exact, so both engines agree
+    // bit-for-bit), stage 2 exact-rescores only the approx top-10.
+    "sim_ann_quantized" -> { (s, dir) =>
+      val all = quantized(s, dir)
+      val q = all.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("label"), col("v").as("qv"),
+          col("s").as("qs"), col("q").as("qq"))
+      val c = all.select(col("vec_id"), col("label"), col("v"), col("s"), col("q"))
+      val wApprox = Window.partitionBy(col("qid"))
+        .orderBy(col("approx").desc, col("vec_id"))
+      val wExact = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      q.join(c, Seq("label")).where(col("vec_id") =!= col("qid"))
+        .withColumn("approx",
+          round(Similarity.cosine(col("qq"), col("q")) * col("qs") * col("s"), 6))
+        .withColumn("arn", row_number().over(wApprox))
+        .where(col("arn") <= 10)
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("v")), 6))
+        .withColumn("rank", row_number().over(wExact))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("approx"))
+        .orderBy(col("qid"), col("rank"))
+    }
+  )
+
+  /** DuckDB word-`n`-gram: the sqlBands lead-chain shape generalized. */
+  private def sqlNgrams(n: Int, src: String): String = {
+    val leads = (1 until n).map(i => s"lead(word, $i) OVER w").toList
+    s"""pos AS (SELECT doc_id,
+       |  unnest(string_split(lower(text), ' ')) AS word,
+       |  generate_subscripts(string_split(lower(text), ' '), 1) AS pos FROM $src),
+       |g AS (SELECT DISTINCT doc_id, bg FROM (
+       |  SELECT doc_id, ${("word" :: leads).mkString(" || ' ' || ")} AS bg
+       |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) WHERE bg IS NOT NULL)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    // per-doc signatures are map-side, so signatures computed over the
+    // full table equal signatures computed over each split — the oracle
+    // reuses the shared sqlBands chain and keeps only cross-split pairs.
+    "dedup_incremental" ->
+      s"""WITH ${Dedup.sqlBands},
+         |cx AS (SELECT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS b_id,
+         |              CASE WHEN doc_a % 7 = 0 THEN doc_b ELSE doc_a END AS c_id
+         |       FROM cand WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0)),
+         |sizes AS (SELECT doc_id, count(*) AS nbg FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.b_id, c.c_id, count(*) AS common
+         |  FROM cx c JOIN sh bb ON bb.doc_id = c.b_id
+         |  JOIN sh bc ON bc.doc_id = c.c_id AND bb.bg = bc.bg
+         |  GROUP BY 1, 2),
+         |rej AS (SELECT DISTINCT c.b_id FROM cx c
+         |  LEFT JOIN common m ON m.b_id = c.b_id AND m.c_id = c.c_id
+         |  JOIN sizes sb ON sb.doc_id = c.b_id
+         |  JOIN sizes sc ON sc.doc_id = c.c_id
+         |  WHERE round(cast(coalesce(m.common, 0) as double)
+         |          / (sb.nbg + sc.nbg - coalesce(m.common, 0)), 6) >= 0.3)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT b_id FROM rej)
+         |ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      s"""WITH ${sqlNgrams(8, "documents")},
+         |ev AS (SELECT DISTINCT bg FROM g WHERE doc_id % 5 = 0)
+         |SELECT doc_id, count(*) AS n_shared FROM g
+         |WHERE doc_id % 5 <> 0 AND bg IN (SELECT bg FROM ev)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_mix_epochs" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3
+        |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 2
+        |         ELSE 1 END AS epochs FROM documents),
+        |e AS (SELECT unnest(generate_series(1, 3)) AS epoch)
+        |SELECT source, count(*) AS n_rows,
+        |  cast(sum(n_chars) as bigint) AS sum_chars,
+        |  cast(sum(doc_id * epoch) as bigint) AS checksum
+        |FROM d JOIN e ON e.epoch <= d.epochs
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "sim_ann_quantized" ->
+      s"""WITH e AS (${Similarity.sqlVecs}),
+         |qz AS (SELECT vec_id, label, v,
+         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+         |qq AS (SELECT vec_id, label, v, s,
+         |    list_transform(v, x -> round(x / s)) AS q FROM qz),
+         |qry AS (SELECT vec_id AS qid, label, v AS qv, s AS qs, q AS qg
+         |        FROM qq WHERE vec_id % 50 = 0),
+         |approx AS (SELECT qid, c.vec_id, c.v, qry.qv,
+         |    round(list_dot_product(qry.qg, c.q) * qry.qs * c.s, 6) AS approx
+         |  FROM qry JOIN qq c USING (label) WHERE c.vec_id <> qid),
+         |cand AS (SELECT * FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
+         |  FROM approx) WHERE arn <= 10),
+         |exact AS (SELECT qid, vec_id, approx,
+         |    round(list_dot_product(qv, v), 6) AS cos
+         |  FROM cand)
+         |SELECT qid, rank, vec_id, cos, approx FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM exact) WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin
+  )
+}

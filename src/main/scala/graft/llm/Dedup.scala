@@ -101,7 +101,7 @@ object Dedup {
     * fully map-side (no explode, no groupBy(doc) shuffle), banded 4×4.
     * Values are identical to the exploded h_i(polyhash(bg)) formulation
     * the DuckDB oracle runs (min is duplicate-idempotent). */
-  private def bandSigsFromArrays(da: DataFrame): DataFrame = {
+  private[llm] def bandSigsFromArrays(da: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val mhs = ColumnBridge.column(
       graft.functions.MinHashSig(ColumnBridge.expression(col("sh"))))

@@ -60,7 +60,7 @@ object Similarity {
        |  x -> x / sqrt(list_dot_product(list_transform($src, x -> cast(x as double)),
        |                                 list_transform($src, x -> cast(x as double)))))""".stripMargin
 
-  private val sqlVecs =
+  private[llm] val sqlVecs =
     s"SELECT vec_id, label, ${sqlUnit("embedding")} AS v FROM embeddings"
 
   private def cosSql(a: String, b: String): String = s"list_dot_product($a, $b)"

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-maintenance APIs (llm.Curation) on USER DataFrames, plus
+  * semantic checks on the two-stage quantized ANN declared query. */
+class CurationSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+    "phi chi psi omega aleph bet gimel dalet he vav"
+
+  test("dedupIncremental drops the batch doc near-duplicating the corpus") {
+    val corpus = Seq(
+      (1L, base),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("id", "body")
+    val batch = Seq(
+      (10L, base.stripSuffix("vav") + "zayin"), // near-dup of corpus doc 1
+      (11L, "red orange yellow green blue indigo violet white black grey")
+    ).toDF("id", "body")
+    val kept = llm.Curation.dedupIncremental(corpus, batch, "id", "body", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L), s"expected only the novel doc kept, got $kept")
+  }
+
+  test("dedupIncremental keeps batch-internal duplicates (documented scope)") {
+    val corpus = Seq((1L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "body")
+    val batch = Seq((10L, base), (11L, base)).toDF("id", "body")
+    val kept = llm.Curation.dedupIncremental(corpus, batch, "id", "body", 0.3)
+      .count()
+    assert(kept == 2, "batch-vs-batch pairs are out of scope by contract")
+  }
+
+  test("decontaminate flags only the corpus doc overlapping the eval set") {
+    val evalSet = Seq((100L, base)).toDF("id", "body")
+    val corpus = Seq(
+      (1L, base.stripSuffix("vav") + "zayin"), // long shared prefix → 8-grams
+      (2L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("id", "body")
+    val hits = llm.Curation.decontaminate(corpus, evalSet, "id", "body", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1 shares the first 29 tokens → 22 of its 23 8-grams
+    assert(hits.keySet == Set(1L), s"expected only doc 1 flagged, got $hits")
+    assert(hits(1L) == 22L, s"expected 22 shared 8-grams, got ${hits(1L)}")
+  }
+
+  test("sim_ann_quantized: approx tracks exact cosine within int8 error") {
+    val df = SparkEntry.queries("sim_ann_quantized")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // per-component quantization error ≤ s/2 with |q·v'| structure →
+    // |approx − cos| bounded well under 0.02 for 64-dim unit vectors
+    rows.foreach { r =>
+      val cos = r.getAs[Double]("cos")
+      val approx = r.getAs[Double]("approx")
+      assert(math.abs(cos - approx) < 0.02, s"quantization drifted: $r")
+    }
+    // ranks are 1..3 per query, exact-cos descending
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to byRank.length))
+      val cs = byRank.map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sorted.reverse, s"exact rescore not descending: $cs")
+    }
+  }
+}
