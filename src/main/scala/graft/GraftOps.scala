@@ -80,6 +80,24 @@ object GraftOps {
     * dictionary state; mirrored exactly by the DuckDB-side list_reduce). */
   def stringId(c: Column): Column = llm.Dedup.shingleId(c)
 
+  // ---- corpus maintenance --------------------------------------------------
+
+  /** dedup a NEW batch against an EXISTING corpus: per-increment cost ∝
+    * |batch| — the corpus contributes only its LSH band signatures (4 tiny
+    * rows/doc; precompute and store them for repeated increments). Returns
+    * the batch rows that do not near-duplicate (Jaccard ≥ threshold) any
+    * corpus doc. Batch-internal dups are out of scope — run [[dedupCorpus]]
+    * over the batch first if arrivals can self-duplicate. */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int = 3): DataFrame =
+    llm.Curation.dedupIncremental(corpus, batch, idCol, textCol, threshold, n)
+
+  /** benchmark decontamination: (id, n_shared) for corpus docs sharing ≥1
+    * word-n-gram with the (benchmark-sized, broadcast) eval set. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame =
+    llm.Curation.decontaminate(corpus, evalSet, idCol, textCol, n)
+
   // ---- embedding similarity ----------------------------------------------
 
   /** attach a unit-normalized double vector column `v`. */

@@ -20,7 +20,8 @@ class CurationSpec extends SparkSuite {
       (10L, base.stripSuffix("vav") + "zayin"), // near-dup of corpus doc 1
       (11L, "red orange yellow green blue indigo violet white black grey")
     ).toDF("id", "body")
-    val kept = llm.Curation.dedupIncremental(corpus, batch, "id", "body", 0.3)
+    // through the GraftOps façade so the delegation is exercised too
+    val kept = GraftOps.dedupIncremental(corpus, batch, "id", "body", 0.3)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(11L), s"expected only the novel doc kept, got $kept")
   }
@@ -40,7 +41,7 @@ class CurationSpec extends SparkSuite {
       (1L, base.stripSuffix("vav") + "zayin"), // long shared prefix → 8-grams
       (2L, "one two three four five six seven eight nine ten eleven twelve")
     ).toDF("id", "body")
-    val hits = llm.Curation.decontaminate(corpus, evalSet, "id", "body", 8)
+    val hits = GraftOps.decontaminate(corpus, evalSet, "id", "body", 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // doc 1 shares the first 29 tokens → 22 of its 23 8-grams
     assert(hits.keySet == Set(1L), s"expected only doc 1 flagged, got $hits")
