@@ -118,6 +118,21 @@ class PlanSpec extends SparkSuite {
       p.take(3000))
   }
 
+  test("incremental dedup joins broadcast ADAPTIVELY (no hardcoded hints)") {
+    // same policy as the verify path: batch-sigs ⋈ corpus-sigs and the
+    // candidate⋈arrays verify joins are unhinted; while the batch/candidate
+    // sides are small AQE must broadcast them rather than shuffling the
+    // corpus-side relations.
+    val df = SparkEntry.queries("dedup_incremental")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"AQE did not broadcast the small batch/candidate sides:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
