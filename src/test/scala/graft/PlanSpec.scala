@@ -133,6 +133,41 @@ class PlanSpec extends SparkSuite {
       p.take(3000))
   }
 
+  test("shuffle joins get runtime bloom-filter semi-join reduction at scale") {
+    // At 100 TB a fact⋈fact join can't broadcast; Spark's InjectRuntimeFilter
+    // then builds a bloom filter from the SELECTIVE side and prunes the big
+    // side's shuffle input. Locally the application side is under the 10 GB
+    // scan threshold, so the rule never fires in the sf0.1 bench — this test
+    // recreates the at-scale conditions (threshold 0, no auto-broadcast) and
+    // proves our declarative join shapes are eligible: the filter is derived
+    // from the plan, not hand-wired, so the same query code gets the pruning
+    // on a real cluster with default thresholds.
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set(keys(0), "true")
+      c.set(keys(1), "0")
+      c.set(keys(2), "-1")
+      val li = Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables(spark, sf, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("bloom_filter_might_contain"),
+        s"runtime bloom filter was not injected:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
