@@ -88,4 +88,39 @@ object StreamOps {
       .select(col("user_id"), unix_micros(col("ts_view")).as("t_view"),
         unix_micros(col("ts_buy")).as("t_buy"))
   }
+
+  /** CONTINUOUS corpus ingestion with near-dup rejection — the streaming
+    * form of [[graft.llm.Curation.dedupIncremental]], packaged as a
+    * `foreachBatch` function: each micro-batch is (1) self-deduped
+    * ([[graft.llm.Dedup.dedupCorpus]] — two arrivals of one document in
+    * the SAME batch collapse to the min-id copy), (2) deduped against the
+    * corpus-so-far (initial corpus + survivors of every earlier batch),
+    * and (3) the surviving rows are handed to `emit` (the caller's sink
+    * append). After processing, no two emitted documents are LSH-visible
+    * near-dups of each other or of the initial corpus.
+    *
+    * State is the evolving corpus relation, localCheckpoint'ed per batch
+    * so the plan doesn't grow with batch count (same lineage-truncation
+    * rule as connectedComponents). At production scale the state is a
+    * STORED signature table (4 tiny rows/doc, see SCALE.md incremental
+    * dedup row): survivors append their signatures, and the per-batch cost
+    * stays ∝ batch size. Micro-batches arrive serially per query, so the
+    * closure needs no lock.
+    *
+    * Usage: `docs.writeStream.foreachBatch(StreamOps.incrementalDedupBatches(
+    *   corpus0, "id", "text", 0.3)(kept => kept.write...)).start()` */
+  def incrementalDedupBatches(initialCorpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int = 3)
+      (emit: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    var corpus = initialCorpus.select(col(idCol), col(textCol))
+    (batch: DataFrame, _: Long) => {
+      val self = graft.llm.Dedup.dedupCorpus(
+        batch.select(col(idCol), col(textCol)), idCol, textCol, threshold, n)
+      val kept = graft.llm.Curation
+        .dedupIncremental(corpus, self, idCol, textCol, threshold, n)
+        .localCheckpoint()
+      emit(kept)
+      corpus = corpus.unionByName(kept).localCheckpoint()
+    }
+  }
 }

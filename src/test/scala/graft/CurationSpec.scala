@@ -48,6 +48,39 @@ class CurationSpec extends SparkSuite {
     assert(hits(1L) == 22L, s"expected 22 shared 8-grams, got ${hits(1L)}")
   }
 
+  test("incrementalDedupBatches: continuous ingestion drops near-dups across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val alt = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty " +
+      "cat dog bird fish horse cow sheep goat duck hen"
+    val corpus0 = Seq((1L, base)).toDF("id", "body")
+    val mem = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem.toDF().toDF("id", "body").writeStream
+      .foreachBatch(streaming.StreamOps.incrementalDedupBatches(
+        corpus0, "id", "body", 0.3) { kept =>
+        emitted.synchronized {
+          emitted ++= kept.select("id").collect().map(_.getLong(0))
+        }
+      })
+      .start()
+    // batch A: 10 near-dups corpus doc 1 (drop); 11 novel (keep);
+    //          12 near-dups 11 WITHIN the batch (self-dedup drop)
+    mem.addData((10L, base.stripSuffix("vav") + "zayin"),
+      (11L, alt), (12L, alt.stripSuffix("hen") + "goose"))
+    q.processAllAvailable()
+    // batch B: 20 near-dups batch-A SURVIVOR 11 (drop — proves the corpus
+    //          state advanced); 21 novel (keep)
+    mem.addData((20L, alt.stripSuffix("duck hen") + "swan crow"),
+      (21L, "red orange yellow green blue indigo violet white black grey " +
+        "gold silver bronze copper iron tin lead zinc nickel chrome"))
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted.sorted == Seq(11L, 21L),
+      s"expected survivors {11, 21}, got ${emitted.sorted}")
+  }
+
   test("sim_ann_quantized: approx tracks exact cosine within int8 error") {
     val df = SparkEntry.queries("sim_ann_quantized")(spark, sf)
     val rows = df.collect()
