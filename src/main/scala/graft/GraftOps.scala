@@ -98,6 +98,19 @@ object GraftOps {
       textCol: String, n: Int = 8): DataFrame =
     llm.Curation.decontaminate(corpus, evalSet, idCol, textCol, n)
 
+  /** sliding-window chunking: one row per (doc, chunk) token window of
+    * `chunkTokens` every `stride` tokens — map-side, no shuffle. */
+  def chunkSplit(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame =
+    llm.Chunking.chunkSplit(df, idCol, textCol, chunkTokens, stride)
+
+  /** concat-and-cut sequence packing: pack_id = floor(tokens-before-doc /
+    * budget) per `streamCol` stream in `idCol` order — deterministic under
+    * re-partitioning, one window shuffle. */
+  def packSequences(df: DataFrame, streamCol: String, idCol: String,
+      textCol: String, budget: Int): DataFrame =
+    llm.Chunking.packSequences(df, streamCol, idCol, textCol, budget)
+
   // ---- embedding similarity ----------------------------------------------
 
   /** attach a unit-normalized double vector column `v`. */

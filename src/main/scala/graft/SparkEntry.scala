@@ -38,6 +38,7 @@ object SparkEntry {
     (llm.Multimodal.queries, llm.Multimodal.oracle),
     (llm.Pipeline.queries, llm.Pipeline.oracle),
     (llm.Curation.queries, llm.Curation.oracle),
+    (llm.Chunking.queries, llm.Chunking.oracle),
     (streaming.StreamQueries.queries, streaming.StreamQueries.oracle)
   )
 
