@@ -196,6 +196,24 @@ object Text {
         aggregate(vals, lit(0L),
           (acc, x) => pmod(acc * 1000003L + x, lit(2147483647L))).as("fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // intra-document repetition (the Gopher/C4-style quality signal:
+    // boilerplate and degenerate text repeat their own n-grams):
+    // rep_ratio = 1 − distinct/total trigrams. Entirely map-side on the
+    // Spark side — the trigram array is built and deduped per row with no
+    // explode — vs the oracle's unnest+GROUP BY; same numbers.
+    "text_repetition_score" -> { (s, dir) =>
+      val tg = Dedup.ngramArray(split(lower(col("text")), " "), 3)
+      Tables(s, dir, "documents")
+        .withColumn("__tg", tg)
+        .where(size(col("__tg")) > 0)
+        .select(col("doc_id"),
+          size(col("__tg")).cast("long").as("n_trigrams"),
+          size(array_distinct(col("__tg"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio_e6",
+          expr("(n_trigrams - n_distinct) * 1000000 DIV n_trigrams"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -276,6 +294,19 @@ object Text {
         |    list_transform(string_split(lower(text), ' '),
         |      t -> (length(t) * 131 + ascii(t))::bigint)),
         |  (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition_score" ->
+      """WITH pos AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS word,
+        |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS bg
+        |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |t AS (SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT bg) AS n_distinct
+        |  FROM g WHERE bg IS NOT NULL GROUP BY doc_id)
+        |SELECT doc_id, n_trigrams, n_distinct,
+        |  (n_trigrams - n_distinct) * 1000000 // n_trigrams AS rep_ratio_e6
+        |FROM t WHERE n_trigrams > 0 ORDER BY doc_id""".stripMargin
   )
 }
