@@ -112,3 +112,66 @@ object CleanOpsProps extends Properties("CleanOps") {
       }
     }
 }
+
+/** Properties of the corpus-maintenance / sequence-shaping operators:
+  * model-based checks against in-memory reimplementations (the same
+  * pattern as the connectedComponents union-find mirror above). */
+object CurationProps extends Properties("Curation") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  // documents: 8-14 tokens from a 6-word vocab — near-dups are frequent,
+  // so the LSH/verify path is exercised on both branches
+  private val vocab = Vector("ox", "elk", "ant", "bee", "cod", "fox")
+  private val docGen: Gen[String] =
+    Gen.choose(8, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+
+  property("dedupIncremental: survivors are a subset of the batch AND idempotent") =
+    Prop.forAll(Gen.listOfN(3, docGen), Gen.listOfN(4, docGen)) { (corpusT, batchT) =>
+      val corpus = corpusT.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "body")
+      val batch = batchT.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("id", "body")
+      val kept = GraftOps.dedupIncremental(corpus, batch, "id", "body", 0.3)
+      val keptIds = kept.select("id").collect().map(_.getLong(0)).toSet
+      val again = GraftOps.dedupIncremental(corpus, kept, "id", "body", 0.3)
+        .select("id").collect().map(_.getLong(0)).toSet
+      keptIds.subsetOf(batchT.indices.map(100L + _).toSet) && again == keptIds
+    }
+
+  property("chunkSplit with stride == chunk partitions the tokens exactly") =
+    Prop.forAll(docGen, Gen.choose(2, 5)) { (doc, chunk) =>
+      val toks = doc.split(" ").length
+      val rows = GraftOps.chunkSplit(Seq((1L, doc)).toDF("id", "body"), "id", "body",
+        chunk, chunk).collect()
+      rows.map(_.getAs[Long]("n_tokens")).sum == toks.toLong &&
+        rows.length == (toks + chunk - 1) / chunk
+    }
+
+  property("chunkSplit with overlap: chunk count and sizes match the model") =
+    Prop.forAll(docGen) { doc =>
+      val toks = doc.split(" ")
+      val (chunk, stride) = (4, 3)
+      val expected = (0 until toks.length by stride)
+        .map(s => toks.slice(s, s + chunk).length.toLong)
+      val got = GraftOps.chunkSplit(Seq((1L, doc)).toDF("id", "body"), "id", "body",
+          chunk, stride)
+        .orderBy("chunk_idx").collect().map(_.getAs[Long]("n_tokens")).toSeq
+      got == expected
+    }
+
+  property("packSequences matches the in-memory exclusive-cumsum model") =
+    Prop.forAll(Gen.listOfN(8, docGen), Gen.choose(5, 30)) { (docs, budget) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }
+        .toDF("id", "src", "body")
+      val got = GraftOps.packSequences(df, "src", "id", "body", budget)
+        .select("id", "pack_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cums = docs.map(_.split(" ").length.toLong).scanLeft(0L)(_ + _)
+      val expected = docs.indices.map(i => i.toLong -> cums(i) / budget).toMap
+      got == expected
+    }
+}
