@@ -51,8 +51,20 @@ object Curation {
     * arrivals can self-duplicate. */
   def dedupIncremental(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double, n: Int = 3): DataFrame = {
-    val ca = Dedup.shingleArrays(corpus, idCol, textCol, n, dedup = true)
-    val ba = Dedup.shingleArrays(batch, idCol, textCol, n, dedup = true)
+    val rejected = incrementalRejects(
+      Dedup.shingleArrays(corpus, idCol, textCol, n, dedup = true),
+      Dedup.shingleArrays(batch, idCol, textCol, n, dedup = true), threshold)
+    batch.join(rejected.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** array-shape kernel of [[dedupIncremental]]: corpus/batch DISTINCT
+    * shingle arrays ((doc_id, sh), [[Dedup.shingleArrays]] dedup=true) →
+    * (doc_id) of batch docs near-duplicating some corpus doc. Callers that
+    * already hold (or cache/store) the arrays enter here so the shingle
+    * pass runs once — the declared query reuses the per-(session, dir)
+    * cached corpus arrays this way. */
+  def incrementalRejects(ca: DataFrame, ba: DataFrame,
+      threshold: Double): DataFrame = {
     val cand = Dedup.bandSigsFromArrays(ba)
       .select(col("doc_id").as("b_id"), col("band"), col("sig"))
       .join(Dedup.bandSigsFromArrays(ca)
@@ -65,12 +77,11 @@ object Curation {
     // the id (same policy as Dedup.verifyCandidates)
     val withB = ba.select(col("doc_id").as("b_id"), col("sh").as("shb"))
     val withC = ca.select(col("doc_id").as("c_id"), col("sh").as("shc"))
-    val rejected = withC.join(withB.join(cand, "b_id"), "c_id")
+    withC.join(withB.join(cand, "b_id"), "c_id")
       .withColumn("common", size(array_intersect(col("shb"), col("shc"))).cast("long"))
       .where(round(col("common").cast("double")
         / (size(col("shb")) + size(col("shc")) - col("common")), 6) >= threshold)
-      .select(col("b_id").as(idCol)).distinct()
-    batch.join(rejected, Seq(idCol), "left_anti")
+      .select(col("b_id").as("doc_id")).distinct()
   }
 
   /** PUBLIC API: flag docs in `corpus` sharing at least one word-`n`-gram
@@ -93,7 +104,9 @@ object Curation {
   /** unit vectors + per-vector int8 scalar-quantization columns:
     * s = max|v|/127 (the dequantization scale), q = round(v/s) held as
     * integer-VALUED doubles so the native DotProduct expression computes
-    * the integer dot exactly (|q|≤127, 64 dims → |dot| ≤ ~10⁶ ≪ 2⁵³). */
+    * the integer dot exactly (|q|≤127, 64 dims → |dot| ≤ ~10⁶ ≪ 2⁵³).
+    * An all-zero raw vector has no unit form — s would be 0 and v NaN —
+    * callers filter those out upstream (no zero vectors in this corpus). */
   private def quantized(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Similarity.withUnit(Tables(s, dir, "embeddings"), col("embedding"))
       .withColumn("s", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
@@ -103,12 +116,17 @@ object Curation {
   val queries: Map[String, Q] = Map(
     // new batch = doc_id % 7 = 0 (stand-in arrival partition), corpus =
     // the rest; batch docs near-duplicating a corpus doc are dropped.
+    // Both splits filter the ONE per-(session, dir) cached shingle-array
+    // relation (per-doc arrays are map-side, so subset arrays ≡ filtered
+    // full-table arrays) and enter at the array kernel — the shingle pass
+    // runs zero extra times in this query.
     "dedup_incremental" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val corpus = docs.where(col("doc_id") % 7 =!= 0)
-      val batch = docs.where(col("doc_id") % 7 === 0)
-      dedupIncremental(corpus, batch, "doc_id", "text", 0.3)
-        .select(col("doc_id"))
+      val da = Dedup.docArraysCached(s, dir)
+      val rejects = incrementalRejects(
+        da.where(col("doc_id") % 7 =!= 0), da.where(col("doc_id") % 7 === 0), 0.3)
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 7 === 0)
+        .join(rejects, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
     },
 

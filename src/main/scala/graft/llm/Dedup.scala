@@ -76,7 +76,7 @@ object Dedup {
     * reclaimed. One persisted copy per (session, dir) instead. */
   private val daCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def docArraysCached(s: SparkSession, dir: String): DataFrame =
+  private[llm] def docArraysCached(s: SparkSession, dir: String): DataFrame =
     daCache.synchronized {
       daCache.getOrElseUpdate((s, dir), docArrays(s, dir, dedup = true).persist())
     }
