@@ -33,7 +33,10 @@ object Chunking {
       chunkTokens: Int, stride: Int): DataFrame = {
     require(stride >= 1 && chunkTokens >= stride,
       "need 1 <= stride <= chunkTokens (stride > chunk would skip tokens)")
-    df.withColumn("__toks", split(lower(col(textCol)), " "))
+    // null text ⇒ no chunks (without the guard, sequence(0, greatest(
+    // size(null)-1, 0)) fabricates one spurious all-null chunk row)
+    df.where(col(textCol).isNotNull)
+      .withColumn("__toks", split(lower(col(textCol)), " "))
       .select(col(idCol), col("__toks"),
         posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
           lit(stride))).as(Seq("chunk_idx", "start")))

@@ -48,7 +48,14 @@ object Curation {
     * corpus (they are 4 rows of (id, band, sig) per doc), making each
     * increment's cost ∝ |batch|. Batch-batch duplicates are intentionally
     * NOT examined here — run [[Dedup.dedupCorpus]] over the batch first if
-    * arrivals can self-duplicate. */
+    * arrivals can self-duplicate.
+    *
+    * COST NOTE: this convenience form re-shingles `corpus` on every call
+    * (twice: signature pass + verify pass) — fine for one-shot increments,
+    * wrong in a loop. Repeated increments hold the corpus arrays
+    * (cached/stored) and enter at [[incrementalRejects]], as the declared
+    * query and [[graft.streaming.StreamOps.incrementalDedupBatches]] do —
+    * that path never re-shingles the corpus. */
   def dedupIncremental(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double, n: Int = 3): DataFrame = {
     val rejected = incrementalRejects(
@@ -182,13 +189,15 @@ object Curation {
     }
   )
 
-  /** DuckDB word-`n`-gram: the sqlBands lead-chain shape generalized. */
-  private def sqlNgrams(n: Int, src: String): String = {
+  /** DuckDB word-`n`-gram CTE chain (the sqlBands lead-chain shape,
+    * generalized over n and per-doc distinctness) — the ONE definition all
+    * llm-package n-gram oracles share. */
+  private[llm] def sqlNgrams(n: Int, src: String, distinct: Boolean = true): String = {
     val leads = (1 until n).map(i => s"lead(word, $i) OVER w").toList
     s"""pos AS (SELECT doc_id,
        |  unnest(string_split(lower(text), ' ')) AS word,
        |  generate_subscripts(string_split(lower(text), ' '), 1) AS pos FROM $src),
-       |g AS (SELECT DISTINCT doc_id, bg FROM (
+       |g AS (SELECT ${if (distinct) "DISTINCT " else ""}doc_id, bg FROM (
        |  SELECT doc_id, ${("word" :: leads).mkString(" || ' ' || ")} AS bg
        |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) WHERE bg IS NOT NULL)""".stripMargin
   }

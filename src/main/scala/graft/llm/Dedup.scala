@@ -120,11 +120,16 @@ object Dedup {
   /** PUBLIC API: MinHash-LSH candidate pairs from [[shingleArrays]] shape
     * (doc_id, sh: array<string>); output (doc_a, doc_b, n_bands).
     * The band-sig relation feeds BOTH sides of the self-join, so it is
-    * persisted — otherwise the whole map-side signature pass runs twice.
-    * (Tiny: 4 rows/doc of (id, band, sig). Lifetime: LRU eviction, same
-    * policy as the jaccard cache; long-lived services should unpersist.) */
-  def candidatesFromArrays(da: DataFrame): DataFrame = {
-    val sigs = bandSigsFromArrays(da).persist()
+    * persisted by default — otherwise the whole map-side signature pass
+    * runs twice. (Tiny: 4 rows/doc of (id, band, sig). Lifetime: LRU
+    * eviction, same policy as the jaccard cache; long-lived services
+    * should unpersist.) Callers that invoke this REPEATEDLY on small
+    * inputs — e.g. once per streaming micro-batch — pass
+    * `persistSigs = false`: the signature pass runs twice but registers
+    * nothing with the CacheManager, so nothing accumulates. */
+  def candidatesFromArrays(da: DataFrame, persistSigs: Boolean = true): DataFrame = {
+    val sigs0 = bandSigsFromArrays(da)
+    val sigs = if (persistSigs) sigs0.persist() else sigs0
     val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).where(col("doc_a") < col("doc_b"))

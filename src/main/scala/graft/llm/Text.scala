@@ -296,17 +296,11 @@ object Text {
         |  (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_repetition_score" ->
-      """WITH pos AS (SELECT doc_id,
-        |    unnest(string_split(lower(text), ' ')) AS word,
-        |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |    word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS bg
-        |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |t AS (SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT bg) AS n_distinct
-        |  FROM g WHERE bg IS NOT NULL GROUP BY doc_id)
-        |SELECT doc_id, n_trigrams, n_distinct,
-        |  (n_trigrams - n_distinct) * 1000000 // n_trigrams AS rep_ratio_e6
-        |FROM t WHERE n_trigrams > 0 ORDER BY doc_id""".stripMargin
+      s"""WITH ${Curation.sqlNgrams(3, "documents", distinct = false)},
+         |t AS (SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT bg) AS n_distinct
+         |  FROM g GROUP BY doc_id)
+         |SELECT doc_id, n_trigrams, n_distinct,
+         |  (n_trigrams - n_distinct) * 1000000 // n_trigrams AS rep_ratio_e6
+         |FROM t WHERE n_trigrams > 0 ORDER BY doc_id""".stripMargin
   )
 }

@@ -91,36 +91,68 @@ object StreamOps {
 
   /** CONTINUOUS corpus ingestion with near-dup rejection — the streaming
     * form of [[graft.llm.Curation.dedupIncremental]], packaged as a
-    * `foreachBatch` function: each micro-batch is (1) self-deduped
-    * ([[graft.llm.Dedup.dedupCorpus]] — two arrivals of one document in
-    * the SAME batch collapse to the min-id copy), (2) deduped against the
-    * corpus-so-far (initial corpus + survivors of every earlier batch),
-    * and (3) the surviving rows are handed to `emit` (the caller's sink
-    * append). After processing, no two emitted documents are LSH-visible
-    * near-dups of each other or of the initial corpus.
+    * `foreachBatch` function: each micro-batch is (1) self-deduped (two
+    * arrivals of one document in the SAME batch collapse to the min-id
+    * copy), (2) deduped against the corpus-so-far (initial corpus +
+    * survivors of every earlier batch), and (3) the surviving rows are
+    * handed to `emit` (the caller's sink append).
     *
-    * State is the evolving corpus relation, localCheckpoint'ed per batch
-    * so the plan doesn't grow with batch count (same lineage-truncation
-    * rule as connectedComponents). At production scale the state is a
-    * STORED signature table (4 tiny rows/doc, see SCALE.md incremental
-    * dedup row): survivors append their signatures, and the per-batch cost
-    * stays ∝ batch size. Micro-batches arrive serially per query, so the
-    * closure needs no lock.
+    * State is the corpus SHINGLE-ARRAY relation — held localCheckpoint'ed
+    * and replaced (not re-persisted) each batch, so the plan doesn't grow
+    * with batch count and nothing accumulates in the CacheManager: the
+    * per-batch array cache is explicitly unpersisted in a finally, and the
+    * candidate pass runs with persistSigs=false. Per-batch cost is
+    * ∝ batch (the corpus side is served from the cached state, never
+    * re-shingled). At production scale the state is a STORED signature/
+    * array table (see SCALE.md incremental dedup row).
+    *
+    * Delivery semantics are those of foreachBatch itself: AT-LEAST-ONCE.
+    * The corpus state is driver-local — replayed batchIds within one run
+    * are skipped (tracked here), but a QUERY RESTART resets the state to
+    * `initialCorpus`, so documents emitted before the restart are not
+    * deduped against after it. A pipeline that needs the no-emitted-dup
+    * guarantee across restarts must keep the survivor/signature store in
+    * the sink's transactional table (idempotent by batchId) and rebuild
+    * `initialCorpus` from it on start. Micro-batches arrive serially per
+    * query, so the closure needs no lock.
     *
     * Usage: `docs.writeStream.foreachBatch(StreamOps.incrementalDedupBatches(
     *   corpus0, "id", "text", 0.3)(kept => kept.write...)).start()` */
   def incrementalDedupBatches(initialCorpus: DataFrame, idCol: String,
       textCol: String, threshold: Double, n: Int = 3)
       (emit: DataFrame => Unit): (DataFrame, Long) => Unit = {
-    var corpus = initialCorpus.select(col(idCol), col(textCol))
-    (batch: DataFrame, _: Long) => {
-      val self = graft.llm.Dedup.dedupCorpus(
-        batch.select(col(idCol), col(textCol)), idCol, textCol, threshold, n)
-      val kept = graft.llm.Curation
-        .dedupIncremental(corpus, self, idCol, textCol, threshold, n)
-        .localCheckpoint()
-      emit(kept)
-      corpus = corpus.unionByName(kept).localCheckpoint()
+    import graft.llm.{Curation, Dedup}
+    val jaccard: (Column, Column, Column) => Column =
+      (common, na, nb) => common.cast("double") / (na + nb - common)
+    var corpusArrays = Dedup
+      .shingleArrays(initialCorpus.select(col(idCol), col(textCol)),
+        idCol, textCol, n, dedup = true)
+      .localCheckpoint()
+    var lastBatchId = -1L
+    (batch: DataFrame, batchId: Long) => if (batchId > lastBatchId) {
+      val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
+      val ba = Dedup.shingleArrays(b, idCol, textCol, n, dedup = true).persist()
+      try {
+        // (1) batch-internal near-dups → keep the min-id copy per cluster
+        val cand = Dedup.candidatesFromArrays(ba, persistSigs = false)
+        val verified = Dedup.verifyCandidates(ba, cand, "jaccard", threshold, jaccard)
+        val losers = Dedup.connectedComponents(
+            verified.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+          .where(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        val baSelf = ba.join(losers, Seq("doc_id"), "left_anti")
+        // (2) vs the corpus-so-far: array kernel over the CACHED state
+        val rejects = Curation.incrementalRejects(corpusArrays, baSelf, threshold)
+        val keptArrays = baSelf.join(rejects, Seq("doc_id"), "left_anti")
+        val kept = b.join(
+          keptArrays.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+          .localCheckpoint()
+        emit(kept)
+        // (3) advance the state; old checkpoint blocks are reclaimed by the
+        // ContextCleaner once the previous reference drops
+        corpusArrays = corpusArrays.unionByName(keptArrays).localCheckpoint()
+        lastBatchId = batchId
+      } finally ba.unpersist()
     }
   }
 }

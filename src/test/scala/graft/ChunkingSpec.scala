@@ -25,6 +25,14 @@ class ChunkingSpec extends SparkSuite {
     assert(hs.toSeq == Seq(m("a b c d"), m("c d e f"), m("e f")))
   }
 
+  test("chunkSplit emits no chunks for null text (oracle parity)") {
+    val df = Seq((1L, Some("a b c")), (2L, None))
+      .toDF("id", "body")
+    val ids = GraftOps.chunkSplit(df, "id", "body", 2, 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L), s"null-text doc must produce no chunk rows, got $ids")
+  }
+
   test("packSequences cuts the stream at the token budget") {
     // per-doc 4 tokens, budget 10: cum-before 0,4,8,12,16 → packs 0,0,0,1,1
     val docs = (1 to 5).map(i => (i.toLong, "s1", "t t t t"))
