@@ -162,6 +162,51 @@ object Curation {
         .orderBy(col("source"))
     },
 
+    // the full IVF-PQ shape (SCALE.md's composition lever): IVF probing
+    // bounds WHICH vectors each query sees (nProbe clusters), int8
+    // quantization bounds the COST of ranking them (stage-1 quantized dot,
+    // top-10), and the exact rescore of those 10 restores precision. The
+    // centroid set is pinned (% 97) for oracle determinism exactly like
+    // sim_ann_ivf; production uses ivfCentroids(√N).
+    "sim_ann_ivf_pq" -> { (s, dir) =>
+      val all = quantized(s, dir)
+      val vecs = all.select(col("vec_id"), col("v"))
+      val cents = vecs.where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // nearest-centroid assignment (same shape as annIvf), then the
+      // quantization columns join back on vec_id — co-partitioned at scale
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(Similarity.cosine(col("v"), col("cv")), 6))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"),
+          max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
+        .join(all.select(col("vec_id"), col("s"), col("q")), "vec_id")
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+      val probes = all.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("s").as("qs"), col("q").as("qg"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qcos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("prn", row_number().over(wProbe))
+        .where(col("prn") <= 2)
+        .select(col("qid"), col("qv"), col("qs"), col("qg"), col("cid"))
+      val wApprox = Window.partitionBy(col("qid"))
+        .orderBy(col("approx").desc, col("vec_id"))
+      val wExact = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      broadcast(probes).join(assigned, "cid")
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("approx",
+          round(Similarity.cosine(col("qg"), col("q")) * col("qs") * col("s"), 6))
+        .withColumn("arn", row_number().over(wApprox))
+        .where(col("arn") <= 10)
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("v")), 6))
+        .withColumn("rank", row_number().over(wExact))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("approx"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // two-stage quantized ANN, label-blocked like sim_knn_topk: stage 1
     // ranks by the int8 dot (map-side quantization, one native DotProduct
     // per pair over integer-valued doubles — exact, so both engines agree
@@ -242,6 +287,36 @@ object Curation {
         |  cast(sum(doc_id * epoch) as bigint) AS checksum
         |FROM d JOIN e ON e.epoch <= d.epochs
         |GROUP BY source ORDER BY source""".stripMargin,
+    "sim_ann_ivf_pq" ->
+      s"""WITH e AS (${Similarity.sqlVecs}),
+         |qz AS (SELECT vec_id, label, v,
+         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+         |qq AS (SELECT vec_id, label, v, s,
+         |    list_transform(v, x -> round(x / s)) AS q FROM qz),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |assigned AS (SELECT a.vec_id, a.v, a.cid, x.s, x.q FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_dot_product(e.v, c.cv), 6) DESC, c.cid) AS arn
+         |  FROM e CROSS JOIN cents c) a JOIN qq x ON x.vec_id = a.vec_id
+         |  WHERE a.arn = 1),
+         |probes AS (SELECT qid, qv, qs, qg, cid FROM (
+         |  SELECT q.vec_id AS qid, q.v AS qv, q.s AS qs, q.q AS qg, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_dot_product(q.v, c.cv), 6) DESC, c.cid) AS prn
+         |  FROM qq q CROSS JOIN cents c WHERE q.vec_id % 50 = 0) WHERE prn <= 2),
+         |scored AS (SELECT p.qid, a.vec_id, a.v, p.qv,
+         |    round(list_dot_product(p.qg, a.q) * p.qs * a.s, 6) AS approx
+         |  FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id <> p.qid),
+         |cand AS (SELECT * FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
+         |  FROM scored) WHERE arn <= 10),
+         |exact AS (SELECT qid, vec_id, approx,
+         |    round(list_dot_product(qv, v), 6) AS cos FROM cand)
+         |SELECT qid, rank, vec_id, cos, approx FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM exact) WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
     "sim_ann_quantized" ->
       s"""WITH e AS (${Similarity.sqlVecs}),
          |qz AS (SELECT vec_id, label, v,
