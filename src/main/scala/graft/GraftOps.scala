@@ -147,6 +147,16 @@ object GraftOps {
   def cosineThresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame =
     llm.Similarity.thresholdPairs(df, blockCol, threshold)
 
+  /** attach int8 scalar-quantization columns (s, q) to unit vectors. */
+  def withInt8Quantization(df: DataFrame): DataFrame = llm.Curation.withInt8(df)
+
+  /** full IVF-PQ ANN: IVF probing bounds which vectors a query sees,
+    * int8 quantization bounds ranking cost, exact rescore of the approx
+    * top-kApprox restores precision (top-k out). */
+  def annIvfPq(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nProbe: Int, kApprox: Int, k: Int): DataFrame =
+    llm.Curation.annIvfPq(vectors, queries, centroids, nProbe, kApprox, k)
+
   // ---- clustering / CDC ----------------------------------------------------
 
   /** connected components of an undirected pair list → (node, component);

@@ -108,6 +108,54 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** PUBLIC API: attach per-vector int8 scalar-quantization columns to
+    * unit vectors (vec_id, v): `s` = max‖v‖∞/127 (dequantization scale),
+    * `q` = round(v/s) as integer-valued doubles (exact under the native
+    * DotProduct). Input must have no all-zero vectors (no unit form). */
+  def withInt8(df: DataFrame): DataFrame =
+    df.withColumn("s", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .withColumn("q", transform(col("v"), x => round(x / col("s"))))
+
+  /** PUBLIC API: full IVF-PQ ANN. `vectors`/`queries` carry int8-quantized
+    * unit vectors from [[withInt8]] as (vec_id, v, s, q) / renamed query
+    * side (qid, qv, qs, qg); `centroids` (cid, cv) is the caller's knob
+    * ([[Similarity.ivfCentroids]], ≈√N). Stage 1: IVF — assign each vector
+    * to its best centroid once, each query probes its `nProbe` clusters.
+    * Stage 2: rank probed candidates by the QUANTIZED dot (4× smaller
+    * vectors), keep `kApprox`. Stage 3: exact rescore → top `k`. */
+  def annIvfPq(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nProbe: Int, kApprox: Int, k: Int): DataFrame = {
+    val assigned = vectors.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", round(Similarity.cosine(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
+      // quantization columns join back on vec_id — co-partitioned at scale
+      .join(vectors.select(col("vec_id"), col("s"), col("q")), "vec_id")
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("qcos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      .withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qs"), col("qg"), col("cid"))
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes).join(assigned, "cid")
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("approx",
+        round(Similarity.cosine(col("qg"), col("q")) * col("qs") * col("s"), 6))
+      .withColumn("arn", row_number().over(wApprox))
+      .where(col("arn") <= kApprox)
+      .withColumn("cos", round(Similarity.cosine(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("approx"))
+  }
+
   /** unit vectors + per-vector int8 scalar-quantization columns:
     * s = max|v|/127 (the dequantization scale), q = round(v/s) held as
     * integer-VALUED doubles so the native DotProduct expression computes
@@ -115,10 +163,8 @@ object Curation {
     * An all-zero raw vector has no unit form — s would be 0 and v NaN —
     * callers filter those out upstream (no zero vectors in this corpus). */
   private def quantized(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    Similarity.withUnit(Tables(s, dir, "embeddings"), col("embedding"))
-      .withColumn("s", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
-      .select(col("vec_id"), col("label"), col("v"), col("s"),
-        transform(col("v"), x => round(x / col("s"))).as("q"))
+    withInt8(Similarity.withUnit(Tables(s, dir, "embeddings"), col("embedding"))
+      .select(col("vec_id"), col("label"), col("v")))
 
   val queries: Map[String, Q] = Map(
     // new batch = doc_id % 7 = 0 (stand-in arrival partition), corpus =
@@ -170,40 +216,13 @@ object Curation {
     // sim_ann_ivf; production uses ivfCentroids(√N).
     "sim_ann_ivf_pq" -> { (s, dir) =>
       val all = quantized(s, dir)
-      val vecs = all.select(col("vec_id"), col("v"))
-      val cents = vecs.where(col("vec_id") % 97 === 0)
+      val cents = all.where(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      // nearest-centroid assignment (same shape as annIvf), then the
-      // quantization columns join back on vec_id — co-partitioned at scale
-      val assigned = vecs.crossJoin(broadcast(cents))
-        .withColumn("ccos", round(Similarity.cosine(col("v"), col("cv")), 6))
-        .groupBy(col("vec_id"))
-        .agg(first(col("v")).as("v"),
-          max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
-        .join(all.select(col("vec_id"), col("s"), col("q")), "vec_id")
-      val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
-      val probes = all.where(col("vec_id") % 50 === 0)
+      val probesQ = all.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("s").as("qs"), col("q").as("qg"))
-        .crossJoin(broadcast(cents))
-        .withColumn("qcos", round(Similarity.cosine(col("qv"), col("cv")), 6))
-        .withColumn("prn", row_number().over(wProbe))
-        .where(col("prn") <= 2)
-        .select(col("qid"), col("qv"), col("qs"), col("qg"), col("cid"))
-      val wApprox = Window.partitionBy(col("qid"))
-        .orderBy(col("approx").desc, col("vec_id"))
-      val wExact = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      broadcast(probes).join(assigned, "cid")
-        .where(col("vec_id") =!= col("qid"))
-        .withColumn("approx",
-          round(Similarity.cosine(col("qg"), col("q")) * col("qs") * col("s"), 6))
-        .withColumn("arn", row_number().over(wApprox))
-        .where(col("arn") <= 10)
-        .withColumn("cos", round(Similarity.cosine(col("qv"), col("v")), 6))
-        .withColumn("rank", row_number().over(wExact))
-        .where(col("rank") <= 3)
-        .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("approx"))
+      annIvfPq(all.select(col("vec_id"), col("v"), col("s"), col("q")),
+          probesQ, cents, 2, 10, 3)
         .orderBy(col("qid"), col("rank"))
     },
 

@@ -128,6 +128,28 @@ class GraftOpsSpec extends SparkSuite {
     }
   }
 
+  test("annIvfPq quantized ranking tracks exact cosine on user vectors") {
+    val vecs = GraftOps.withInt8Quantization(GraftOps.withUnitVector(
+      (1L to 40L).map(i => (i, Seq(i.toFloat, (41 - i).toFloat, (i % 7).toFloat)))
+        .toDF("vec_id", "emb"), col("emb"))
+      .select(col("vec_id"), col("v")))
+    val cents = GraftOps.ivfCentroids(vecs.select(col("vec_id"), col("v")), 4)
+    val q = vecs.where(col("vec_id") <= 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("s").as("qs"), col("q").as("qg"))
+    val res = GraftOps.annIvfPq(vecs, q, cents, nProbe = 2, kApprox = 6, k = 3)
+      .collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (cos, approx) = (r.getAs[Double]("cos"), r.getAs[Double]("approx"))
+      assert(math.abs(cos - approx) < 0.02, s"int8 drift too large: $r")
+    }
+    res.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.length <= 3 &&
+        rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
   test("upsertLatestWins applies updates and inserts over a base table") {
     val base = Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
       .toDF("key", "name", "amount", "version")
