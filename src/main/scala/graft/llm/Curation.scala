@@ -125,21 +125,18 @@ object Curation {
     * vectors), keep `kApprox`. Stage 3: exact rescore → top `k`. */
   def annIvfPq(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
       nProbe: Int, kApprox: Int, k: Int): DataFrame = {
-    val assigned = vectors.select(col("vec_id"), col("v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", round(Similarity.cosine(col("v"), col("cv")), 6))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"),
-        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
-      // quantization columns join back on vec_id — co-partitioned at scale
+    require(nProbe >= 1 && k >= 1 && kApprox >= k,
+      "need nProbe >= 1 and kApprox >= k >= 1 (fewer approx survivors than k " +
+        "would silently truncate the result)")
+    // assignment/probing are THE shared IVF stages (tie-break + rounding
+    // live in one place, Similarity); the quantization columns join back
+    // on vec_id — co-partitioned at scale
+    val assigned = Similarity
+      .assignToCentroids(vectors.select(col("vec_id"), col("v")), centroids)
       .join(vectors.select(col("vec_id"), col("s"), col("q")), "vec_id")
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
-    val probes = queries
-      .crossJoin(broadcast(centroids))
-      .withColumn("qcos", round(Similarity.cosine(col("qv"), col("cv")), 6))
-      .withColumn("prn", row_number().over(wProbe))
-      .where(col("prn") <= nProbe)
-      .select(col("qid"), col("qv"), col("qs"), col("qg"), col("cid"))
+    val probes = Similarity.probeCentroids(
+      queries.select(col("qid"), col("qv"), col("qs"), col("qg")),
+      centroids, nProbe)
     val wApprox = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("vec_id"))
     val wExact = Window.partitionBy(col("qid"))

@@ -188,13 +188,25 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
     val da = shingleArrays(df, idCol, textCol, n, dedup = true).persist()
-    val verified = verifyCandidates(da, candidatesFromArrays(da),
+    df.join(selfDedupLosers(da, threshold).withColumnRenamed("doc_id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
+  /** PUBLIC API (array-shape kernel of [[dedupCorpus]]): the doc_ids to
+    * DROP so one min-id doc survives per near-dup cluster of `da`
+    * ([[shingleArrays]] dedup=true shape). The one definition of the
+    * candidates → jaccard-verify → components → losers policy — the
+    * declared keep-canonical query and the streaming self-dedup both
+    * enter here. `persistSigs=false` for repeated small-input callers
+    * (see [[candidatesFromArrays]]). */
+  def selfDedupLosers(da: DataFrame, threshold: Double,
+      persistSigs: Boolean = true): DataFrame = {
+    val verified = verifyCandidates(da, candidatesFromArrays(da, persistSigs),
       "jaccard", threshold, jaccardScore)
-    val losers = connectedComponents(
+    connectedComponents(
         verified.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
       .where(col("node") =!= col("component"))
-      .select(col("node").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+      .select(col("node").as("doc_id"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -207,15 +219,9 @@ object Dedup {
     // over the session-cached shingle arrays (same memoized pass the
     // jaccard/containment queries use).
     "dedup_keep_canonical" -> { (s, dir) =>
-      val da = docArraysCached(s, dir)
-      val verified = verifyCandidates(da, candidatesFromArrays(da),
-        "jaccard", 0.3, jaccardScore)
-      val losers = connectedComponents(
-          verified.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
-        .where(col("node") =!= col("component"))
-        .select(col("node").as("doc_id"))
       Tables(s, dir, "documents").select(col("doc_id"))
-        .join(losers, Seq("doc_id"), "left_anti")
+        .join(selfDedupLosers(docArraysCached(s, dir), 0.3),
+          Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
     },
 

@@ -106,28 +106,47 @@ object Similarity {
       .limit(num)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
-  /** PUBLIC API: IVF-style approximate nearest neighbours. `vectors`
-    * (vec_id, v) are assigned to their nearest centroid ONCE (one
-    * broadcast of the centroid set; max_by keeps the argmax partial-
-    * aggregable, so only |vectors| rows shuffle); each query probes its
-    * `nProbe` best clusters and ranks exactly inside them. `queries` is
-    * the small side by design (a query batch) — it broadcasts so the
-    * vector table streams map-side and never shuffles on cluster id. */
-  def annIvf(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
-      nProbe: Int, k: Int): DataFrame = {
-    val assigned = vectors.crossJoin(broadcast(centroids))
+  /** nearest-centroid assignment, shared by [[annIvf]] and
+    * [[graft.llm.Curation.annIvfPq]] — THE definition of the IVF
+    * tie-break (rounded cosine desc, then min cid) and rounding scale:
+    * one broadcast of the centroid set; max_by keeps the argmax partial-
+    * aggregable, so only |vectors| rows shuffle. In: (vec_id, v);
+    * out: (vec_id, v, cid). */
+  private[llm] def assignToCentroids(vectors: DataFrame,
+      centroids: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
       .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
       .groupBy(col("vec_id"))
       .agg(first(col("v")).as("v"),
         max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
       .select(col("vec_id"), col("v"), col("cid"))
+
+  /** per-query best-`nProbe` centroids, shared likewise: keeps every
+    * input query column (qid, qv, + any carried payload) and adds `cid`.
+    * Same tie-break as [[assignToCentroids]]. */
+  private[llm] def probeCentroids(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
-    val probes = queries
+    val carried = queries.columns.map(col).toSeq :+ col("cid")
+    queries
       .crossJoin(broadcast(centroids))
       .withColumn("qcos", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("prn", row_number().over(wProbe))
       .where(col("prn") <= nProbe)
-      .select(col("qid"), col("qv"), col("cid"))
+      .select(carried: _*)
+  }
+
+  /** PUBLIC API: IVF-style approximate nearest neighbours. `vectors`
+    * (vec_id, v) are assigned to their nearest centroid ONCE
+    * ([[assignToCentroids]]); each query probes its `nProbe` best
+    * clusters and ranks exactly inside them. `queries` is the small side
+    * by design (a query batch) — it broadcasts so the vector table
+    * streams map-side and never shuffles on cluster id. */
+  def annIvf(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val assigned = assignToCentroids(vectors, centroids)
+    val probes = probeCentroids(queries.select(col("qid"), col("qv")),
+      centroids, nProbe)
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     broadcast(probes).join(assigned, "cid")
       .where(col("vec_id") =!= col("qid"))

@@ -97,13 +97,16 @@ object StreamOps {
     * survivors of every earlier batch), and (3) the surviving rows are
     * handed to `emit` (the caller's sink append).
     *
-    * State is the corpus SHINGLE-ARRAY relation — held localCheckpoint'ed
-    * and replaced (not re-persisted) each batch, so the plan doesn't grow
-    * with batch count and nothing accumulates in the CacheManager: the
-    * per-batch array cache is explicitly unpersisted in a finally, and the
-    * candidate pass runs with persistSigs=false. Per-batch cost is
-    * ∝ batch (the corpus side is served from the cached state, never
-    * re-shingled). At production scale the state is a STORED signature/
+    * State is the corpus SHINGLE-ARRAY relation: a checkpointed base plus
+    * per-batch checkpointed survivor INCREMENTS unioned lazily — advancing
+    * the state materializes only the batch's survivors, never rewrites the
+    * corpus, so per-batch cost stays ∝ batch (the corpus side is served
+    * from the cached state, never re-shingled, and nothing accumulates in
+    * the CacheManager: the per-batch array cache is unpersisted in a
+    * finally, the candidate pass runs with persistSigs=false). The lazy
+    * union adds one plan leaf per batch; every 64 batches the union is
+    * compacted into a single checkpoint (the one corpus-sized write,
+    * amortized). At production scale the state is a STORED signature/
     * array table (see SCALE.md incremental dedup row).
     *
     * Delivery semantics are those of foreachBatch itself: AT-LEAST-ONCE.
@@ -122,35 +125,35 @@ object StreamOps {
       textCol: String, threshold: Double, n: Int = 3)
       (emit: DataFrame => Unit): (DataFrame, Long) => Unit = {
     import graft.llm.{Curation, Dedup}
-    val jaccard: (Column, Column, Column) => Column =
-      (common, na, nb) => common.cast("double") / (na + nb - common)
     var corpusArrays = Dedup
       .shingleArrays(initialCorpus.select(col(idCol), col(textCol)),
         idCol, textCol, n, dedup = true)
       .localCheckpoint()
     var lastBatchId = -1L
+    var batches = 0
     (batch: DataFrame, batchId: Long) => if (batchId > lastBatchId) {
       val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
       val ba = Dedup.shingleArrays(b, idCol, textCol, n, dedup = true).persist()
       try {
         // (1) batch-internal near-dups → keep the min-id copy per cluster
-        val cand = Dedup.candidatesFromArrays(ba, persistSigs = false)
-        val verified = Dedup.verifyCandidates(ba, cand, "jaccard", threshold, jaccard)
-        val losers = Dedup.connectedComponents(
-            verified.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
-          .where(col("node") =!= col("component"))
-          .select(col("node").as("doc_id"))
-        val baSelf = ba.join(losers, Seq("doc_id"), "left_anti")
+        // (the ONE keep-canonical kernel, Dedup.selfDedupLosers)
+        val baSelf = ba.join(
+          Dedup.selfDedupLosers(ba, threshold, persistSigs = false),
+          Seq("doc_id"), "left_anti")
         // (2) vs the corpus-so-far: array kernel over the CACHED state
         val rejects = Curation.incrementalRejects(corpusArrays, baSelf, threshold)
         val keptArrays = baSelf.join(rejects, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // batch-sized materialization
         val kept = b.join(
           keptArrays.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
-          .localCheckpoint()
         emit(kept)
-        // (3) advance the state; old checkpoint blocks are reclaimed by the
-        // ContextCleaner once the previous reference drops
-        corpusArrays = corpusArrays.unionByName(keptArrays).localCheckpoint()
+        // (3) advance the state INCREMENTALLY: append the checkpointed
+        // survivor increment as a lazy union leaf (no corpus rewrite);
+        // compact the leaves every 64 batches (old checkpoint blocks are
+        // reclaimed by the ContextCleaner once the reference drops)
+        corpusArrays = corpusArrays.unionByName(keptArrays)
+        batches += 1
+        if (batches % 64 == 0) corpusArrays = corpusArrays.localCheckpoint()
         lastBatchId = batchId
       } finally ba.unpersist()
     }
