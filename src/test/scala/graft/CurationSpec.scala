@@ -81,6 +81,21 @@ class CurationSpec extends SparkSuite {
       s"expected survivors {11, 21}, got ${emitted.sorted}")
   }
 
+  test("incrementalDedupBatches skips a replayed batchId (at-least-once guard)") {
+    val corpus0 = Seq((1L, base)).toDF("id", "body")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fn = streaming.StreamOps.incrementalDedupBatches(
+      corpus0, "id", "body", 0.3) { kept =>
+      emitted ++= kept.select("id").collect().map(_.getLong(0))
+    }
+    val b = Seq((11L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "body")
+    fn(b, 0L)
+    fn(b, 0L) // foreachBatch replay of the same micro-batch
+    assert(emitted.toSeq == Seq(11L),
+      s"replayed batchId must be skipped, got $emitted")
+  }
+
   test("sim_ann_quantized: approx tracks exact cosine within int8 error") {
     val df = SparkEntry.queries("sim_ann_quantized")(spark, sf)
     val rows = df.collect()
