@@ -99,6 +99,22 @@ object Multimodal {
         .orderBy(col("doc_id"), col("k"))
     },
 
+    // FEATURE EXTRACTION through the per-partition batch-decode path
+    // (extractFeatures → decodeStub): the one declared query that runs the
+    // mapPartitions decoder kernel, so the oracle gate exercises the real
+    // batch shape, not just the metadata plumbing. The stub's features are
+    // deterministic byte-histogram moments; integer byte sums are exact in
+    // both engines and the float32 divisions reproduce bit-for-bit (JVM
+    // Float ÷ vs DuckDB REAL ÷), surfaced rounded to 3 decimals.
+    "multimodal_feature_extract" -> { (s, dir) =>
+      extractFeatures(assets(s, dir))
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("n_bytes"),
+          round(element_at(col("features"), 2).cast("double"), 3).as("mean_r3"),
+          round(element_at(col("features"), 3).cast("double"), 3).as("meansq_r3"))
+        .orderBy(col("doc_id"))
+    },
+
     // RESIZE (downsample) on the payload — block-averaging, the shape a
     // real image/audio resize takes after decode, exact on bytes with no
     // codec: the first 128 payload bytes become 8 "pixels" of 16-byte
@@ -131,6 +147,16 @@ object Multimodal {
         |FROM documents CROSS JOIN range(4) r(k)
         |WHERE k * 128 + 64 <= strlen(text)
         |ORDER BY doc_id, k""".stripMargin,
+    "multimodal_feature_extract" ->
+      """WITH by AS (SELECT doc_id, ord(substring(text, cast(pos as int), 1)) AS b
+        |  FROM documents CROSS JOIN range(1, 600) r(pos)
+        |  WHERE pos <= strlen(text)),
+        |agg AS (SELECT doc_id, count(*) AS n, sum(b) AS s, sum(b * b) AS q
+        |  FROM by GROUP BY doc_id)
+        |SELECT doc_id, n AS n_bytes,
+        |  round(cast(cast(s AS REAL) / cast(n AS REAL) AS DOUBLE), 3) AS mean_r3,
+        |  round(cast(cast(q AS REAL) / cast(n AS REAL) AS DOUBLE), 3) AS meansq_r3
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id, (pos - 1) // 16 AS block,
         |sum(ord(substring(text, cast(pos as int), 1))) / 16.0 AS pixel
