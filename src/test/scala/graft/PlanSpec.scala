@@ -133,6 +133,27 @@ class PlanSpec extends SparkSuite {
       p.take(3000))
   }
 
+  test("decontamination broadcasts the eval n-gram set (corpus never shuffles to join)") {
+    val p = SparkEntry.queries("text_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-side broadcast missing:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join crept in:\n${p.take(2000)}")
+  }
+
+  test("map-side operators plan no join at all") {
+    // chunking, epoch mixing, and repetition scoring are pure map-side
+    // pipelines + one agg/sort — any Join node means a regression to a
+    // shuffling formulation (e.g. the oracle's unnest+self-join shape)
+    Seq("text_chunk_split", "pipeline_mix_epochs", "text_repetition_score")
+      .foreach { name =>
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("Join"), s"$name plans a join:\n${p.take(1500)}")
+      }
+  }
+
   test("shuffle joins get runtime bloom-filter semi-join reduction at scale") {
     // At 100 TB a fact⋈fact join can't broadcast; Spark's InjectRuntimeFilter
     // then builds a bloom filter from the SELECTIVE side and prunes the big
