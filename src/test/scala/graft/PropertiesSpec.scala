@@ -175,3 +175,48 @@ object CurationProps extends Properties("Curation") {
       got == expected
     }
 }
+
+/** Model-based properties for decontamination and epoch mixing. */
+object CurationProps2 extends Properties("Curation2") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private val vocab = Vector("ox", "elk", "ant", "bee", "cod", "fox")
+  private val docGen: Gen[String] =
+    Gen.choose(8, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+
+  private def ngrams(doc: String, n: Int): Set[String] =
+    doc.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+
+  property("decontaminate == in-memory n-gram overlap model") =
+    Prop.forAll(Gen.listOfN(3, docGen), Gen.listOfN(4, docGen)) { (evalT, corpusT) =>
+      val n = 4
+      val evalDf = evalT.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "body")
+      val corpusDf = corpusT.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("id", "body")
+      val got = GraftOps.decontaminate(corpusDf, evalDf, "id", "body", n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val evalGrams = evalT.map(ngrams(_, n)).foldLeft(Set.empty[String])(_ ++ _)
+      val expected = corpusT.zipWithIndex
+        .map { case (t, i) => (100L + i) -> (ngrams(t, n) & evalGrams).size.toLong }
+        .filter(_._2 > 0).toMap
+      got == expected
+    }
+
+  property("pipeline_mix_epochs row counts = docs × per-source epochs") = {
+    val df = SparkEntry.queries("pipeline_mix_epochs")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val epochs = (src: String) =>
+      if (Set("src0", "src1", "src2", "src3", "src4")(src)) 3L
+      else if (Set("src5", "src6", "src7", "src8", "src9")(src)) 2L else 1L
+    Prop(docs.forall { case (src, cnt) => df(src) == cnt * epochs(src) })
+  }
+}
