@@ -111,6 +111,12 @@ object GraftOps {
       textCol: String, budget: Int): DataFrame =
     llm.Chunking.packSequences(df, streamCol, idCol, textCol, budget)
 
+  /** per-doc n-gram repetition quality signal (Gopher/C4-style):
+    * rep_ratio_e6 = (1 − distinct/total n-grams)·10⁶ — map-side. */
+  def repetitionScored(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    llm.Text.repetitionScored(df, idCol, textCol, n)
+
   // ---- embedding similarity ----------------------------------------------
 
   /** attach a unit-normalized double vector column `v`. */

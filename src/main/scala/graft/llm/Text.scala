@@ -204,18 +204,25 @@ object Text {
     // Spark side — the trigram array is built and deduped per row with no
     // explode — vs the oracle's unnest+GROUP BY; same numbers.
     "text_repetition_score" -> { (s, dir) =>
-      val tg = Dedup.ngramArray(split(lower(col("text")), " "), 3)
-      Tables(s, dir, "documents")
-        .withColumn("__tg", tg)
-        .where(size(col("__tg")) > 0)
-        .select(col("doc_id"),
-          size(col("__tg")).cast("long").as("n_trigrams"),
-          size(array_distinct(col("__tg"))).cast("long").as("n_distinct"))
-        .withColumn("rep_ratio_e6",
-          expr("(n_trigrams - n_distinct) * 1000000 DIV n_trigrams"))
+      repetitionScored(Tables(s, dir, "documents"), "doc_id", "text", 3)
+        .withColumnRenamed("n_ngrams", "n_trigrams")
         .orderBy(col("doc_id"))
     }
   )
+
+  /** PUBLIC API: per-doc n-gram repetition signal — (idCol, n_ngrams,
+    * n_distinct, rep_ratio_e6 = (1 − distinct/total)·10⁶ integer). Docs
+    * with fewer than `n` tokens (no n-grams) emit no row. Map-side: the
+    * n-gram array is built and deduped per row, nothing explodes. */
+  def repetitionScored(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.withColumn("__tg", Dedup.ngramArray(split(lower(col(textCol)), " "), n))
+      .where(size(col("__tg")) > 0)
+      .select(col(idCol),
+        size(col("__tg")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("__tg"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio_e6",
+        expr("(n_ngrams - n_distinct) * 1000000 DIV n_ngrams"))
 
   val oracle: Map[String, String] = Map(
     "text_tokenize_tf" ->

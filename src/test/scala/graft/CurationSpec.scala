@@ -96,6 +96,17 @@ class CurationSpec extends SparkSuite {
       s"replayed batchId must be skipped, got $emitted")
   }
 
+  test("repetitionScored flags a degenerate doc, near-zero for diverse text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over one lazy sleeping dog")
+    ).toDF("id", "body")
+    val m = GraftOps.repetitionScored(docs, "id", "body", 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rep_ratio_e6")).toMap
+    // doc 1: 8 trigrams, 1 distinct → 875000; doc 2: all distinct → 0
+    assert(m == Map(1L -> 875000L, 2L -> 0L), s"got $m")
+  }
+
   test("sim_ann_quantized: approx tracks exact cosine within int8 error") {
     val df = SparkEntry.queries("sim_ann_quantized")(spark, sf)
     val rows = df.collect()
