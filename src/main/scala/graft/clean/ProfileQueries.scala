@@ -2,7 +2,7 @@ package graft.clean
 
 import graft._
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.8 per-column profiling — the reference widget's column-summary pass.
@@ -51,6 +51,35 @@ object ProfileQueries {
       val li = Tables(s, dir, "lineitem")
       profCols.map(summarize(li, _)).reduce(_ unionByName _)
         .orderBy(col("col_name"))
+    },
+
+    // full pairwise Pearson matrix over the numeric profile columns in
+    // ONE aggregate pass (n + 4 sums + 4 sum-squares + 6 cross-sums —
+    // 15 partial-aggregable columns, one shuffle of ONE row), then the
+    // 6 pairs unpivot map-side. Sums are exact DECIMAL (associative ⇒
+    // partitioning-proof), the Pearson ratio is the only double math —
+    // same discipline as agg_corr_manual, generalized to the matrix a
+    // profiling pane actually shows.
+    "profile_corr_matrix" -> { (s, dir) =>
+      def dec(c: String): Column =
+        if (c == "l_quantity" || c == "l_extendedprice")
+          col(c).cast("decimal(12,2)") else col(c).cast("decimal(12,6)")
+      val pairs = profCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+      val aggs =
+        profCols.map(c => sum(dec(c)).cast("double").as(s"s_$c")) ++
+        profCols.map(c => sum(dec(c) * dec(c)).cast("double").as(s"q_$c")) ++
+        pairs.map { case (a, b) => sum(dec(a) * dec(b)).cast("double").as(s"x_${a}_$b") }
+      def corr(a: String, b: String): Column =
+        round((col("n") * col(s"x_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          (sqrt(col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")) *
+            sqrt(col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b"))), 6)
+      Tables(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"), aggs: _*)
+        .select(explode(array(pairs.map { case (a, b) =>
+          struct(lit(a).as("col_a"), lit(b).as("col_b"), corr(a, b).as("corr_r6"))
+        }: _*)).as("p"))
+        .select(col("p.col_a"), col("p.col_b"), col("p.corr_r6"))
+        .orderBy(col("col_a"), col("col_b"))
     },
 
     // null/NaN detector over events with deterministically injected nulls
@@ -128,7 +157,28 @@ object ProfileQueries {
     }
   )
 
+  private val sqlCorrMatrix: String = {
+    def dec(c: String) =
+      if (c == "l_quantity" || c == "l_extendedprice") s"cast($c as decimal(12,2))"
+      else s"cast($c as decimal(12,6))"
+    val pairs = profCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val sums =
+      profCols.map(c => s"cast(sum(${dec(c)}) as double) AS s_$c") ++
+      profCols.map(c => s"cast(sum(${dec(c)} * ${dec(c)}) as double) AS q_$c") ++
+      pairs.map { case (a, b) =>
+        s"cast(sum(${dec(a)} * ${dec(b)}) as double) AS x_${a}_$b" }
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round((n * x_${a}_$b - s_$a * s_$b) /
+         |    (sqrt(n * q_$a - s_$a * s_$a) * sqrt(n * q_$b - s_$b * s_$b)), 6)
+         |    AS corr_r6 FROM s""".stripMargin }
+    s"""WITH s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM lineitem)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "profile_corr_matrix" -> sqlCorrMatrix,
     "profile_summary" ->
       profCols.map(sqlSummarize).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "profile_missingness" ->
