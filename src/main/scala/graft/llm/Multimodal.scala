@@ -44,11 +44,13 @@ object Multimodal {
 
   /** ??? STUB: stands in for a real image/audio decoder (libs absent in
     * this container). Deterministic fake features: byte histogram moments.
-    * Signature and batch shape are what a real decoder plugs into. */
+    * Signature and batch shape are what a real decoder plugs into.
+    * Empty payload → all-zero features (n_bytes 0, no fake count of 1). */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    if (payload.isEmpty) return Array(0f, 0f, 0f)
     var sum = 0L; var sq = 0L
     payload.foreach { b => val v = b & 0xff; sum += v; sq += v.toLong * v }
-    val n = math.max(payload.length, 1)
+    val n = payload.length
     Array(n.toFloat, sum.toFloat / n, sq.toFloat / n)
   }
 
@@ -112,6 +114,7 @@ object Multimodal {
           element_at(col("features"), 1).cast("long").as("n_bytes"),
           round(element_at(col("features"), 2).cast("double"), 3).as("mean_r3"),
           round(element_at(col("features"), 3).cast("double"), 3).as("meansq_r3"))
+        .where(col("n_bytes") > 0) // empty payloads: no row, same as the oracle
         .orderBy(col("doc_id"))
     },
 
@@ -148,15 +151,17 @@ object Multimodal {
         |WHERE k * 128 + 64 <= strlen(text)
         |ORDER BY doc_id, k""".stripMargin,
     "multimodal_feature_extract" ->
-      """WITH by AS (SELECT doc_id, ord(substring(text, cast(pos as int), 1)) AS b
-        |  FROM documents CROSS JOIN range(1, 600) r(pos)
-        |  WHERE pos <= strlen(text)),
-        |agg AS (SELECT doc_id, count(*) AS n, sum(b) AS s, sum(b * b) AS q
-        |  FROM by GROUP BY doc_id)
+      """WITH agg AS (SELECT doc_id, strlen(text) AS n,
+        |  cast(list_sum(list_transform(range(1, strlen(text)+1),
+        |    i -> ord(substring(text, cast(i as int), 1)))) as bigint) AS s,
+        |  cast(list_sum(list_transform(range(1, strlen(text)+1),
+        |    i -> cast(ord(substring(text, cast(i as int), 1)) as bigint)
+        |         * ord(substring(text, cast(i as int), 1)))) as bigint) AS q
+        |  FROM documents)
         |SELECT doc_id, n AS n_bytes,
         |  round(cast(cast(s AS REAL) / cast(n AS REAL) AS DOUBLE), 3) AS mean_r3,
         |  round(cast(cast(q AS REAL) / cast(n AS REAL) AS DOUBLE), 3) AS meansq_r3
-        |FROM agg ORDER BY doc_id""".stripMargin,
+        |FROM agg WHERE n > 0 ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id, (pos - 1) // 16 AS block,
         |sum(ord(substring(text, cast(pos as int), 1))) / 16.0 AS pixel

@@ -215,7 +215,10 @@ object Text {
     * with fewer than `n` tokens (no n-grams) emit no row. Map-side: the
     * n-gram array is built and deduped per row, nothing explodes. */
   def repetitionScored(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
+      n: Int = 3): DataFrame = {
+    val reserved = Seq("__tg", "n_ngrams", "n_distinct", "rep_ratio_e6")
+    require(!df.columns.exists(reserved.contains) && !reserved.contains(idCol),
+      s"repetitionScored reserves the column names ${reserved.mkString(", ")}")
     df.withColumn("__tg", Dedup.ngramArray(split(lower(col(textCol)), " "), n))
       .where(size(col("__tg")) > 0)
       .select(col(idCol),
@@ -223,6 +226,7 @@ object Text {
         size(array_distinct(col("__tg"))).cast("long").as("n_distinct"))
       .withColumn("rep_ratio_e6",
         expr("(n_ngrams - n_distinct) * 1000000 DIV n_ngrams"))
+  }
 
   val oracle: Map[String, String] = Map(
     "text_tokenize_tf" ->

@@ -84,16 +84,21 @@ class CurationSpec extends SparkSuite {
   test("incrementalDedupBatches skips a replayed batchId (at-least-once guard)") {
     val corpus0 = Seq((1L, base)).toDF("id", "body")
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var emitCalls = 0
     val fn = streaming.StreamOps.incrementalDedupBatches(
       corpus0, "id", "body", 0.3) { kept =>
+      emitCalls += 1
       emitted ++= kept.select("id").collect().map(_.getLong(0))
     }
     val b = Seq((11L, "one two three four five six seven eight nine ten"))
       .toDF("id", "body")
     fn(b, 0L)
     fn(b, 0L) // foreachBatch replay of the same micro-batch
-    assert(emitted.toSeq == Seq(11L),
-      s"replayed batchId must be skipped, got $emitted")
+    // emit must run ONCE — without the batchId guard the replay would
+    // still emit an (empty) second batch, because the first call's
+    // survivors already entered the corpus state and reject the rerun
+    assert(emitCalls == 1, s"replayed batchId must be skipped, emit ran $emitCalls times")
+    assert(emitted.toSeq == Seq(11L), s"got $emitted")
   }
 
   test("repetitionScored flags a degenerate doc, near-zero for diverse text") {

@@ -113,6 +113,15 @@ object CleanOpsProps extends Properties("CleanOps") {
     }
 }
 
+/** Shared generators for the Curation property objects — one definition
+  * of the small-vocab near-dup-prone corpus distribution. */
+object CurationGen {
+  val vocab = Vector("ox", "elk", "ant", "bee", "cod", "fox")
+  val docGen: org.scalacheck.Gen[String] =
+    org.scalacheck.Gen.choose(8, 14).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.oneOf(vocab)).map(_.mkString(" ")))
+}
+
 /** Properties of the corpus-maintenance / sequence-shaping operators:
   * model-based checks against in-memory reimplementations (the same
   * pattern as the connectedComponents union-find mirror above). */
@@ -123,12 +132,7 @@ object CurationProps extends Properties("Curation") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(6)
 
-  // documents: 8-14 tokens from a 6-word vocab — near-dups are frequent,
-  // so the LSH/verify path is exercised on both branches
-  private val vocab = Vector("ox", "elk", "ant", "bee", "cod", "fox")
-  private val docGen: Gen[String] =
-    Gen.choose(8, 14).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+  import CurationGen.docGen
 
   property("dedupIncremental: survivors are a subset of the batch AND idempotent") =
     Prop.forAll(Gen.listOfN(3, docGen), Gen.listOfN(4, docGen)) { (corpusT, batchT) =>
@@ -184,10 +188,7 @@ object CurationProps2 extends Properties("Curation2") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(6)
 
-  private val vocab = Vector("ox", "elk", "ant", "bee", "cod", "fox")
-  private val docGen: Gen[String] =
-    Gen.choose(8, 14).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+  import CurationGen.docGen
 
   private def ngrams(doc: String, n: Int): Set[String] =
     doc.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
