@@ -112,6 +112,22 @@ final case class ForwardFill(column: String, orderCols: Seq[String],
     s"""df.withColumn("$column", last(col("$column"), ignoreNulls=true).over(Window.partitionBy(${partitionCols.mkString(",")}).orderBy(${orderCols.mkString(",")})))"""
 }
 
+/** Backward-fill nulls in explicit (partition, order) — [[ForwardFill]]'s
+  * complement: the NEXT non-null value fills, so leading gaps (before the
+  * first observation) repair, trailing ones stay null. Same one-window
+  * shuffle; only the frame direction flips. */
+final case class BackwardFill(column: String, orderCols: Seq[String],
+    partitionCols: Seq[String]) extends CleanOp {
+  def apply(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn(column, first(col(column), ignoreNulls = true).over(w))
+  }
+  def code: String =
+    s"""df.withColumn("$column", first(col("$column"), ignoreNulls=true).over(Window.partitionBy(${partitionCols.mkString(",")}).orderBy(${orderCols.mkString(",")}).rowsBetween(currentRow, unboundedFollowing)))"""
+}
+
 /** Linear interpolation between nearest non-null neighbours in explicit
   * (partition, order); leading/trailing nulls stay null. */
 final case class Interpolate(column: String, orderCols: Seq[String],

@@ -55,6 +55,11 @@ object Missing {
         .select(col("event_id"), col("user_id"), col("v")).orderBy(col("event_id"))
     },
 
+    "fillna_bfill" -> { (s, dir) =>
+      BackwardFill("v", Seq("event_id"), Seq("user_id"))(eventsWithNulls(s, dir))
+        .select(col("event_id"), col("user_id"), col("v")).orderBy(col("event_id"))
+    },
+
     "fillna_interpolate" -> { (s, dir) =>
       Interpolate("v", Seq("event_id"), Seq("user_id"))(eventsWithNulls(s, dir))
         .select(col("event_id"), col("user_id"), col("v")).orderBy(col("event_id"))
@@ -101,6 +106,11 @@ object Missing {
       """SELECT event_id, user_id,
         |last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |FROM ev ORDER BY event_id""".stripMargin),
+    "fillna_bfill" -> q(
+      """SELECT event_id, user_id,
+        |first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v
         |FROM ev ORDER BY event_id""".stripMargin),
     "fillna_interpolate" -> q(
       """SELECT event_id, user_id,

@@ -45,6 +45,13 @@ class CleanOpsSpec extends SparkSuite {
       None, Some(6.0), Some(8.0), Some(8.0)))
   }
 
+  test("BackwardFill carries next non-null within partition, trailing null stays") {
+    val out = BackwardFill("v", Seq("id"), Seq("u"))(nullsDf).orderBy("id")
+      .select("v").collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(10.0), Some(40.0), Some(40.0), Some(40.0),
+      Some(6.0), Some(6.0), Some(8.0), None))
+  }
+
   test("Interpolate fills between neighbours, leaves leading/trailing null") {
     val out = Interpolate("v", Seq("id"), Seq("u"))(nullsDf).orderBy("id")
       .select("v").collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
