@@ -109,7 +109,7 @@ final case class ForwardFill(column: String, orderCols: Seq[String],
     df.withColumn(column, last(col(column), ignoreNulls = true).over(w))
   }
   def code: String =
-    s"""df.withColumn("$column", last(col("$column"), ignoreNulls=true).over(Window.partitionBy(${partitionCols.mkString(",")}).orderBy(${orderCols.mkString(",")})))"""
+    s"""df.withColumn("$column", last(col("$column"), ignoreNulls=true).over(Window.partitionBy(${partitionCols.map(c => s""""$c"""").mkString(", ")}).orderBy(${orderCols.map(c => s""""$c"""").mkString(", ")}).rowsBetween(Window.unboundedPreceding, Window.currentRow)))"""
 }
 
 /** Backward-fill nulls in explicit (partition, order) — [[ForwardFill]]'s
@@ -125,7 +125,7 @@ final case class BackwardFill(column: String, orderCols: Seq[String],
     df.withColumn(column, first(col(column), ignoreNulls = true).over(w))
   }
   def code: String =
-    s"""df.withColumn("$column", first(col("$column"), ignoreNulls=true).over(Window.partitionBy(${partitionCols.mkString(",")}).orderBy(${orderCols.mkString(",")}).rowsBetween(currentRow, unboundedFollowing)))"""
+    s"""df.withColumn("$column", first(col("$column"), ignoreNulls=true).over(Window.partitionBy(${partitionCols.map(c => s""""$c"""").mkString(", ")}).orderBy(${orderCols.map(c => s""""$c"""").mkString(", ")}).rowsBetween(Window.currentRow, Window.unboundedFollowing)))"""
 }
 
 /** Linear interpolation between nearest non-null neighbours in explicit

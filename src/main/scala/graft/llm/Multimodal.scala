@@ -151,13 +151,14 @@ object Multimodal {
         |WHERE k * 128 + 64 <= strlen(text)
         |ORDER BY doc_id, k""".stripMargin,
     "multimodal_feature_extract" ->
-      """WITH agg AS (SELECT doc_id, strlen(text) AS n,
-        |  cast(list_sum(list_transform(range(1, strlen(text)+1),
-        |    i -> ord(substring(text, cast(i as int), 1)))) as bigint) AS s,
-        |  cast(list_sum(list_transform(range(1, strlen(text)+1),
-        |    i -> cast(ord(substring(text, cast(i as int), 1)) as bigint)
-        |         * ord(substring(text, cast(i as int), 1)))) as bigint) AS q
-        |  FROM documents)
+      """WITH bytes AS (SELECT doc_id, strlen(text) AS n,
+        |  list_transform(range(1, strlen(text)+1),
+        |    i -> cast(ord(substring(text, cast(i as int), 1)) as bigint)) AS l
+        |  FROM documents),
+        |agg AS (SELECT doc_id, n,
+        |  cast(list_sum(l) as bigint) AS s,
+        |  cast(list_sum(list_transform(l, x -> x * x)) as bigint) AS q
+        |  FROM bytes)
         |SELECT doc_id, n AS n_bytes,
         |  round(cast(cast(s AS REAL) / cast(n AS REAL) AS DOUBLE), 3) AS mean_r3,
         |  round(cast(cast(q AS REAL) / cast(n AS REAL) AS DOUBLE), 3) AS meansq_r3
