@@ -99,17 +99,25 @@ object GraftOps {
     llm.Curation.decontaminate(corpus, evalSet, idCol, textCol, n)
 
   /** sliding-window chunking: one row per (doc, chunk) token window of
-    * `chunkTokens` every `stride` tokens — map-side, no shuffle. */
+    * `chunkTokens` every `stride` tokens — map-side, no shuffle. Note on
+    * tails when stride < chunkTokens: window starts run every `stride`
+    * tokens up to the LAST token, so a doc whose length is not aligned to
+    * the stride emits a final short chunk whose tokens are all contained
+    * in the previous (overlapping) window — callers that want
+    * no-duplicate-tail semantics should drop trailing chunks with
+    * `chunk_idx > 0 && n_tokens <= chunkTokens - stride`. */
   def chunkSplit(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, stride: Int): DataFrame =
     llm.Chunking.chunkSplit(df, idCol, textCol, chunkTokens, stride)
 
   /** concat-and-cut sequence packing: pack_id = floor(tokens-before-doc /
     * budget) per `streamCol` stream in `idCol` order — deterministic under
-    * re-partitioning, one window shuffle. */
+    * re-partitioning. Computed as a two-level distributed prefix sum over
+    * `shards` range-shards (default spark.sql.shuffle.partitions), so
+    * parallelism never collapses to one task per stream. */
   def packSequences(df: DataFrame, streamCol: String, idCol: String,
-      textCol: String, budget: Int): DataFrame =
-    llm.Chunking.packSequences(df, streamCol, idCol, textCol, budget)
+      textCol: String, budget: Int, shards: Int = 0): DataFrame =
+    llm.Chunking.packSequences(df, streamCol, idCol, textCol, budget, shards)
 
   /** per-doc n-gram repetition quality signal (Gopher/C4-style):
     * rep_ratio_e6 = (1 − distinct/total n-grams)·10⁶ — map-side. */

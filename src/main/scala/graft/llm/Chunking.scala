@@ -21,9 +21,23 @@ import org.apache.spark.sql.functions._
   * document token stream is concatenated in doc_id order and cut every
   * `budget` tokens (documents may straddle a cut — exactly how most
   * training pipelines pack, with the trainer handling the straddle).
-  * pack_id = floor(exclusive-running-token-count / budget): one window
-  * shuffle on the stream key, then a hash agg. Deterministic — no greedy
-  * bin packing whose result would depend on partitioning.
+  * pack_id = floor(exclusive-running-token-count / budget), computed as a
+  * TWO-LEVEL DISTRIBUTED PREFIX SUM — a naive
+  * `Window.partitionBy(source)` cumsum funnels each source's entire
+  * token stream through ONE task (window partitions are single-task in
+  * Spark), which is fatal when the corpus has ~20 sources and 100 TB of
+  * text. Instead:
+  *   1. `repartitionByRange(shards, source, id)` — an order-preserving
+  *      split of the (source, id) stream into `shards` contiguous runs;
+  *   2. local exclusive cumsum per (source, shard) — `shards`-way
+  *      parallel, each window partition holds ~1/shards of the data;
+  *   3. per-(source, shard) token totals — a tiny (≤ sources×shards row)
+  *      relation — cumsum'd over shard rank to get each shard's global
+  *      starting offset, broadcast-joined back;
+  *   4. global cumsum = shard offset + local cumsum (map-side add).
+  * Deterministic — shard BOUNDARIES come from range-partitioner sampling
+  * and may vary run to run, but offset+local is the exact global running
+  * sum regardless of where the cuts land, so pack_id never changes.
   */
 object Chunking {
 
@@ -33,6 +47,9 @@ object Chunking {
       chunkTokens: Int, stride: Int): DataFrame = {
     require(stride >= 1 && chunkTokens >= stride,
       "need 1 <= stride <= chunkTokens (stride > chunk would skip tokens)")
+    val reserved = Seq("__toks", "__chunk", "chunk_idx", "n_tokens", "h")
+    require(!df.columns.exists(reserved.contains) && !reserved.contains(idCol),
+      s"chunkSplit reserves the column names ${reserved.mkString(", ")}")
     // null text ⇒ no chunks (without the guard, sequence(0, greatest(
     // size(null)-1, 0)) fabricates one spurious all-null chunk row)
     df.where(col(textCol).isNotNull)
@@ -50,15 +67,50 @@ object Chunking {
   /** PUBLIC API: concat-and-cut packing — assign each doc of the
     * `streamCol`-keyed token stream (ordered by `idCol`) to
     * pack_id = floor(tokens-before-this-doc / budget); adds
-    * (n_tokens, pack_id). */
+    * (n_tokens, pack_id). Two-level distributed prefix sum (see object
+    * doc): parallelism is `shards`, never the number of streams, so one
+    * giant source can't funnel its whole token stream through one task.
+    * `shards` defaults to spark.sql.shuffle.partitions; raise it on a
+    * real cluster so each shard's run fits one task comfortably. */
   def packSequences(df: DataFrame, streamCol: String, idCol: String,
-      textCol: String, budget: Int): DataFrame = {
-    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+      textCol: String, budget: Int, shards: Int = 0): DataFrame = {
+    val reserved =
+      Seq("__shard", "__lcum", "__stot", "__off", "__okey", "__oshard", "n_tokens", "pack_id")
+    require(!df.columns.exists(reserved.contains) && !reserved.contains(idCol) &&
+      !reserved.contains(streamCol),
+      s"packSequences reserves the column names ${reserved.mkString(", ")}")
+    val spark = df.sparkSession
+    val nShards =
+      if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Level 0: token counts, then an order-preserving range split of the
+    // global (stream, id) order into nShards contiguous runs. The shard
+    // id is the range-partition id — monotone in (stream, id) by
+    // construction, which is what makes offset + local cumsum exact.
+    val ranged = df
+      .withColumn("n_tokens", size(split(lower(col(textCol)), " ")).cast("long"))
+      .repartitionByRange(nShards, col(streamCol), col(idCol))
+      .withColumn("__shard", spark_partition_id())
+    // Level 1: exclusive cumsum WITHIN each (stream, shard) run — the
+    // window partition key includes the shard, so no single task ever
+    // holds more than ~1/nShards of a stream.
+    val wLocal = Window.partitionBy(col(streamCol), col("__shard"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
+    // Level 2: per-(stream, shard) totals — at most streams×nShards rows
+    // — cumsum'd over shard rank for each shard's global start offset.
+    val wOff = Window.partitionBy(col(streamCol)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", size(split(lower(col(textCol)), " ")).cast("long"))
-      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("pack_id", floor(col("__cum") / budget))
-      .drop("__cum")
+    val offsets = ranged.groupBy(col(streamCol), col("__shard"))
+      .agg(sum(col("n_tokens")).as("__stot"))
+      .withColumn("__off", coalesce(sum(col("__stot")).over(wOff), lit(0L)))
+      .select(col(streamCol).as("__okey"), col("__shard").as("__oshard"), col("__off"))
+    // null-safe on the stream key: the window form groups null streams
+    // together, so the offset join must not drop them.
+    ranged
+      .withColumn("__lcum", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets),
+        col(streamCol) <=> col("__okey") && col("__shard") === col("__oshard"))
+      .withColumn("pack_id", floor((col("__off") + col("__lcum")) / budget))
+      .drop("__shard", "__lcum", "__off", "__okey", "__oshard")
   }
 
   val queries: Map[String, Q] = Map(

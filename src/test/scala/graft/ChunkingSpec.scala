@@ -53,4 +53,52 @@ class ChunkingSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byId == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
+
+  test("packSequences two-level prefix sum: shard count never changes pack ids") {
+    // 300 docs over 3 sources with varying token counts; the exact global
+    // exclusive cumsum (in-memory model) must come back for ANY shard
+    // count — 1 shard (degenerate, = old single-window form), 7 (docs
+    // straddle shard boundaries mid-source), 64 (more shards than rows
+    // per source ⇒ many empty/tiny shards).
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"src${i % 3}", Seq.fill(1 + i % 13)("t").mkString(" "))
+    }
+    val df = docs.toDF("id", "src", "body")
+    val model = docs.groupBy(_._2).flatMap { case (_, ds) =>
+      val sorted = ds.sortBy(_._1)
+      val cums = sorted.map(_._3.split(" ").length.toLong).scanLeft(0L)(_ + _)
+      sorted.map(_._1).zip(cums).map { case (id, c) => id -> c / 17 }
+    }.toMap
+    for (shards <- Seq(1, 7, 64)) {
+      val got = GraftOps.packSequences(df, "src", "id", "body", 17, shards)
+        .select("id", "pack_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model, s"pack ids diverge from the model at shards=$shards")
+    }
+  }
+
+  test("packSequences keeps null stream keys as one stream (window-form parity)") {
+    val docs = Seq((1L, Option.empty[String], "t t t"), (2L, None, "t t t"),
+      (3L, Some("a"), "t t t")).toDF("id", "src", "body")
+    val byId = GraftOps.packSequences(docs, "src", "id", "body", 4)
+      .select("id", "pack_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null stream: cum-before 0, 3 → packs 0, 0 with budget 4? No: doc 2 sees
+    // cum-before 3 < 4 ⇒ pack 0. Use budget 3 to force a cut instead.
+    val cut = GraftOps.packSequences(docs, "src", "id", "body", 3)
+      .select("id", "pack_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    assert(cut == Map(1L -> 0L, 2L -> 1L, 3L -> 0L),
+      "null-stream rows must pack as ONE stream, not be dropped by the offset join")
+  }
+
+  test("chunkSplit and packSequences reject reserved caller columns") {
+    val c = Seq((1L, "a b", 9L)).toDF("id", "body", "n_tokens")
+    intercept[IllegalArgumentException] {
+      GraftOps.chunkSplit(c, "id", "body", 2, 2)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.packSequences(c.withColumnRenamed("n_tokens", "pack_id"),
+        "id", "id", "body", 4)
+    }
+  }
 }

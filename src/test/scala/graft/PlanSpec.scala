@@ -233,6 +233,31 @@ class PlanSpec extends SparkSuite {
     assert(!bad, "tf relation shuffles token occurrences")
   }
 
+  test("pipeline_pack_sequences prefix-sums per range shard, never per source alone") {
+    // The naive form cumsums with Window.partitionBy(source): ~20 window
+    // partitions = ~20 tasks for the whole corpus at 100 TB. The two-level
+    // form must (a) range-split the (source, doc_id) order into shards and
+    // (b) run the full-data window keyed by (source, __shard). A window
+    // keyed by source ALONE is only legal over the per-shard TOTALS — a
+    // ≤ sources×shards row aggregate.
+    val p = plan("pipeline_pack_sequences")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"no order-preserving shard split:\n${p.take(2000)}")
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.zipWithIndex.filter(_._1.contains("Window ["))
+    assert(winIdx.exists(_._1.contains("__shard")),
+      "no (source, __shard)-keyed window found — prefix sum not sharded")
+    winIdx.filterNot(_._1.contains("__shard")).foreach { case (l, i) =>
+      // walk down to this window's data source; it must be the tiny
+      // per-(source, shard) totals aggregate, never the raw table
+      val feeder = lines.drop(i + 1).take(12).find(x =>
+        x.contains("HashAggregate") || x.contains("Scan ") ||
+          x.contains("Window ["))
+      assert(feeder.exists(_.contains("HashAggregate")),
+        s"source-keyed window reads non-aggregated data:\n$l\n${feeder.getOrElse("")}")
+    }
+  }
+
   test("no declared query feeds a Window from an Exchange SinglePartition") {
     // A whole-table window (empty partitionBy / global ORDER) plans
     // `Exchange SinglePartition → [Sort] → Window` — every row through one
