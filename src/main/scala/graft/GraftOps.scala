@@ -73,8 +73,14 @@ object GraftOps {
     * connectedComponents) instead when the intermediate pairs or clusters
     * need inspection. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame =
-    llm.Dedup.dedupCorpus(df, idCol, textCol, threshold, n)
+      threshold: Double, n: Int = 3, persistArrays: Boolean = true): DataFrame =
+    llm.Dedup.dedupCorpus(df, idCol, textCol, threshold, n, persistArrays)
+
+  /** reclaim every relation the dedup stack persisted for `session` (the
+    * memoized shingle arrays and band-sig/simhash caches) — call between
+    * corpora in a long-lived session; returns how many were unpersisted. */
+  def clearDedupCaches(session: org.apache.spark.sql.SparkSession): Int =
+    llm.Dedup.clearCaches(session)
 
   /** open-vocabulary deterministic string id (polynomial hash, no
     * dictionary state; mirrored exactly by the DuckDB-side list_reduce). */

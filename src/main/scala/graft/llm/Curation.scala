@@ -111,9 +111,16 @@ object Curation {
   /** PUBLIC API: attach per-vector int8 scalar-quantization columns to
     * unit vectors (vec_id, v): `s` = max‖v‖∞/127 (dequantization scale),
     * `q` = round(v/s) as integer-valued doubles (exact under the native
-    * DotProduct). Input must have no all-zero vectors (no unit form). */
+    * DotProduct). An all-zero vector has no unit form (s = 0 would put
+    * NaN into every downstream similarity) — the guard fails the ROW at
+    * evaluation time via raise_error, map-side and free on valid data,
+    * instead of letting NaN propagate silently into rankings. */
   def withInt8(df: DataFrame): DataFrame =
-    df.withColumn("s", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+    df.withColumn("s",
+        when(array_max(transform(col("v"), x => abs(x))) === 0.0,
+          raise_error(concat(lit("withInt8: all-zero vector for vec_id="),
+            col("vec_id").cast("string"))))
+          .otherwise(array_max(transform(col("v"), x => abs(x))) / lit(127.0)))
       .withColumn("q", transform(col("v"), x => round(x / col("s"))))
 
   /** PUBLIC API: full IVF-PQ ANN. `vectors`/`queries` carry int8-quantized

@@ -69,16 +69,49 @@ object Dedup {
   private def docArrays(s: SparkSession, dir: String, dedup: Boolean = false): DataFrame =
     shingleArrays(Tables(s, dir, "documents"), "doc_id", "text", 3, dedup)
 
+  /** Every relation Dedup persists is registered here per session, so a
+    * long-lived service can reclaim them all with [[clearCaches]] instead
+    * of waiting on LRU pressure. */
+  private val persistedBySession =
+    scala.collection.mutable.Map.empty[SparkSession, scala.collection.mutable.Buffer[DataFrame]]
+  private def trackedPersist(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    persistedBySession.synchronized {
+      persistedBySession.getOrElseUpdate(p.sparkSession,
+        scala.collection.mutable.Buffer.empty) += p
+    }
+    p
+  }
+
+  /** PUBLIC API: unpersist every relation the dedup stack cached for
+    * `session` — the memoized shingle arrays plus all band-signature /
+    * simhash-chunk persists — and drop the memo entries so the next call
+    * rebuilds cleanly. Returns the number of relations unpersisted.
+    * Long-lived services (a dedup endpoint, a notebook session) call this
+    * between corpora; one-shot jobs can let the session teardown reclaim
+    * the blocks instead. */
+  def clearCaches(session: SparkSession): Int = {
+    daCache.synchronized {
+      daCache.filterInPlace { case ((s, _), _) => s != session }
+    }
+    persistedBySession.synchronized {
+      persistedBySession.remove(session)
+        .map { dfs => dfs.foreach(_.unpersist()); dfs.size }
+        .getOrElse(0)
+    }
+  }
+
   /** Memoized PERSISTED distinct-shingle arrays per (session, dir): the
     * verify path is reached by two declared queries (jaccard, containment)
     * plus every-query sweeps (PlanSpec, Verify, Bench) — per-call persist()
     * registered a fresh cache entry each time that only LRU eviction
-    * reclaimed. One persisted copy per (session, dir) instead. */
+    * reclaimed. One persisted copy per (session, dir) instead; reclaim via
+    * [[clearCaches]]. */
   private val daCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private[llm] def docArraysCached(s: SparkSession, dir: String): DataFrame =
     daCache.synchronized {
-      daCache.getOrElseUpdate((s, dir), docArrays(s, dir, dedup = true).persist())
+      daCache.getOrElseUpdate((s, dir), trackedPersist(docArrays(s, dir, dedup = true)))
     }
 
   /** shingle string → deterministic id: open-vocab polynomial hash.
@@ -126,10 +159,11 @@ object Dedup {
     * should unpersist.) Callers that invoke this REPEATEDLY on small
     * inputs — e.g. once per streaming micro-batch — pass
     * `persistSigs = false`: the signature pass runs twice but registers
-    * nothing with the CacheManager, so nothing accumulates. */
+    * nothing with the CacheManager, so nothing accumulates. Persisted
+    * sigs are reclaimed by [[clearCaches]]. */
   def candidatesFromArrays(da: DataFrame, persistSigs: Boolean = true): DataFrame = {
     val sigs0 = bandSigsFromArrays(da)
-    val sigs = if (persistSigs) sigs0.persist() else sigs0
+    val sigs = if (persistSigs) trackedPersist(sigs0) else sigs0
     val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).where(col("doc_a") < col("doc_b"))
@@ -184,11 +218,20 @@ object Dedup {
     * (candidates / verify / clusters) stay public for inspection flows.
     * The corpus itself is never shuffled or widened: losers arrive via a
     * left_anti join on the id (AQE broadcasts them while small; at 100 TB
-    * the anti-join shuffles on the id — still corpus-linear). */
+    * the anti-join shuffles on the id — still corpus-linear).
+    *
+    * The shingle arrays feed both the signature pass and the verify join,
+    * so they persist by default; `persistArrays = false` (paired with
+    * `persistSigs = false` downstream) makes the call register NOTHING
+    * with the CacheManager — the shape for per-micro-batch callers.
+    * Persisted arrays are reclaimed by [[clearCaches]]. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
-    val da = shingleArrays(df, idCol, textCol, n, dedup = true).persist()
-    df.join(selfDedupLosers(da, threshold).withColumnRenamed("doc_id", idCol),
+      threshold: Double, n: Int = 3, persistArrays: Boolean = true): DataFrame = {
+    val da0 = shingleArrays(df, idCol, textCol, n, dedup = true)
+    val da = if (persistArrays) trackedPersist(da0) else da0
+    df.join(
+      selfDedupLosers(da, threshold, persistSigs = persistArrays)
+        .withColumnRenamed("doc_id", idCol),
       Seq(idCol), "left_anti")
   }
 
@@ -248,12 +291,12 @@ object Dedup {
           }
       val sims = withVec.select(simCols: _*)
       // both self-join sides read `chunks` — persist so the map-side
-      // SimHashVec pass runs once (same LRU-lifetime policy as minhash)
-      val chunks = sims.select(col("doc_id"), col("simhash"),
+      // SimHashVec pass runs once (reclaimed by clearCaches, same policy
+      // as the minhash band sigs)
+      val chunks = trackedPersist(sims.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("c"), col(s"cval$c").as("cval"))): _*)).as("ch"))
-        .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.cval").as("cval"))
-        .persist()
+        .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.cval").as("cval")))
       val ca = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
         col("c"), col("cval"))
       val cb = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),

@@ -131,4 +131,34 @@ class CurationSpec extends SparkSuite {
       assert(cs == cs.sorted.reverse, s"exact rescore not descending: $cs")
     }
   }
+
+  test("withInt8Quantization fails fast on an all-zero vector instead of emitting NaN") {
+    val good = Seq((1L, Array(0.6, 0.8))).toDF("vec_id", "v")
+    val q = GraftOps.withInt8Quantization(good).collect()(0)
+    assert(!q.getAs[Double]("s").isNaN)
+    val bad = Seq((1L, Array(0.6, 0.8)), (2L, Array(0.0, 0.0))).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      GraftOps.withInt8Quantization(bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("all-zero vector")), e.toString)
+  }
+
+  test("clearDedupCaches reclaims every dedup persist; queries still work after") {
+    val docs = (0 until 20).map(i => (i.toLong, base + s" extra$i"))
+      .toDF("doc_id", "text")
+    // persisting calls: corpus dedup (arrays + band sigs)
+    GraftOps.dedupCorpus(docs, "doc_id", "text", 0.3).count()
+    assert(GraftOps.clearDedupCaches(spark) >= 2,
+      "dedupCorpus should have registered the arrays + band sigs")
+    // opt-out path registers nothing
+    GraftOps.dedupCorpus(docs, "doc_id", "text", 0.3, persistArrays = false).count()
+    assert(GraftOps.clearDedupCaches(spark) == 0,
+      "persistArrays=false must register nothing with the CacheManager")
+    // caches rebuild cleanly after a clear: the declared jaccard query
+    // (memoized docArraysCached path) still answers
+    assert(SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).count() >= 0)
+    assert(GraftOps.clearDedupCaches(spark) >= 1, "memoized arrays not re-registered")
+  }
 }
