@@ -183,10 +183,16 @@ object GraftOps {
     * turns near-dup candidate PAIRS into the transitive dedup CLUSTERS a
     * keep-one-per-group policy needs. Per-round checkpointing is LOCAL by
     * default (fast, not executor-loss-safe); pass `checkpointDir` (HDFS/
-    * object-store path) for reliable checkpoints on a real cluster. */
+    * object-store path) for reliable checkpoints on a real cluster.
+    * `algorithm = "two-phase"` switches to alternating large-star/
+    * small-star edge contraction — O(log n) rounds guaranteed on ANY
+    * graph shape; pick it for adversarial high-diameter graphs (long
+    * chains), keep the default for dedup's near-clique components. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 20, checkpointDir: Option[String] = None): DataFrame =
-    llm.Dedup.connectedComponents(pairs, aCol, bCol, maxRounds, checkpointDir)
+      maxRounds: Int = 20, checkpointDir: Option[String] = None,
+      algorithm: String = "labelprop"): DataFrame =
+    llm.Dedup.connectedComponents(pairs, aCol, bCol, maxRounds, checkpointDir,
+      algorithm)
 
   /** apply a change feed over a base table, highest version wins per key —
     * one hash aggregate, no window. */

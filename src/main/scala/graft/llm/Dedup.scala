@@ -414,9 +414,30 @@ object Dedup {
     * label copies are node-sized and reclaimed by the ContextCleaner
     * as each round's reference is dropped; edges are unpersisted here even
     * on failure.
+    *
+    * `algorithm`: `"labelprop"` (default — min-label propagation with path
+    * compression; the right shape for dedup graphs, whose components are
+    * near-cliques that converge in ~2 rounds) or `"two-phase"` — the
+    * alternating large-star/small-star edge contraction of Kiveris et al.
+    * (MapReduce CC, "The Alternating Algorithm"), which guarantees
+    * O(log n) ROUNDS on any graph and — unlike label propagation, which
+    * carries a (node → label) row for EVERY node through EVERY round —
+    * shrinks the edge set as it contracts, so adversarial long-chain /
+    * high-diameter graphs don't degrade. Same output contract either way.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+      maxRounds: Int = 20, checkpointDir: Option[String] = None,
+      algorithm: String = "labelprop"): DataFrame = algorithm match {
+    case "labelprop" =>
+      connectedComponentsLabelProp(pairs, aCol, bCol, maxRounds, checkpointDir)
+    case "two-phase" =>
+      connectedComponentsTwoPhase(pairs, aCol, bCol, maxRounds, checkpointDir)
+    case other => throw new IllegalArgumentException(
+      s"unknown CC algorithm '$other' (labelprop | two-phase)")
+  }
+
+  private def connectedComponentsLabelProp(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int, checkpointDir: Option[String]): DataFrame = {
     require(maxRounds >= 2, "maxRounds must be >= 2 (init + one confirm round)")
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
@@ -469,6 +490,91 @@ object Dedup {
       require(done, s"connectedComponents did not converge in $maxRounds rounds")
     } finally edges.unpersist()
     labels.select(col("node"), col("lab").as("component"))
+  }
+
+  /** Alternating large-star/small-star CC (Kiveris et al., public
+    * MapReduce-CC literature). Edges are kept CANONICAL (u > v) and each
+    * round rewrites them:
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ {u}) — emit (v, m);
+    *  - small-star(u): all smaller neighbors (and u itself) attach to
+    *    m = min(Γ⁻(u) ∪ {u}) — emit (u, m) and (v, m) for v ∈ Γ⁻(u)\{m}.
+    *
+    * The fixed point is one star per component centered at its min node,
+    * reached in O(log n) alternating rounds on ANY graph — including the
+    * long-chain adversary where plain label propagation pays diameter
+    * rounds. Convergence check: a (count, sum-of-edge-hashes) signature
+    * per round — two driver scalars, no data collect — CONFIRMED by an
+    * exact `except` both ways before returning (a signature collision can
+    * therefore never return split components; it would only cost one
+    * wasted confirm). Per-round checkpointing and the reliable-vs-local
+    * choice follow the label-prop path exactly. */
+  private def connectedComponentsTwoPhase(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int, checkpointDir: Option[String]): DataFrame = {
+    require(maxRounds >= 2, "maxRounds must be >= 2")
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    // nodes remembered up front: edge contraction erases singleton
+    // components (self-pairs) and, at the end, star centers — both must
+    // still appear in the output with component = min reachable (= self
+    // for singletons, = the center id for centers).
+    val nodes = save(
+      p.select(col("a").as("node")).unionByName(p.select(col("b").as("node")))
+        .distinct())
+    var edges = save(
+      p.where(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct())
+    // hash sum as decimal(38,0): a long sum overflow-faults under ANSI
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var sig = signature(edges)
+    var done = edges.isEmpty
+    var rounds = 0
+    while (!done && rounds < maxRounds) {
+      // LARGE-STAR over the full adjacency (both directions); the result
+      // feeds both small-star aggregations, so persist it for the round
+      val adj = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val ls = adj.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .persist()
+      try {
+        // SMALL-STAR on the canonical (u > v) edges
+        val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val withM = ls.join(mins2, "u")
+        val next = save(
+          withM.select(col("v").as("u"), col("m").as("v"))
+            .where(col("u") =!= col("v"))
+            .unionByName(mins2.select(col("u"), col("m").as("v")))
+            .distinct())
+        val nextSig = signature(next)
+        if (nextSig == sig) {
+          // exact confirm — immunizes against a signature collision
+          done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+        }
+        sig = nextSig
+        edges = next
+      } finally ls.unpersist()
+      rounds += 1
+    }
+    require(done, s"two-phase CC did not converge in $maxRounds rounds")
+    // stars: (leaf u → center v); centers and singletons label themselves
+    nodes
+      .join(edges.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
   val oracle: Map[String, String] = Map(

@@ -65,6 +65,31 @@ class GraftOpsSpec extends SparkSuite {
     assert(cc.length == 60 && cc.forall(_._2 == 1L))
   }
 
+  test("two-phase CC: adversarial 10^4-hop chain converges within the round budget") {
+    // the case the algorithm exists for: a path graph of diameter 10^4.
+    // Alternating large-star/small-star contracts it in O(log n) rounds;
+    // every node must land in component 0, including both endpoints, a
+    // singleton self-pair, and a separate clique.
+    val chain = (0L until 10000L).map(i => (i, i + 1))
+    val extras = Seq((20000L, 20000L), (30000L, 30001L), (30001L, 30002L),
+      (30000L, 30002L))
+    val cc = GraftOps.connectedComponents((chain ++ extras).toDF("a", "b"),
+        "a", "b", algorithm = "two-phase")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.size == 10005)
+    assert((0L to 10000L).forall(cc(_) == 0L), "chain not fully contracted")
+    assert(cc(20000L) == 20000L, "self-pair singleton lost")
+    assert(Seq(30000L, 30001L, 30002L).forall(cc(_) == 30000L))
+  }
+
+  test("two-phase CC matches label propagation on a mixed graph") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L), (9L, 9L), (4L, 8L))
+      .toDF("a", "b")
+    def run(alg: String) = GraftOps.connectedComponents(pairs, "a", "b",
+      algorithm = alg).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run("two-phase") == run("labelprop"))
+  }
+
   test("jaccardDuplicates verifies the planted near-dup with its exact score") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon " +

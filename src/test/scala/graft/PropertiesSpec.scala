@@ -85,6 +85,27 @@ object CleanOpsProps extends Properties("CleanOps") {
       }
     }
 
+  property("two-phase CC == label propagation == union-find on random graphs") =
+    Prop.forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { raw =>
+      val es = raw.filter { case (a, b) => a != b }
+      es.isEmpty || {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val px = parent.getOrElseUpdate(x, x)
+          if (px == x) x else { val r = find(px); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(n => n -> find(n)).toMap
+        val got = GraftOps.connectedComponents(es.toDF("a", "b"), "a", "b",
+            algorithm = "two-phase")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
+
   property("upsertLatestWins: highest version wins, inserts appear, base survives") =
     Prop.forAll(
       // change keys 0..9 over base keys 0..6, so keys 7..9 exercise the
