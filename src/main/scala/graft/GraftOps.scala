@@ -177,6 +177,20 @@ object GraftOps {
       nProbe: Int, kApprox: Int, k: Int): DataFrame =
     llm.Curation.annIvfPq(vectors, queries, centroids, nProbe, kApprox, k)
 
+  /** approximate heavy hitters per group (native Misra–Gries aggregate):
+    * one `topk` array<struct<item, est>> per group holding at most
+    * `capacity` counters, shuffled as a bounded partial aggregate no
+    * matter the value cardinality — the 100 TB shape for "top values per
+    * group" profiling over skewed categoricals. Guarantees: every value
+    * with count > n/(capacity+1) is present; est ∈ [count − n/(capacity+1),
+    * count]. Which LOW-frequency values also appear depends on encounter
+    * order — threshold against the guarantee, don't diff raw sketches. */
+  def approxTopValues(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      capacity: Int): DataFrame =
+    df.groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(functions.SketchFunctions.misraGries(
+        org.apache.spark.sql.functions.col(valueCol), capacity).as("topk"))
+
   // ---- clustering / CDC ----------------------------------------------------
 
   /** connected components of an undirected pair list → (node, component);

@@ -154,6 +154,60 @@ object ProfileQueries {
               .cast("double"), 6).as("entropy"))
           .select(lit(c).as("col_name"), col("n_distinct"), col("entropy"))
       }.reduce(_ unionByName _).orderBy(col("col_name"))
+    },
+
+    // Approximate heavy hitters per group via the native Misra–Gries
+    // aggregate — the 100 TB path for profile_topk_values: the exact form
+    // shuffles one row per DISTINCT (group, value); the sketch carries at
+    // most `capacity` counters per (partition, group) regardless of value
+    // cardinality. The raw sketch is encounter-order-dependent, so the
+    // DECLARED result is the oracle-checkable CONTRACT (the
+    // agg_approx_distinct pattern): per group, the exact row count and
+    // heavy-hitter count, plus two booleans the Misra–Gries guarantee
+    // makes always-true — every value with cnt > n/(capacity+1) is in the
+    // sketch, and every estimate is within [cnt − n/(capacity+1), cnt].
+    // The value column is a deterministic skew: user_id % 5 ∈ {0, 1} fold
+    // into two ~20% hot values, the rest stay ~0.5% singletons, so the
+    // sketch (capacity 8) genuinely compresses ~120 distinct values and
+    // the heavy set is non-trivial in every group.
+    "profile_topk_approx" -> { (s, dir) =>
+      val C = 8
+      val ev = Tables(s, dir, "events").where(col("user_id").isNotNull)
+        .select(col("event_type"),
+          when(col("user_id") % 5 <= 1,
+            concat(lit("hot"), (col("user_id") % 5).cast("string")))
+            .otherwise(concat(lit("cold"), col("user_id").cast("string")))
+            .as("v"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(graft.functions.SketchFunctions.misraGries(col("v"), C).as("sketch"),
+          count(lit(1)).as("n_events"))
+      val items = sk
+        .select(col("event_type"), col("n_events"), explode(col("sketch")).as("it"))
+        .select(col("event_type"), col("n_events"),
+          col("it.item").as("v"), col("it.est").as("est"))
+      val exact = ev.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+      val bounded = items.join(exact, Seq("event_type", "v"))
+        .groupBy(col("event_type")).agg(
+          bool_and(col("est") <= col("cnt") &&
+            (col("cnt") - col("est")) * (C + 1) <= col("n_events")).as("est_bounded"))
+      val heavy = exact
+        .join(sk.select(col("event_type"), col("n_events")), "event_type")
+        .where(col("cnt") * (C + 1) > col("n_events"))
+        .select(col("event_type"), col("v"))
+      val nHeavy = heavy.groupBy(col("event_type")).agg(count(lit(1)).as("n_heavy"))
+      val nFound = heavy.join(items.select(col("event_type"), col("v")),
+          Seq("event_type", "v"), "left_semi")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_found"))
+      sk.select(col("event_type"), col("n_events"))
+        .join(nHeavy, Seq("event_type"), "left_outer")
+        .join(nFound, Seq("event_type"), "left_outer")
+        .join(bounded, Seq("event_type"))
+        .select(col("event_type"), col("n_events"),
+          coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+          (coalesce(col("n_found"), lit(0L)) === coalesce(col("n_heavy"), lit(0L)))
+            .as("heavy_in_sketch"),
+          col("est_bounded"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -193,6 +247,20 @@ object ProfileQueries {
     "profile_topk_values" ->
       """SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand
         |ORDER BY n DESC, p_brand LIMIT 10""".stripMargin,
+    "profile_topk_approx" ->
+      """WITH ev AS (SELECT event_type,
+        |    CASE WHEN user_id % 5 <= 1 THEN 'hot' || cast(user_id % 5 as varchar)
+        |         ELSE 'cold' || cast(user_id as varchar) END AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |n AS (SELECT event_type, count(*) AS n_events FROM ev GROUP BY 1),
+        |c AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |h AS (SELECT c.event_type, count(*) AS n_heavy
+        |      FROM c JOIN n USING (event_type) WHERE cnt * 9 > n_events GROUP BY 1)
+        |SELECT n.event_type, n.n_events,
+        |  cast(coalesce(h.n_heavy, 0) as bigint) AS n_heavy,
+        |  true AS heavy_in_sketch, true AS est_bounded
+        |FROM n LEFT JOIN h USING (event_type)
+        |ORDER BY n.event_type""".stripMargin,
     "profile_quantiles" ->
       """SELECT quantile_cont(l_quantity, 0.25) AS q25_qty,
         |quantile_cont(l_quantity, 0.5) AS q50_qty,

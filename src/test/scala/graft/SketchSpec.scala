@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries heavy-hitters aggregate: the MG guarantees (presence of
+  * every heavy hitter, bounded under-estimate) must hold on any input
+  * ORDER and PARTITIONING; the sketch must be exact when the distinct
+  * count fits the capacity; and the declared contract query's booleans
+  * must be true by construction. */
+class SketchSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  private def topk(rows: Seq[(String, String)], capacity: Int,
+      partitions: Int): Map[String, Map[String, Long]] =
+    GraftOps.approxTopValues(
+        rows.toDF("g", "v").repartition(partitions), Seq("g"), "v", capacity)
+      .collect().map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(it => it.getString(0) -> it.getLong(1)).toMap
+      }.toMap
+
+  test("exact counts when distinct values fit the capacity") {
+    val rows = Seq.fill(7)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c")
+    for (p <- Seq(1, 3, 8)) {
+      val got = topk(rows.map(("g1", _)), capacity = 4, partitions = p)("g1")
+      assert(got == Map("a" -> 7L, "b" -> 4L, "c" -> 2L),
+        s"distinct <= capacity must be exact (partitions=$p): $got")
+    }
+  }
+
+  test("MG guarantee holds under any partitioning: heavy present, est bounded") {
+    // 2000 rows: hotA 30%, hotB 20%, 100 cold values ~1% each
+    val rows = new scala.util.Random(11).shuffle(
+      Seq.fill(600)("hotA") ++ Seq.fill(400)("hotB") ++
+        (0 until 1000).map(i => s"cold${i % 100}"))
+    val n = rows.length
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (c <- Seq(4, 8, 16); p <- Seq(1, 5, 32)) {
+      val sketch = topk(rows.map(("g1", _)), c, p)("g1")
+      assert(sketch.size <= c, s"capacity $c exceeded: ${sketch.size}")
+      val slack = n.toDouble / (c + 1)
+      exact.foreach { case (v, cnt) =>
+        if (cnt > slack)
+          assert(sketch.contains(v), s"heavy $v (cnt=$cnt) missing at c=$c p=$p")
+      }
+      sketch.foreach { case (v, est) =>
+        val cnt = exact(v)
+        assert(est <= cnt && cnt - est <= slack,
+          s"estimate out of bounds at c=$c p=$p: $v est=$est exact=$cnt slack=$slack")
+      }
+      // rank fidelity: the true top-1 is also the sketch's top estimate
+      // (its est lower bound 600 - slack exceeds any other value's cnt
+      //  upper bound for every capacity tested)
+      assert(sketch.maxBy(_._2)._1 == "hotA")
+    }
+  }
+
+  test("groups aggregate independently; all-null group yields an empty sketch") {
+    val rows = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "z"),
+      ("g3", null))
+    val got = GraftOps.approxTopValues(rows.toDF("g", "v"), Seq("g"), "v", 4)
+      .collect().map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1))
+      .toMap
+    assert(got("g1").map(it => (it.getString(0), it.getLong(1))).toSet ==
+      Set(("x", 2L), ("y", 1L)))
+    assert(got("g2").map(it => (it.getString(0), it.getLong(1))) == Seq(("z", 1L)))
+    assert(got("g3").isEmpty, "all-null group must give [] not null")
+  }
+
+  test("sketch output is sorted by est desc, item asc") {
+    val rows = Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(2)("c")
+    val arr = GraftOps.approxTopValues(rows.map(("g", _)).toDF("g", "v"),
+        Seq("g"), "v", 8)
+      .head().getSeq[org.apache.spark.sql.Row](1)
+      .map(it => (it.getString(0), it.getLong(1)))
+    assert(arr == Seq(("a", 5L), ("b", 5L), ("c", 2L)), arr.toString)
+  }
+
+  test("profile_topk_approx contract booleans hold on the declared testdata") {
+    val rows = SparkEntry.queries("profile_topk_approx")(spark, sf).collect()
+    assert(rows.length == 5, "one row per event_type")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_heavy") >= 1, s"skew derivation lost its hot values: $r")
+      assert(r.getAs[Boolean]("heavy_in_sketch"), s"MG presence guarantee violated: $r")
+      assert(r.getAs[Boolean]("est_bounded"), s"MG estimate bound violated: $r")
+    }
+  }
+}
