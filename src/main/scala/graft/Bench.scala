@@ -34,15 +34,34 @@ object Bench {
         "doc_id", "text").count()
       catch { case _: Throwable => }
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Per-query MEDIAN-of-k (default 3): the single-run sweep has a ±30%
+    // session envelope (SCALE.md) that produced a phantom 37% "regression"
+    // in round 5 — medians make the recorded artifact comparable across
+    // rounds. Queries whose FIRST run exceeds the slow cap keep that
+    // single measurement (the handful of >4 s queries would otherwise
+    // dominate the sweep's wall-clock for the least drift-sensitive
+    // numbers); everything else re-runs from a fresh plan each time, so
+    // planning cost stays inside the timing.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val slowCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_CAP_SEC", "4.0").toDouble
+    def timeOne(name: String, fn: Q): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        // failures report -1, never a timing — a broken query must not
+        // read as a fast pass
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
-      // failures report -1, never a timing — a broken query must not read
-      // as a fast pass
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t1 = timeOne(name, fn)
+      val times =
+        if (t1 < 0 || t1 >= slowCap || runs <= 1) Seq(t1)
+        else t1 +: Seq.fill(runs - 1)(timeOne(name, fn))
+      val med =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -51,7 +70,7 @@ object Bench {
     // Per-query detail goes to a file + stderr; stdout's LAST line is a short
     // total-only JSON (<200 chars) so the driver's tail capture can't
     // truncate it mid-token (it did in r1/r2 with the 2.4 KB one-liner).
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes("UTF-8"))
@@ -59,6 +78,6 @@ object Bench {
     System.err.println(detail)
     spark.stop()
     val totalR = math.round(total * 1000) / 1000.0
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"n_fail":$nFail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"n_fail":$nFail,"runs_per_query":$runs,"sf":"$sfDir"}""")
   }
 }
