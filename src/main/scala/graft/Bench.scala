@@ -61,16 +61,21 @@ object Bench {
       val med =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(times.size / 2)
-      name -> med
+      (name, med, times.size)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+    // honesty marker: queries above the slow cap carry ONE noisy sample,
+    // not a median — name them so cross-round diffs don't read them as
+    // median-stable numbers
+    val capped = results.collect { case (k, v, 1) if v >= 0 && runs > 1 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
     // Per-query detail goes to a file + stderr; stdout's LAST line is a short
     // total-only JSON (<200 chars) so the driver's tail capture can't
     // truncate it mid-token (it did in r1/r2 with the 2.4 KB one-liner).
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"single_run_over_cap":$capped,"queries":$qs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes("UTF-8"))

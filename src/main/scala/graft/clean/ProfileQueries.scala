@@ -172,7 +172,11 @@ object ProfileQueries {
     // the heavy set is non-trivial in every group.
     "profile_topk_approx" -> { (s, dir) =>
       val C = 8
-      val ev = Tables(s, dir, "events").where(col("user_id").isNotNull)
+      // null GROUP keys would survive Spark's groupBy but vanish in the
+      // null-rejecting equi-joins below (and DuckDB's USING joins keep
+      // them) — exclude them in both engines so the contract is total
+      val ev = Tables(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
         .select(col("event_type"),
           when(col("user_id") % 5 <= 1,
             concat(lit("hot"), (col("user_id") % 5).cast("string")))
@@ -251,7 +255,7 @@ object ProfileQueries {
       """WITH ev AS (SELECT event_type,
         |    CASE WHEN user_id % 5 <= 1 THEN 'hot' || cast(user_id % 5 as varchar)
         |         ELSE 'cold' || cast(user_id as varchar) END AS v
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
         |n AS (SELECT event_type, count(*) AS n_events FROM ev GROUP BY 1),
         |c AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
         |h AS (SELECT c.event_type, count(*) AS n_heavy

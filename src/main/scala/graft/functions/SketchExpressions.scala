@@ -3,6 +3,7 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -46,6 +47,15 @@ case class MisraGriesTopK(child: Expression, capacity: Int,
   with UnaryLike[Expression] {
 
   require(capacity >= 1, "MisraGriesTopK needs capacity >= 1")
+
+  // counters key on strings — fail at ANALYSIS for anything else (the
+  // SketchFunctions entry point casts, so non-string categoricals still
+  // work there; a raw non-string child would otherwise die with a
+  // ClassCastException deep inside executor-side aggregation)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"misra_gries_topk requires a string column, got ${child.dataType.sql}")
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
@@ -164,11 +174,14 @@ object SketchFunctions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Misra–Gries heavy-hitters aggregate over a STRING column: at most
-    * `capacity` (item, est) counters of state per group; see
-    * [[MisraGriesTopK]] for the estimate/presence guarantees and the
-    * order-dependence caveat. Use inside `groupBy(...).agg(...)`. */
+  /** Misra–Gries heavy-hitters aggregate: at most `capacity` (item, est)
+    * counters of state per group; see [[MisraGriesTopK]] for the
+    * estimate/presence guarantees and the order-dependence caveat.
+    * Non-string categoricals are cast to string here (the cast of a
+    * string column is a no-op the optimizer removes). Use inside
+    * `groupBy(...).agg(...)`. */
   def misraGries(c: Column, capacity: Int): Column =
     ColumnBridge.column(
-      MisraGriesTopK(ColumnBridge.expression(c), capacity).toAggregateExpression())
+      MisraGriesTopK(ColumnBridge.expression(c.cast("string")), capacity)
+        .toAggregateExpression())
 }

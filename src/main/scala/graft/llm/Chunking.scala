@@ -47,7 +47,7 @@ object Chunking {
       chunkTokens: Int, stride: Int): DataFrame = {
     require(stride >= 1 && chunkTokens >= stride,
       "need 1 <= stride <= chunkTokens (stride > chunk would skip tokens)")
-    val reserved = Seq("__toks", "__chunk", "chunk_idx", "n_tokens", "h")
+    val reserved = Seq("__toks", "__chunk", "chunk_idx", "start", "n_tokens", "h")
     require(!df.columns.exists(reserved.contains) && !reserved.contains(idCol),
       s"chunkSplit reserves the column names ${reserved.mkString(", ")}")
     // null text ⇒ no chunks (without the guard, sequence(0, greatest(

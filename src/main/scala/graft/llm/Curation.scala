@@ -116,11 +116,13 @@ object Curation {
     * evaluation time via raise_error, map-side and free on valid data,
     * instead of letting NaN propagate silently into rankings. */
   def withInt8(df: DataFrame): DataFrame =
-    df.withColumn("s",
-        when(array_max(transform(col("v"), x => abs(x))) === 0.0,
+    df.withColumn("__mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("s",
+        when(col("__mx") === 0.0,
           raise_error(concat(lit("withInt8: all-zero vector for vec_id="),
             col("vec_id").cast("string"))))
-          .otherwise(array_max(transform(col("v"), x => abs(x))) / lit(127.0)))
+          .otherwise(col("__mx") / lit(127.0)))
+      .drop("__mx")
       .withColumn("q", transform(col("v"), x => round(x / col("s"))))
 
   /** PUBLIC API: full IVF-PQ ANN. `vectors`/`queries` carry int8-quantized

@@ -77,6 +77,10 @@ object Dedup {
   private def trackedPersist(df: DataFrame): DataFrame = {
     val p = df.persist()
     persistedBySession.synchronized {
+      // registry entries for stopped sessions are unreachable garbage
+      // (their blocks died with the context) — drop them here so a
+      // create-use-stop session churn can't grow the map unboundedly
+      persistedBySession.filterInPlace((s, _) => !s.sparkContext.isStopped)
       persistedBySession.getOrElseUpdate(p.sparkSession,
         scala.collection.mutable.Buffer.empty) += p
     }
@@ -89,11 +93,11 @@ object Dedup {
     * rebuilds cleanly. Returns the number of relations unpersisted.
     * Long-lived services (a dedup endpoint, a notebook session) call this
     * between corpora; one-shot jobs can let the session teardown reclaim
-    * the blocks instead. */
-  def clearCaches(session: SparkSession): Int = {
-    daCache.synchronized {
-      daCache.filterInPlace { case ((s, _), _) => s != session }
-    }
+    * the blocks instead. Lock order matches docArraysCached (daCache →
+    * persistedBySession), so a concurrent memoization can never land an
+    * entry whose persist this call just revoked. */
+  def clearCaches(session: SparkSession): Int = daCache.synchronized {
+    daCache.filterInPlace { case ((s, _), _) => s != session }
     persistedBySession.synchronized {
       persistedBySession.remove(session)
         .map { dfs => dfs.foreach(_.unpersist()); dfs.size }

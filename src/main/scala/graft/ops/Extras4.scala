@@ -92,11 +92,15 @@ object Extras4 {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val liT = s"li_bkt_$tag"
       val ordT = s"ord_bkt_$tag"
-      ensureBucketedTable(s, liT, dir, "l_orderkey", 8)(
+      // fingerprint = source files' (size, mtime) + a definition version:
+      // regenerated testdata or an edited build definition changes the
+      // stable path, so a stale layout can never be silently re-registered
+      val fp = layoutStamp("bkt1", dir, "lineitem", "orders")
+      ensureBucketedTable(s, liT, dir, "l_orderkey", 8, fp)(
         Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"))
           .where(col("l_orderkey") % 4 === 0))
-      ensureBucketedTable(s, ordT, dir, "o_orderkey", 8)(
+      ensureBucketedTable(s, ordT, dir, "o_orderkey", 8, fp)(
         Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority")))
       // merge hint: without it the planner may broadcast the filtered side
@@ -131,9 +135,25 @@ object Extras4 {
     }
   )
 
+  /** layout cache key: definition version + each source parquet's
+    * (size, last-modified) — 12 hex chars of MD5. Changing the build
+    * definition (bump `defVersion`) or regenerating a source file yields
+    * a different stable path, so [[ensureBucketedTable]] rebuilds instead
+    * of re-registering a stale layout. */
+  def layoutStamp(defVersion: String, dir: String, tables: String*): String = {
+    val parts = tables.map { t =>
+      val f = new java.io.File(s"$dir/$t.parquet")
+      s"$t:${f.length()}:${f.lastModified()}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((defVersion +: parts).mkString(",").getBytes("UTF-8"))
+    md.take(6).map("%02x".format(_)).mkString
+  }
+
   /** Idempotent bucketed-layout provisioning: make catalog table `table`
     * exist, bucketed `INTO nBuckets BUCKETS` on `bucketCol`, backed by a
-    * STABLE on-disk path shared across JVMs.
+    * STABLE on-disk path shared across JVMs — keyed by `fingerprint`
+    * ([[layoutStamp]]) so data/definition changes invalidate the layout.
     *
     *  - catalog already has the table → nothing to do;
     *  - stable path already holds a completed layout (`_SUCCESS`) → only
@@ -148,10 +168,12 @@ object Extras4 {
     * wrote into the name, so files re-registered under a new catalog keep
     * their co-location — the SortMergeJoin still plans no exchange. */
   def ensureBucketedTable(s: org.apache.spark.sql.SparkSession, table: String,
-      dir: String, bucketCol: String, nBuckets: Int)(build: => DataFrame): Unit = {
+      dir: String, bucketCol: String, nBuckets: Int, fingerprint: String)
+      (build: => DataFrame): Unit = {
     if (s.catalog.tableExists(table)) return
     val stable = new java.io.File(
-      s"target/graft_scratch/stable_bucketed_${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$table")
+      s"target/graft_scratch/stable_bucketed_${dir.replaceAll("[^A-Za-z0-9.]", "_")}/" +
+        s"${table}_b${nBuckets}_$fingerprint")
     def complete(d: java.io.File) = new java.io.File(d, "_SUCCESS").exists()
     var location = stable
     if (!complete(stable)) {

@@ -76,6 +76,23 @@ class SketchSpec extends SparkSuite {
     assert(arr == Seq(("a", 5L), ("b", 5L), ("c", 2L)), arr.toString)
   }
 
+  test("non-string categoricals cast through the entry point; raw expression rejects them") {
+    val rows = Seq(("g", 5L), ("g", 5L), ("g", 7L)).toDF("g", "v")
+    val got = GraftOps.approxTopValues(rows, Seq("g"), "v", 4)
+      .head().getSeq[org.apache.spark.sql.Row](1)
+      .map(it => (it.getString(0), it.getLong(1)))
+    assert(got == Seq(("5", 2L), ("7", 1L)), got.toString)
+    // the raw aggregate (no cast) must fail at analysis, not on executors
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val raw = ColumnBridge.column(graft.functions.MisraGriesTopK(
+      ColumnBridge.expression(col("v")), 4).toAggregateExpression())
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      rows.groupBy(col("g")).agg(raw).collect()
+    }
+    assert(e.getMessage.contains("misra_gries_topk requires a string column"),
+      e.getMessage)
+  }
+
   test("profile_topk_approx contract booleans hold on the declared testdata") {
     val rows = SparkEntry.queries("profile_topk_approx")(spark, sf).collect()
     assert(rows.length == 5, "one row per event_type")
