@@ -90,6 +90,15 @@ class GraftOpsSpec extends SparkSuite {
     assert(run("two-phase") == run("labelprop"))
   }
 
+  test("two-phase CC converges with reliable checkpointing enabled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = GraftOps.connectedComponents(pairs, "a", "b",
+        checkpointDir = Some(dir), algorithm = "two-phase")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 200 && cc.forall(_._2 == 1L))
+  }
+
   test("jaccardDuplicates verifies the planted near-dup with its exact score") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon " +

@@ -106,6 +106,23 @@ object CleanOpsProps extends Properties("CleanOps") {
       }
     }
 
+  property("MisraGries guarantee on random streams: heavy present, est in bounds") =
+    Prop.forAll(
+      Gen.listOfN(80, Gen.frequency((3, Gen.const("hot")), (1, Gen.choose(0, 20).map("c" + _)))),
+      Gen.choose(2, 6)) { (vs, cap) =>
+      vs.isEmpty || {
+        val exact = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val slack = vs.size.toDouble / (cap + 1)
+        val sketch = GraftOps.approxTopValues(
+            vs.map(("g", _)).toDF("g", "v").repartition(5), Seq("g"), "v", cap)
+          .head().getSeq[org.apache.spark.sql.Row](1)
+          .map(it => it.getString(0) -> it.getLong(1)).toMap
+        sketch.size <= cap &&
+          exact.forall { case (v, c) => c <= slack || sketch.contains(v) } &&
+          sketch.forall { case (v, e) => e <= exact(v) && exact(v) - e <= slack }
+      }
+    }
+
   property("upsertLatestWins: highest version wins, inserts appear, base survives") =
     Prop.forAll(
       // change keys 0..9 over base keys 0..6, so keys 7..9 exercise the
