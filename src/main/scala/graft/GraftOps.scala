@@ -170,6 +170,13 @@ object GraftOps {
   /** attach int8 scalar-quantization columns (s, q) to unit vectors. */
   def withInt8Quantization(df: DataFrame): DataFrame = llm.Curation.withInt8(df)
 
+  /** [[withInt8Quantization]] + `q8`, the quantized vector as a TRUE int8
+    * binary payload (8× smaller than the double `q` — the 100 TB ranking
+    * footprint lever); rank with `Int8Dot(q8a, q8b)`, bit-equal to the
+    * double dot over `q`. */
+  def withInt8PackedQuantization(df: DataFrame): DataFrame =
+    llm.Curation.withInt8Packed(df)
+
   /** full IVF-PQ ANN: IVF probing bounds which vectors a query sees,
     * int8 quantization bounds ranking cost, exact rescore of the approx
     * top-kApprox restores precision (top-k out). */

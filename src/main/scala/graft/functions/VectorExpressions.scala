@@ -150,6 +150,99 @@ case class UnitVector(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Narrow an INTEGER-VALUED double array (the `q` column [[DotProduct]]
+  * ranks on, |qᵢ| ≤ 127 by construction of the int8 scale) into a true
+  * int8 payload: one signed byte per component. 8× smaller than
+  * array<double> — at 100 TB of candidate vectors that factor is the
+  * shuffle/cache/memory-bandwidth budget of the quantized ranking stage.
+  * Rounding stays OUT of this expression on purpose: quantization
+  * semantics live in one place (`round(v/s)` upstream), packing is a
+  * pure exact narrowing, so the byte dot is bit-equal to the double dot
+  * by construction. A component outside [-128, 127] or a null element →
+  * null vector (never a silent wrap). */
+case class PackInt8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.packInt8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.VectorKernels.packInt8($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Integer dot product over two int8-packed vectors ([[PackInt8]] output):
+  * one fused multiply-add loop over raw bytes, whole-stage-codegen'd.
+  * |dot| ≤ 127²·dims ≪ 2⁶³, so the long accumulator is exact; mismatched
+  * lengths → null (same policy as [[DotProduct]]). */
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < x.length) { acc += x(i).toLong * y(i).toLong; i += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $acc += (long) $a[$i] * (long) $b[$i];
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorKernels {
+  /** shared eval/codegen kernel for [[PackInt8]]: null element or a value
+    * outside int8 range (incl. non-integer doubles: the CAST truncates,
+    * so a fractional input would silently change the dot) → null. */
+  def packInt8(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val d = arr.getDouble(i)
+      val b = d.toByte
+      if (b.toDouble != d) return null // out of range or fractional
+      out(i) = b
+      i += 1
+    }
+    out
+  }
+}
+
 object VectorFunctions {
   /** Idempotently register `graft_dot` with the session's function registry
     * so plans can use expr("graft_dot(a, b)"). */

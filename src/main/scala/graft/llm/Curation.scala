@@ -125,6 +125,22 @@ object Curation {
       .drop("__mx")
       .withColumn("q", transform(col("v"), x => round(x / col("s"))))
 
+  /** [[withInt8]] + a TRUE int8 payload: `q8` = the q components packed
+    * one signed byte each ([[graft.functions.PackInt8]]) — 8× smaller
+    * than the integer-valued-double `q`, which at 100 TB of candidate
+    * vectors is the shuffle/cache footprint of the quantized ranking
+    * stage. Rank with [[graft.functions.Int8Dot]](q8a, q8b): bit-equal
+    * to the double dot over `q` by construction (packing is an exact
+    * narrowing; quantization semantics stay in ONE place upstream).
+    * The declared ANN queries keep ranking on `q` because the DuckDB
+    * oracle has no int8 payload type — ExpressionsSpec pins the
+    * byte-dot/double-dot equality instead. */
+  def withInt8Packed(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    withInt8(df).withColumn("q8", ColumnBridge.column(
+      graft.functions.PackInt8(ColumnBridge.expression(col("q")))))
+  }
+
   /** PUBLIC API: full IVF-PQ ANN. `vectors`/`queries` carry int8-quantized
     * unit vectors from [[withInt8]] as (vec_id, v, s, q) / renamed query
     * side (qid, qv, qs, qg); `centroids` (cid, cv) is the caller's knob

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSig, SimHashVec, StringPolyHash, TokenCounts, UnitVector, WordNgrams}
+import graft.functions.{DotProduct, Int8Dot, MinHashSig, PackInt8, SimHashVec, StringPolyHash, TokenCounts, UnitVector, WordNgrams}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,50 @@ class ExpressionsSpec extends SparkSuite {
       .withColumn("d", ColumnBridge.column(
         DotProduct(ColumnBridge.expression(col("v")), ColumnBridge.expression(col("v")))))
     assert(df.agg(sum("d")).head().getDouble(0) > 0.0)
+  }
+
+  test("Int8Dot over PackInt8 payloads equals the double dot over q bit-for-bit") {
+    // the real quantization pipeline on the embeddings table: q is the
+    // integer-valued-double vector the declared ANN queries rank with;
+    // q8 is its packed int8 form — the byte dot must reproduce the
+    // double dot EXACTLY on every self-pair (packing is an exact
+    // narrowing, |dot| ≤ 127²·64 ≪ 2⁵³ so the double holds it exactly)
+    val q = GraftOps.withInt8PackedQuantization(
+      llm.Similarity.withUnit(
+        Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding")),
+        col("embedding")))
+    val df = q
+      .withColumn("dd", ColumnBridge.column(DotProduct(
+        ColumnBridge.expression(col("q")), ColumnBridge.expression(col("q")))))
+      .withColumn("bd", ColumnBridge.column(Int8Dot(
+        ColumnBridge.expression(col("q8")), ColumnBridge.expression(col("q8")))))
+    assert(df.where(col("bd").cast("double") =!= col("dd")).count() == 0)
+    assert(df.agg(sum("bd")).head().getLong(0) > 0L) // codegen path exercised
+  }
+
+  test("PackInt8 refuses fractional / out-of-range / null-element vectors") {
+    val rows = Seq(
+      (1L, Seq(1.0, -127.0)),   // valid
+      (2L, Seq(0.5, 1.0)),      // fractional → null (no silent truncation)
+      (3L, Seq(128.0, 0.0))     // out of int8 range → null (no wrap)
+    ).toDF("id", "q")
+    val packed = rows.withColumn("q8",
+        ColumnBridge.column(PackInt8(ColumnBridge.expression(col("q")))))
+      .select("id", "q8").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(packed(1L) != null &&
+      packed(1L).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, -127))
+    assert(packed(2L) == null && packed(3L) == null)
+    val nullElem = Seq((4L, Seq(Some(1.0), None))).toDF("id", "q")
+      .withColumn("q8", ColumnBridge.column(PackInt8(ColumnBridge.expression(col("q")))))
+      .select("q8").head()
+    assert(nullElem.isNullAt(0), "null element must null the payload")
+  }
+
+  test("Int8Dot nulls mismatched lengths like DotProduct") {
+    val df = Seq((Array[Byte](1, 2), Array[Byte](3))).toDF("a", "b")
+      .withColumn("d", ColumnBridge.column(Int8Dot(
+        ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b")))))
+    assert(df.select("d").head().isNullAt(0))
   }
 
   test("WordNgrams(n=2,3) equals the transform/element_at form on long docs") {
