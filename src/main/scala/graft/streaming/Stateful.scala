@@ -78,4 +78,50 @@ object Stateful {
       .transformWithState(new FirstNProcessor(n), TimeMode.None(),
         OutputMode.Append())
   }
+
+  case class GroupValue(group: String, value: String)
+  case class TopValue(group: String, item: String, est: Long, rank: Int)
+
+  /** classic Misra–Gries weight-1 update on a mutable counter map —
+    * the streaming mirror of the batch aggregate's kernel
+    * ([[graft.functions.MisraGriesTopK]]); same ≤ `cap` counters, same
+    * presence/estimate guarantees over everything the state has seen. */
+  private def mgAdd(m: scala.collection.mutable.Map[String, Long],
+      x: String, cap: Int): Unit =
+    m.get(x) match {
+      case Some(c) => m.update(x, c + 1)
+      case None if m.size < cap => m.update(x, 1L)
+      case None =>
+        // insert-then-subtract-min ≡ decrement-all-by-1 for weight 1
+        m.mapValuesInPlace((_, c) => c - 1)
+        m.filterInPlace((_, c) => c > 0)
+    }
+
+  /** PUBLIC API: CONTINUOUS heavy hitters per group — the streaming form
+    * of `GraftOps.approxTopValues`: a Misra–Gries sketch (≤ `capacity`
+    * counters, the same guarantees as the batch aggregate: every value
+    * with count > n/(capacity+1) of the stream-so-far is present,
+    * estimates under-count by at most n/(capacity+1)) lives in per-group
+    * [[GroupState]] and each micro-batch emits the group's refreshed
+    * top-`k` (Update mode). State is O(capacity) per group FOREVER — the
+    * monitor-top-domains / top-sources-of-ingest shape where exact
+    * per-value streaming counts would grow state without bound. */
+  def approxTopValuesStream(rows: Dataset[GroupValue], capacity: Int,
+      k: Int): Dataset[TopValue] = {
+    require(capacity >= 1 && k >= 1, "need capacity >= 1 and k >= 1")
+    implicit val encOut = Encoders.product[TopValue]
+    implicit val encState = Encoders.kryo[Map[String, Long]]
+    rows
+      .groupByKey(_.group)(Encoders.STRING)
+      .flatMapGroupsWithState[Map[String, Long], TopValue](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[GroupValue], state: GroupState[Map[String, Long]]) =>
+          val m = scala.collection.mutable.Map.empty[String, Long] ++
+            state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach(r => mgAdd(m, r.value, capacity))
+          state.update(m.toMap)
+          m.toSeq.sortBy { case (v, e) => (-e, v) }.take(k).zipWithIndex
+            .map { case ((v, e), i) => TopValue(g, v, e, i + 1) }.iterator
+      }
+  }
 }

@@ -64,4 +64,35 @@ class StatefulSpec extends SparkSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("approxTopValuesStream: MG state persists across batches, guarantees hold") {
+    import graft.streaming.Stateful.GroupValue
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[GroupValue]
+    val q = Stateful.approxTopValuesStream(mem.toDS(), capacity = 4, k = 2)
+      .writeStream.format("memory").queryName("topvals")
+      .outputMode("update").start()
+    // batch 1: hot=5, a..d 1 each (9 rows, group g)
+    mem.addData(
+      (Seq.fill(5)("hot") ++ Seq("a", "b", "c", "d")).map(GroupValue("g", _)): _*)
+    q.processAllAvailable()
+    // batch 2: hot surges further, warm appears 4 times (stream total 19)
+    mem.addData(
+      (Seq.fill(6)("hot") ++ Seq.fill(4)("warm")).map(GroupValue("g", _)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("topvals").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // after batch 1: hot is rank 1 with est in [5 - 9/5, 5]
+    val b1Top = rows.filter(r => r._4 == 1 && r._3 <= 5)
+    assert(b1Top.exists(_._2 == "hot"), rows.mkString(", "))
+    // after batch 2 (last emission): n=19, slack = 19/5 = 3.8 →
+    // hot (11) and warm (4) are the only possible top-2; hot must lead
+    // with est in [11 - 3.8, 11]
+    val last = rows.filter(_._3 > 5)
+    assert(last.nonEmpty, "second batch emitted nothing above batch-1 counts")
+    val hotLast = last.find(_._2 == "hot").get
+    assert(hotLast._4 == 1 && hotLast._3 >= 8 && hotLast._3 <= 11,
+      s"cross-batch MG estimate broken: $hotLast")
+  }
 }
