@@ -115,7 +115,10 @@ object Curation {
     * NaN into every downstream similarity) — the guard fails the ROW at
     * evaluation time via raise_error, map-side and free on valid data,
     * instead of letting NaN propagate silently into rankings. */
-  def withInt8(df: DataFrame): DataFrame =
+  def withInt8(df: DataFrame): DataFrame = {
+    val reserved = Seq("__mx", "s", "q")
+    require(!df.columns.exists(reserved.contains),
+      s"withInt8 reserves the column names ${reserved.mkString(", ")}")
     df.withColumn("__mx", array_max(transform(col("v"), x => abs(x))))
       .withColumn("s",
         when(col("__mx") === 0.0,
@@ -124,6 +127,7 @@ object Curation {
           .otherwise(col("__mx") / lit(127.0)))
       .drop("__mx")
       .withColumn("q", transform(col("v"), x => round(x / col("s"))))
+  }
 
   /** [[withInt8]] + a TRUE int8 payload: `q8` = the q components packed
     * one signed byte each ([[graft.functions.PackInt8]]) — 8× smaller
@@ -137,6 +141,7 @@ object Curation {
     * byte-dot/double-dot equality instead. */
   def withInt8Packed(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(!df.columns.contains("q8"), "withInt8Packed reserves the column name q8")
     withInt8(df).withColumn("q8", ColumnBridge.column(
       graft.functions.PackInt8(ColumnBridge.expression(col("q")))))
   }

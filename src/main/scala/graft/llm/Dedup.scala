@@ -115,6 +115,9 @@ object Dedup {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private[llm] def docArraysCached(s: SparkSession, dir: String): DataFrame =
     daCache.synchronized {
+      // same stopped-session hygiene as the persist registry: memo entries
+      // for dead sessions pin the session + its analyzed plan forever
+      daCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       daCache.getOrElseUpdate((s, dir), trackedPersist(docArrays(s, dir, dedup = true)))
     }
 
@@ -541,7 +544,7 @@ object Dedup {
         if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
     var sig = signature(edges)
-    var done = edges.isEmpty
+    var done = sig._1 == 0L // count rides the signature — no extra job
     var rounds = 0
     while (!done && rounds < maxRounds) {
       // LARGE-STAR over the full adjacency (both directions); the result

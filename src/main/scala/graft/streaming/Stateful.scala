@@ -118,7 +118,9 @@ object Stateful {
         (g: String, it: Iterator[GroupValue], state: GroupState[Map[String, Long]]) =>
           val m = scala.collection.mutable.Map.empty[String, Long] ++
             state.getOption.getOrElse(Map.empty[String, Long])
-          it.foreach(r => mgAdd(m, r.value, capacity))
+          // null values are skipped exactly like the batch aggregate's
+          // update() — a null must not occupy a counter slot or rank
+          it.foreach(r => if (r.value != null) mgAdd(m, r.value, capacity))
           state.update(m.toMap)
           m.toSeq.sortBy { case (v, e) => (-e, v) }.take(k).zipWithIndex
             .map { case ((v, e), i) => TopValue(g, v, e, i + 1) }.iterator
