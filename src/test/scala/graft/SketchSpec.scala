@@ -76,6 +76,47 @@ class SketchSpec extends SparkSuite {
     assert(arr == Seq(("a", 5L), ("b", 5L), ("c", 2L)), arr.toString)
   }
 
+  test("MG survives the sort-based ObjectHashAggregate fallback (spill path)") {
+    // TypedImperativeAggregate runs under ObjectHashAggregateExec, which
+    // falls back to sort-based aggregation past the in-memory key
+    // threshold — the path a 100 TB group count takes. Force it with a
+    // tiny threshold: 500 groups all flow through serialize/sort/merge,
+    // and each group's ≤-capacity sketch must still be EXACT.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "4")
+    try {
+      val rows = (0 until 500).flatMap { g =>
+        Seq.fill(3)((s"g$g", "x")) ++ Seq((s"g$g", "y"))
+      }
+      val got = GraftOps.approxTopValues(
+          rows.toDF("g", "v").repartition(16), Seq("g"), "v", 4)
+        .collect().map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(it => (it.getString(0), it.getLong(1)))
+        }.toMap
+      assert(got.size == 500)
+      got.foreach { case (g, items) =>
+        assert(items == Seq(("x", 3L), ("y", 1L)), s"$g corrupted on spill: $items")
+      }
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("approxTopValues groups by multiple columns") {
+    val rows = Seq(("a", 1, "x"), ("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z"))
+      .toDF("g1", "g2", "v")
+    val got = GraftOps.approxTopValues(rows, Seq("g1", "g2"), "v", 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getSeq[org.apache.spark.sql.Row](2).map(it => (it.getString(0), it.getLong(1))))
+      .toMap
+    assert(got(("a", 1)) == Seq(("x", 2L)))
+    assert(got(("a", 2)) == Seq(("y", 1L)))
+    assert(got(("b", 1)) == Seq(("z", 1L)))
+  }
+
   test("non-string categoricals cast through the entry point; raw expression rejects them") {
     val rows = Seq(("g", 5L), ("g", 5L), ("g", 7L)).toDF("g", "v")
     val got = GraftOps.approxTopValues(rows, Seq("g"), "v", 4)
