@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   * can't overflow for any key (both engines error or wrap differently on
   * 64-bit overflow, so bounded inputs are part of the contract).
   *
+  * `pipeline_shuffle_deterministic` is the reproducible corpus shuffle
+  * every training run needs before packing: a seeded arithmetic hash of
+  * the key is the permutation order, so the shuffle is identical across
+  * engines, retries, and re-partitioning (`ORDER BY rand()` is none of
+  * those). At 100 TB the global ORDER BY is a sample-based
+  * range-partitioned sort — the canonical distributed-shuffle shape:
+  * sort by the hash, write partitioned, and the trainer streams
+  * shards in order. Ties (hash collisions) break on the key itself, so
+  * the order is total and the oracle can mirror it row-for-row.
+  *
   * `text_pii_scrub` is the PII-redaction stage of a curation pipeline:
   * regex scrub of emails / phone numbers to placeholder tokens, counting
   * redactions per document. The synthetic corpus contains no PII, so the
@@ -75,6 +85,15 @@ object Pipeline {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("split"))
+    },
+
+    "pipeline_shuffle_deterministic" -> { (s, dir) =>
+      // seeded LCG over the bounded key (same overflow contract as
+      // split_train_test); modulus ≠ multiplier period → real scatter
+      val h = pmod((col("doc_id") % 100003L) * 48271L + 11L, lit(99991L))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), h.as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
     },
 
     "text_pii_scrub" -> { (s, dir) =>
@@ -127,6 +146,11 @@ object Pipeline {
         |            WHEN bucket < 900 THEN 'valid' ELSE 'test' END AS split,
         |  count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS sum_chars
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "pipeline_shuffle_deterministic" ->
+      """SELECT doc_id,
+        |  ((cast(doc_id AS bigint) % 100003) * 48271 + 11) % 99991
+        |    AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
     "text_pii_scrub" ->
       """WITH raw AS (
         |  SELECT doc_id, concat(text,

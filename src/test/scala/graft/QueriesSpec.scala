@@ -29,6 +29,16 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("pipeline_shuffle_deterministic is a reproducible non-identity permutation") {
+    def run() = SparkEntry.queries("pipeline_shuffle_deterministic")(spark, sf)
+      .collect().map(_.getLong(0))
+    val ids = run()
+    assert(ids.toSet.size == ids.length, "shuffle dropped or duplicated docs")
+    assert(ids.take(20).toSeq != ids.sorted.take(20).toSeq,
+      "shuffle order is the identity — no scatter")
+    assert(ids.toSeq == run().toSeq, "shuffle not reproducible across runs")
+  }
+
   test("approx_count_distinct stays within the declared error bound") {
     val row = SparkEntry.queries("agg_approx_distinct")(spark, sf).head()
     assert(row.getAs[Boolean]("approx_ok"),
