@@ -15,34 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object FingerprintAbBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (spark, sfDir) = BenchHarness.session()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).persist()
     docs.count() // materialize once so neither form pays the scan
 
-    def time3(tag: String, mk: () => Long): Double = {
-      mk() // untimed warmup (codegen/JIT)
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        mk()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      runs(1)
-    }
     // identical consumer both sides: hash-agg over the fingerprint so the
-    // timed work is fingerprint evaluation + one tiny aggregate
-    val exprSec = time3("expr", () =>
-      docs.select(FingerprintForms.expr(col("text")).as("fp"))
-        .agg(count_distinct(col("fp"))).head().getLong(0))
-    val udfSec = time3("udf", () =>
-      docs.select(FingerprintForms.udfForm(col("text")).as("fp"))
+    // timed work is fingerprint evaluation + one tiny aggregate;
+    // interleaved so neither form inherits the other's JIT/cache warmth
+    val (exprSec, udfSec) = BenchHarness.abMedians(
+      () => docs.select(FingerprintForms.expr(col("text")).as("fp"))
+        .agg(count_distinct(col("fp"))).head().getLong(0),
+      () => docs.select(FingerprintForms.udfForm(col("text")).as("fp"))
         .agg(count_distinct(col("fp"))).head().getLong(0))
     // driver-parse convention: raw JSON as the LAST stdout line
     println(s"""{"metric":"fingerprint_ab","expr_sec":$exprSec,"udf_sec":$udfSec,"udf_over_expr":${udfSec / exprSec},"sf":"$sfDir"}""")

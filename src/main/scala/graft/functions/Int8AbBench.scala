@@ -17,14 +17,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object Int8AbBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (spark, sfDir) = BenchHarness.session()
     def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
       ColumnBridge.column(e)
     def x(col: Column) = ColumnBridge.expression(col)
@@ -47,18 +40,14 @@ object Int8AbBench {
     val joined = a.join(b, Seq("blk")).where(col("ida") < col("idb")).persist()
     joined.count()
 
-    def time3(mk: () => Any): Double = {
-      mk()
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); mk(); (System.nanoTime() - t0) / 1e9
-      }.sorted.apply(1)
-    }
-    val doubleDot = time3(() => joined
-      .select(c(DotProduct(x(col("qa")), x(col("qb")))).as("d"))
-      .agg(sum(col("d"))).head())
-    val byteDot = time3(() => joined
-      .select(c(Int8Dot(x(col("q8a")), x(col("q8b")))).as("d"))
-      .agg(sum(col("d"))).head())
+    // interleaved so neither form inherits the other's JIT/cache warmth
+    val (doubleDot, byteDot) = BenchHarness.abMedians(
+      () => joined
+        .select(c(DotProduct(x(col("qa")), x(col("qb")))).as("d"))
+        .agg(sum(col("d"))).head(),
+      () => joined
+        .select(c(Int8Dot(x(col("q8a")), x(col("q8b")))).as("d"))
+        .agg(sum(col("d"))).head())
     // payload width actually shipped per candidate vector (the 100 TB lever)
     val w = joined.limit(1)
       .select(size(col("qa")).as("dims"), octet_length(col("q8a")).as("q8_bytes"))

@@ -15,14 +15,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object SigBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (spark, sfDir) = BenchHarness.session()
     def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
       ColumnBridge.column(e)
     def x(col: Column) = ColumnBridge.expression(col)
@@ -33,12 +26,7 @@ object SigBench {
     val sh = docs.select(col("doc_id"), c(WordNgrams(x(col("toks")), 3)).as("sh")).persist()
     sh.count()
 
-    def time3(mk: () => Any): Double = {
-      mk()
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); mk(); (System.nanoTime() - t0) / 1e9
-      }.sorted.apply(1)
-    }
+    def time3(mk: () => Any): Double = BenchHarness.medianOf(mk)
     val ngrams = time3(() => docs
       .select(size(c(WordNgrams(x(col("toks")), 3))).as("n"))
       .agg(sum(col("n"))).head())

@@ -89,8 +89,10 @@ object Pipeline {
 
     "pipeline_shuffle_deterministic" -> { (s, dir) =>
       // seeded LCG over the bounded key (same overflow contract as
-      // split_train_test); modulus ≠ multiplier period → real scatter
-      val h = pmod((col("doc_id") % 100003L) * 48271L + 11L, lit(99991L))
+      // split_train_test); modulus ≠ multiplier period → real scatter.
+      // sign-of-dividend % on BOTH engines (not pmod): identical keys
+      // even if a source ever carries negative ids
+      val h = ((col("doc_id") % 100003L) * 48271L + 11L) % 99991L
       Tables(s, dir, "documents")
         .select(col("doc_id"), h.as("shuffle_key"))
         .orderBy(col("shuffle_key"), col("doc_id"))

@@ -89,12 +89,31 @@ class SketchSpec extends SparkSuite {
       val rows = (0 until 500).flatMap { g =>
         Seq.fill(3)((s"g$g", "x")) ++ Seq((s"g$g", "y"))
       }
-      val got = GraftOps.approxTopValues(
-          rows.toDF("g", "v").repartition(16), Seq("g"), "v", 4)
-        .collect().map { r =>
+      val df = GraftOps.approxTopValues(
+        rows.toDF("g", "v").repartition(16), Seq("g"), "v", 4)
+      val got = df.collect().map { r =>
           r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
             .map(it => (it.getString(0), it.getLong(1)))
         }.toMap
+      // self-verify the coverage: without these, a renamed conf key or a
+      // planner change would silently route this through the plain hash
+      // path and the test would stop pinning the spill path at all
+      // AQE hides executed stages behind childless QueryStageExec /
+      // AdaptiveSparkPlanExec wrappers — flatten through them explicitly
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          p +: allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val oha = allNodes(df.queryExecution.executedPlan).collect {
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+      }
+      assert(oha.nonEmpty, "misraGries no longer plans ObjectHashAggregate")
+      assert(oha.exists(_.metrics("numTasksFallBacked").value > 0),
+        "sort-based fallback never engaged — threshold conf not biting")
       assert(got.size == 500)
       got.foreach { case (g, items) =>
         assert(items == Seq(("x", 3L), ("y", 1L)), s"$g corrupted on spill: $items")
