@@ -125,6 +125,17 @@ object GraftOps {
       textCol: String, budget: Int, shards: Int = 0): DataFrame =
     llm.Chunking.packSequences(df, streamCol, idCol, textCol, budget, shards)
 
+  /** distributed running sum — `sum(value).over(partitionBy(part)
+    * .orderBy(order))` for groups too big for one task (Spark window
+    * partitions are single-task): two-level prefix sum over range
+    * shards, result provably shard-count-invariant. The kernel under
+    * [[packSequences]]. */
+  def distributedRunningSum(df: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, outCol: String, exclusive: Boolean = false,
+      shards: Int = 0): DataFrame =
+    llm.Chunking.distributedRunningSum(df, partCol, orderCol, valueCol, outCol,
+      exclusive, shards)
+
   /** per-doc n-gram repetition quality signal (Gopher/C4-style):
     * rep_ratio_e6 = (1 − distinct/total n-grams)·10⁶ — map-side. */
   def repetitionScored(df: DataFrame, idCol: String, textCol: String,

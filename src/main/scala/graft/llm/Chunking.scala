@@ -74,42 +74,71 @@ object Chunking {
     * real cluster so each shard's run fits one task comfortably. */
   def packSequences(df: DataFrame, streamCol: String, idCol: String,
       textCol: String, budget: Int, shards: Int = 0): DataFrame = {
-    val reserved =
-      Seq("__shard", "__lcum", "__stot", "__off", "__okey", "__oshard", "n_tokens", "pack_id")
-    require(!df.columns.exists(reserved.contains) && !reserved.contains(idCol) &&
-      !reserved.contains(streamCol),
-      s"packSequences reserves the column names ${reserved.mkString(", ")}")
+    require(!df.columns.contains("n_tokens") && !df.columns.contains("pack_id") &&
+      idCol != "n_tokens" && idCol != "pack_id",
+      "packSequences reserves the column names n_tokens, pack_id")
+    distributedRunningSum(
+        df.withColumn("n_tokens", size(split(lower(col(textCol)), " ")).cast("long")),
+        streamCol, idCol, "n_tokens", "__cum", exclusive = true, shards)
+      .withColumn("pack_id", floor(col("__cum") / budget))
+      .drop("__cum")
+  }
+
+  /** PUBLIC API: running sum of `valueCol` over each `partCol` group in
+    * `orderCol` order, as `outCol` — the DISTRIBUTED form of
+    * `sum(value).over(Window.partitionBy(part).orderBy(order))`, for the
+    * case where a single group is too big for one task (Spark window
+    * partitions are single-task; a 100 TB group = one executor thread).
+    * Two-level prefix sum: an order-preserving `repartitionByRange`
+    * split into `shards` contiguous runs (default
+    * spark.sql.shuffle.partitions), a per-(group, shard) local window
+    * cumsum — parallelism = shards, never the group count — and a
+    * broadcast per-shard offset table added map-side. The result is
+    * provably independent of the shard count (offset + local = the exact
+    * global running sum wherever the cuts land). `exclusive = true`
+    * sums strictly-preceding rows (0 for each group's first row);
+    * ties in `orderCol` are resolved by input order WITHIN a shard like
+    * any window cumsum — pass a unique order key for total determinism.
+    * Null group keys stay one group (null-safe offset join), matching
+    * the window form. */
+  def distributedRunningSum(df: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, outCol: String, exclusive: Boolean = false,
+      shards: Int = 0): DataFrame = {
+    val reserved = Seq("__shard", "__lcum", "__stot", "__off", "__okey", "__oshard")
+    require(!df.columns.exists(reserved.contains) &&
+      !reserved.contains(outCol) && !df.columns.contains(outCol),
+      s"distributedRunningSum reserves ${reserved.mkString(", ")} and output '$outCol'")
     val spark = df.sparkSession
     val nShards =
       if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // Level 0: token counts, then an order-preserving range split of the
-    // global (stream, id) order into nShards contiguous runs. The shard
-    // id is the range-partition id — monotone in (stream, id) by
-    // construction, which is what makes offset + local cumsum exact.
+    // Level 0: order-preserving range split of the global (part, order)
+    // order into nShards contiguous runs. The shard id is the
+    // range-partition id — monotone in (part, order) by construction,
+    // which is what makes offset + local cumsum exact.
     val ranged = df
-      .withColumn("n_tokens", size(split(lower(col(textCol)), " ")).cast("long"))
-      .repartitionByRange(nShards, col(streamCol), col(idCol))
+      .repartitionByRange(nShards, col(partCol), col(orderCol))
       .withColumn("__shard", spark_partition_id())
-    // Level 1: exclusive cumsum WITHIN each (stream, shard) run — the
-    // window partition key includes the shard, so no single task ever
-    // holds more than ~1/nShards of a stream.
-    val wLocal = Window.partitionBy(col(streamCol), col("__shard"))
-      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
-    // Level 2: per-(stream, shard) totals — at most streams×nShards rows
-    // — cumsum'd over shard rank for each shard's global start offset.
-    val wOff = Window.partitionBy(col(streamCol)).orderBy(col("__shard"))
+    // Level 1: cumsum WITHIN each (part, shard) run — the window
+    // partition key includes the shard, so no single task ever holds
+    // more than ~1/nShards of a group.
+    val frame = Window.partitionBy(col(partCol), col("__shard"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, if (exclusive) -1 else 0)
+    // Level 2: per-(part, shard) totals — at most groups×nShards rows —
+    // cumsum'd over shard rank for each shard's global start offset.
+    val wOff = Window.partitionBy(col(partCol)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col(streamCol), col("__shard"))
-      .agg(sum(col("n_tokens")).as("__stot"))
+    val offsets = ranged.groupBy(col(partCol), col("__shard"))
+      .agg(sum(col(valueCol)).as("__stot"))
       .withColumn("__off", coalesce(sum(col("__stot")).over(wOff), lit(0L)))
-      .select(col(streamCol).as("__okey"), col("__shard").as("__oshard"), col("__off"))
-    // null-safe on the stream key: the window form groups null streams
+      .select(col(partCol).as("__okey"), col("__shard").as("__oshard"), col("__off"))
+    // null-safe on the group key: the window form groups null keys
     // together, so the offset join must not drop them.
     ranged
-      .withColumn("__lcum", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .withColumn("__lcum", coalesce(sum(col(valueCol)).over(frame), lit(0L)))
       .join(broadcast(offsets),
-        col(streamCol) <=> col("__okey") && col("__shard") === col("__oshard"))
-      .withColumn("pack_id", floor((col("__off") + col("__lcum")) / budget))
+        col(partCol) <=> col("__okey") && col("__shard") === col("__oshard"))
+      .withColumn(outCol, col("__off") + col("__lcum"))
       .drop("__shard", "__lcum", "__off", "__okey", "__oshard")
   }
 

@@ -91,6 +91,25 @@ class ChunkingSpec extends SparkSuite {
       "null-stream rows must pack as ONE stream, not be dropped by the offset join")
   }
 
+  test("distributedRunningSum == window running sum, inclusive and exclusive, any shards") {
+    val rows = (0 until 120).map(i => (s"p${i % 4}", i.toLong, (i % 7 + 1).toLong))
+    val df = rows.toDF("p", "o", "v")
+    val model = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val cums = sorted.map(_._3).scanLeft(0L)(_ + _)
+      sorted.zipWithIndex.map { case ((_, o, v), i) =>
+        o -> (cums(i), cums(i) + v) // (exclusive, inclusive)
+      }
+    }.toMap
+    for (shards <- Seq(1, 5, 64); excl <- Seq(true, false)) {
+      val got = GraftOps.distributedRunningSum(df, "p", "o", "v", "cum",
+          exclusive = excl, shards = shards)
+        .select("o", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = model.view.mapValues(m => if (excl) m._1 else m._2).toMap
+      assert(got == want, s"diverged at shards=$shards exclusive=$excl")
+    }
+  }
+
   test("chunkSplit and packSequences reject reserved caller columns") {
     val c = Seq((1L, "a b", 9L)).toDF("id", "body", "n_tokens")
     intercept[IllegalArgumentException] {
