@@ -216,13 +216,15 @@ object GraftOps {
     * keep-one-per-group policy needs. Per-round checkpointing is LOCAL by
     * default (fast, not executor-loss-safe); pass `checkpointDir` (HDFS/
     * object-store path) for reliable checkpoints on a real cluster.
-    * `algorithm = "two-phase"` switches to alternating large-star/
-    * small-star edge contraction — O(log n) rounds guaranteed on ANY
-    * graph shape; pick it for adversarial high-diameter graphs (long
-    * chains), keep the default for dedup's near-clique components. */
+    * `algorithm`: `"auto"` (default) runs min-label propagation with a
+    * small round budget — the cheap shape for dedup's near-clique
+    * components — and falls back to alternating large-star/small-star
+    * edge contraction (O(log n) rounds on ANY graph) if that budget is
+    * exhausted, so adversarial high-diameter graphs (long chains) never
+    * degrade; `"labelprop"` / `"two-phase"` pin one algorithm. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 20, checkpointDir: Option[String] = None,
-      algorithm: String = "labelprop"): DataFrame =
+      algorithm: String = "auto"): DataFrame =
     llm.Dedup.connectedComponents(pairs, aCol, bCol, maxRounds, checkpointDir,
       algorithm)
 

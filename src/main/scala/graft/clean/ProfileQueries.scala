@@ -205,12 +205,16 @@ object ProfileQueries {
       sk.select(col("event_type"), col("n_events"))
         .join(nHeavy, Seq("event_type"), "left_outer")
         .join(nFound, Seq("event_type"), "left_outer")
-        .join(bounded, Seq("event_type"))
+        // left_outer like n_heavy/n_found: a group whose sketch evaluates
+        // EMPTY (possible when capacity+1 equal-count values cancel in
+        // reduce) has no `bounded` row — an empty sketch satisfies the
+        // bound vacuously, and the oracle always emits one row per group
+        .join(bounded, Seq("event_type"), "left_outer")
         .select(col("event_type"), col("n_events"),
           coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
           (coalesce(col("n_found"), lit(0L)) === coalesce(col("n_heavy"), lit(0L)))
             .as("heavy_in_sketch"),
-          col("est_bounded"))
+          coalesce(col("est_bounded"), lit(true)).as("est_bounded"))
         .orderBy(col("event_type"))
     }
   )

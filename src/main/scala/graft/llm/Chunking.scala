@@ -115,9 +115,24 @@ object Chunking {
     // order into nShards contiguous runs. The shard id is the
     // range-partition id — monotone in (part, order) by construction,
     // which is what makes offset + local cumsum exact.
-    val ranged = df
+    //
+    // CORRECTNESS INVARIANT: `ranged` feeds TWO plan branches (the offsets
+    // aggregate and the main window) that are joined back together, and
+    // the shard id comes from spark_partition_id() AFTER the range
+    // exchange, whose boundaries are SAMPLED by RangePartitioner. Both
+    // branches must therefore observe the SAME physical exchange: with
+    // exchange reuse on (Spark's default) the identical subtree is
+    // deduplicated — PlanSpec pins exactly one range exchange in
+    // pipeline_pack_sequences' executed plan — but if a session disables
+    // spark.sql.exchange.reuse the two branches could re-sample different
+    // boundaries and silently disagree on shard assignment. In that case
+    // materialize the assignment once (lazy localCheckpoint) instead.
+    val assigned = df
       .repartitionByRange(nShards, col(partCol), col(orderCol))
       .withColumn("__shard", spark_partition_id())
+    val reuseOn =
+      spark.conf.getOption("spark.sql.exchange.reuse").forall(_.toBoolean)
+    val ranged = if (reuseOn) assigned else assigned.localCheckpoint(false)
     // Level 1: cumsum WITHIN each (part, shard) run — the window
     // partition key includes the shard, so no single task ever holds
     // more than ~1/nShards of a group.

@@ -193,6 +193,13 @@ object Curation {
     withInt8(Similarity.withUnit(Tables(s, dir, "embeddings"), col("embedding"))
       .select(col("vec_id"), col("label"), col("v")))
 
+  /** [[quantized]] + the packed `q8` payload — the int8-ranked declared
+    * query reads THIS so the whole stage-1 ranking path (pack + byte dot)
+    * executes under the oracle gate. */
+  private def quantizedPacked(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    withInt8Packed(Similarity.withUnit(Tables(s, dir, "embeddings"), col("embedding"))
+      .select(col("vec_id"), col("label"), col("v")))
+
   val queries: Map[String, Q] = Map(
     // new batch = doc_id % 7 = 0 (stand-in arrival partition), corpus =
     // the rest; batch docs near-duplicating a corpus doc are dropped.
@@ -270,6 +277,37 @@ object Curation {
       q.join(c, Seq("label")).where(col("vec_id") =!= col("qid"))
         .withColumn("approx",
           round(Similarity.cosine(col("qq"), col("q")) * col("qs") * col("s"), 6))
+        .withColumn("arn", row_number().over(wApprox))
+        .where(col("arn") <= 10)
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("v")), 6))
+        .withColumn("rank", row_number().over(wExact))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("approx"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // sim_ann_quantized with the stage-1 ranking moved onto the TRUE int8
+    // payload: candidates carry `q8` (one signed byte per component, 8×
+    // smaller than the integer-valued-double `q` — the 100 TB shuffle/
+    // cache footprint of the ranking stage), and the approx score is the
+    // codegen byte dot [[graft.functions.Int8Dot]]. Int8Dot(q8a, q8b) is
+    // bit-equal to the double dot over (qa, qb) — packing is an exact
+    // narrowing — so the DuckDB mirror ranks on the same integer dot and
+    // the results hash-match exactly.
+    "sim_ann_quantized_int8" -> { (s, dir) =>
+      val all = quantizedPacked(s, dir)
+      val q = all.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("label"), col("v").as("qv"),
+          col("s").as("qs"), col("q8").as("qq8"))
+      val c = all.select(col("vec_id"), col("label"), col("v"), col("s"), col("q8"))
+      val wApprox = Window.partitionBy(col("qid"))
+        .orderBy(col("approx").desc, col("vec_id"))
+      val wExact = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      q.join(c, Seq("label")).where(col("vec_id") =!= col("qid"))
+        .withColumn("approx",
+          round(Similarity.int8Dot(col("qq8"), col("q8")).cast("double")
+            * col("qs") * col("s"), 6))
         .withColumn("arn", row_number().over(wApprox))
         .where(col("arn") <= 10)
         .withColumn("cos", round(Similarity.cosine(col("qv"), col("v")), 6))
@@ -363,26 +401,37 @@ object Curation {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM exact) WHERE rank <= 3
          |ORDER BY qid, rank""".stripMargin,
-    "sim_ann_quantized" ->
-      s"""WITH e AS (${Similarity.sqlVecs}),
-         |qz AS (SELECT vec_id, label, v,
-         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
-         |qq AS (SELECT vec_id, label, v, s,
-         |    list_transform(v, x -> round(x / s)) AS q FROM qz),
-         |qry AS (SELECT vec_id AS qid, label, v AS qv, s AS qs, q AS qg
-         |        FROM qq WHERE vec_id % 50 = 0),
-         |approx AS (SELECT qid, c.vec_id, c.v, qry.qv,
-         |    round(list_dot_product(qry.qg, c.q) * qry.qs * c.s, 6) AS approx
-         |  FROM qry JOIN qq c USING (label) WHERE c.vec_id <> qid),
-         |cand AS (SELECT * FROM (SELECT *,
-         |    row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
-         |  FROM approx) WHERE arn <= 10),
-         |exact AS (SELECT qid, vec_id, approx,
-         |    round(list_dot_product(qv, v), 6) AS cos
-         |  FROM cand)
-         |SELECT qid, rank, vec_id, cos, approx FROM (SELECT *,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
-         |  FROM exact) WHERE rank <= 3
-         |ORDER BY qid, rank""".stripMargin
+    "sim_ann_quantized" -> sqlQuantizedTwoStage,
+    // the int8-packed variant ranks on the SAME integer dot (Int8Dot is
+    // bit-equal to the double dot over q, ExpressionsSpec) — one shared
+    // mirror keeps the equality claim honest: if packing ever changed the
+    // score, the hash gate on this key would trip.
+    "sim_ann_quantized_int8" -> sqlQuantizedTwoStage
   )
+
+  /** shared DuckDB mirror for the two-stage quantized ANN queries: stage-1
+    * integer dot over q = round(v/s), top-10; stage-2 exact cosine rescore,
+    * top-3. Both `sim_ann_quantized` (double-held q) and
+    * `sim_ann_quantized_int8` (packed q8 + byte dot) compute exactly this. */
+  private lazy val sqlQuantizedTwoStage: String =
+    s"""WITH e AS (${Similarity.sqlVecs}),
+       |qz AS (SELECT vec_id, label, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+       |qq AS (SELECT vec_id, label, v, s,
+       |    list_transform(v, x -> round(x / s)) AS q FROM qz),
+       |qry AS (SELECT vec_id AS qid, label, v AS qv, s AS qs, q AS qg
+       |        FROM qq WHERE vec_id % 50 = 0),
+       |approx AS (SELECT qid, c.vec_id, c.v, qry.qv,
+       |    round(list_dot_product(qry.qg, c.q) * qry.qs * c.s, 6) AS approx
+       |  FROM qry JOIN qq c USING (label) WHERE c.vec_id <> qid),
+       |cand AS (SELECT * FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
+       |  FROM approx) WHERE arn <= 10),
+       |exact AS (SELECT qid, vec_id, approx,
+       |    round(list_dot_product(qv, v), 6) AS cos
+       |  FROM cand)
+       |SELECT qid, rank, vec_id, cos, approx FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM exact) WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
 }

@@ -422,29 +422,53 @@ object Dedup {
     * as each round's reference is dropped; edges are unpersisted here even
     * on failure.
     *
-    * `algorithm`: `"labelprop"` (default — min-label propagation with path
-    * compression; the right shape for dedup graphs, whose components are
-    * near-cliques that converge in ~2 rounds) or `"two-phase"` — the
-    * alternating large-star/small-star edge contraction of Kiveris et al.
-    * (MapReduce CC, "The Alternating Algorithm"), which guarantees
-    * O(log n) ROUNDS on any graph and — unlike label propagation, which
-    * carries a (node → label) row for EVERY node through EVERY round —
-    * shrinks the edge set as it contracts, so adversarial long-chain /
-    * high-diameter graphs don't degrade. Same output contract either way.
+    * `algorithm`: `"auto"` (default), `"labelprop"` — min-label
+    * propagation with path compression; the right shape for dedup graphs,
+    * whose components are near-cliques that converge in ~2 rounds — or
+    * `"two-phase"` — the alternating large-star/small-star edge
+    * contraction of Kiveris et al. (MapReduce CC, "The Alternating
+    * Algorithm"), which guarantees O(log n) ROUNDS on any graph and —
+    * unlike label propagation, which carries a (node → label) row for
+    * EVERY node through EVERY round — shrinks the edge set as it
+    * contracts, so adversarial long-chain / high-diameter graphs don't
+    * degrade. `"auto"` runs labelprop with a small round budget
+    * ([[AutoLabelPropRounds]] — covers every dedup-shaped graph and any
+    * diameter ≲ 2⁶) and, if that budget is exhausted without convergence,
+    * RESTARTS on two-phase with the full `maxRounds` — so callers get
+    * labelprop's cheap rounds on typical graphs and two-phase's O(log n)
+    * bound on adversarial ones without choosing up front. Same output
+    * contract for all three.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 20, checkpointDir: Option[String] = None,
-      algorithm: String = "labelprop"): DataFrame = algorithm match {
+      algorithm: String = "auto"): DataFrame = algorithm match {
+    case "auto" =>
+      // wasted-work bound on fallback: AutoLabelPropRounds node-sized
+      // rounds (the graphs that defeat labelprop are long chains, whose
+      // per-round cost is small precisely because components are thin)
+      labelPropOpt(pairs, aCol, bCol,
+          math.max(2, math.min(maxRounds, AutoLabelPropRounds)), checkpointDir)
+        .getOrElse(
+          connectedComponentsTwoPhase(pairs, aCol, bCol, maxRounds, checkpointDir))
     case "labelprop" =>
-      connectedComponentsLabelProp(pairs, aCol, bCol, maxRounds, checkpointDir)
+      labelPropOpt(pairs, aCol, bCol, maxRounds, checkpointDir).getOrElse(
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds"))
     case "two-phase" =>
       connectedComponentsTwoPhase(pairs, aCol, bCol, maxRounds, checkpointDir)
     case other => throw new IllegalArgumentException(
-      s"unknown CC algorithm '$other' (labelprop | two-phase)")
+      s"unknown CC algorithm '$other' (auto | labelprop | two-phase)")
   }
 
-  private def connectedComponentsLabelProp(pairs: DataFrame, aCol: String,
-      bCol: String, maxRounds: Int, checkpointDir: Option[String]): DataFrame = {
+  /** labelprop round budget the AUTO path spends before switching to
+    * two-phase: path compression converges in ~log₂(diameter) rounds, so
+    * 6 rounds cover any diameter ≲ 2⁶ — far beyond any dedup graph. */
+  val AutoLabelPropRounds = 6
+
+  /** min-label propagation; None = round budget exhausted WITHOUT
+    * convergence (never a partially-converged labeling). */
+  private def labelPropOpt(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int, checkpointDir: Option[String]): Option[DataFrame] = {
     require(maxRounds >= 2, "maxRounds must be >= 2 (init + one confirm round)")
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
@@ -494,9 +518,9 @@ object Dedup {
         labels = next.select(col("node"), col("lab"))
         rounds += 1
       }
-      require(done, s"connectedComponents did not converge in $maxRounds rounds")
     } finally edges.unpersist()
-    labels.select(col("node"), col("lab").as("component"))
+    if (done) Some(labels.select(col("node"), col("lab").as("component")))
+    else None
   }
 
   /** Alternating large-star/small-star CC (Kiveris et al., public

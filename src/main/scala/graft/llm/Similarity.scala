@@ -53,6 +53,18 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** PUBLIC API: integer dot of two int8-packed vectors
+    * ([[Curation.withInt8Packed]] `q8` payloads) — the quantized-ranking
+    * score over TRUE int8 binary, 8× smaller per vector than the
+    * integer-valued-double `q`. Bit-equal to `cosine(qa, qb)` over the
+    * corresponding `q` columns by construction (packing is an exact
+    * narrowing; ExpressionsSpec pins the equality). */
+  def int8Dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.Int8Dot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** DuckDB mirror: unit-normalized double vector from `embedding`.
     * private[llm]: Dedup2's sign-LSH oracle reuses it — one copy only. */
   private[llm] def sqlUnit(src: String): String =

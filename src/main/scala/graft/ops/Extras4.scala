@@ -183,10 +183,24 @@ object Extras4 {
         .option("path", tmp.getAbsolutePath).saveAsTable(tmpT)
       s.sql(s"DROP TABLE `$tmpT`") // external: files stay for the publish
       stable.getParentFile.mkdirs()
-      if (!tmp.renameTo(stable)) {
-        // lost the publish race (or rename unsupported): fall back to the
-        // winner's layout if complete, else serve from our build dir
-        if (!complete(stable)) location = tmp
+      if (!tmp.renameTo(stable) && !complete(stable)) {
+        // rename failed and the stable path holds no completed layout —
+        // either a crashed writer left a partial dir there, or the target
+        // is non-empty garbage. Self-heal: clear the stale dir and retry
+        // ONCE, so the published layout recovers instead of every future
+        // process forever re-paying the full ingest from its pid dir.
+        // (A concurrent winner re-publishing between the delete and the
+        // retry just makes our retry fail with `complete(stable)` true.)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        if (!complete(stable)) rm(stable)
+        if (!tmp.renameTo(stable) && !complete(stable)) {
+          // truly unpublishable (e.g. cross-device target/): serve this
+          // session from the build dir rather than fail the query
+          location = tmp
+        }
       }
     }
     val schema = s.read.parquet(location.getAbsolutePath).schema.toDDL

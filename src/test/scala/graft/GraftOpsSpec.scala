@@ -82,6 +82,20 @@ class GraftOpsSpec extends SparkSuite {
     assert(Seq(30000L, 30001L, 30002L).forall(cc(_) == 30000L))
   }
 
+  test("AUTO CC falls back to two-phase on an adversarial 10^4-hop chain") {
+    // the default path: labelprop spends its small AUTO budget
+    // (AutoLabelPropRounds), fails to converge on diameter 10^4, and the
+    // fallback restart on two-phase must still produce exact components —
+    // callers never choose an algorithm up front and never see a failure
+    val chain = (0L until 10000L).map(i => (i, i + 1))
+    val extras = Seq((20000L, 20000L), (30000L, 30001L))
+    val cc = GraftOps.connectedComponents((chain ++ extras).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.size == 10004)
+    assert((0L to 10000L).forall(cc(_) == 0L), "chain not fully contracted")
+    assert(cc(20000L) == 20000L && cc(30001L) == 30000L)
+  }
+
   test("two-phase CC matches label propagation on a mixed graph") {
     val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L), (9L, 9L), (4L, 8L))
       .toDF("a", "b")

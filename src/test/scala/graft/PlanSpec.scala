@@ -258,6 +258,38 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("sim_ann_quantized_int8 ranks through PackInt8 + Int8Dot (true int8 payload)") {
+    // the stage-1 ranking must execute over the packed byte payload, not
+    // fall back to the double `q` — the whole point of the query is that
+    // the 8×-smaller payload carries the declared, oracle-gated ranking
+    val p = plan("sim_ann_quantized_int8")
+    assert(p.contains("packint8"), s"q8 not built by PackInt8:\n${p.take(2000)}")
+    assert(p.contains("int8dot"), s"ranking not through Int8Dot:\n${p.take(2000)}")
+  }
+
+  test("pipeline_pack_sequences' two branches observe ONE range exchange") {
+    // distributedRunningSum derives BOTH the offsets aggregate and the
+    // main window from `ranged`, whose shard ids come from
+    // spark_partition_id() after a SAMPLED range shuffle — correctness
+    // requires the branches to share one physical exchange (divergent
+    // boundary samples would silently mis-align offsets). Exchange reuse
+    // dedupes the identical subtree; pin it: exactly one materialized
+    // range exchange in the executed plan (split off AQE's "Initial Plan"
+    // echo; ReusedExchange references don't count as a second one).
+    val df = SparkEntry.queries("pipeline_pack_sequences")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the shard split is the range exchange keyed on (source, doc_id); the
+    // query's OUTPUT sort is a separate (source, pack_id) range exchange
+    // and doesn't participate in the invariant
+    val n = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && l.contains("doc_id") &&
+        !l.contains("ReusedExchange"))
+    assert(n == 1,
+      s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
+  }
+
   test("no declared query feeds a Window from an Exchange SinglePartition") {
     // A whole-table window (empty partitionBy / global ORDER) plans
     // `Exchange SinglePartition → [Sort] → Window` — every row through one
