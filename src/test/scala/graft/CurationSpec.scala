@@ -161,4 +161,22 @@ class CurationSpec extends SparkSuite {
     assert(SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).count() >= 0)
     assert(GraftOps.clearDedupCaches(spark) >= 1, "memoized arrays not re-registered")
   }
+
+  test("sweep-end hygiene: dedup queries then clearDedupCaches leave no persisted blocks behind") {
+    // the contract Verify/Bench rely on at sweep end: after the clear, the
+    // context holds no MORE persisted RDDs than before the dedup family ran
+    // (unpersist is async — spin briefly instead of asserting instantly)
+    GraftOps.clearDedupCaches(spark)
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    val before = persisted
+    Seq("dedup_minhash", "dedup_containment", "dedup_incremental")
+      .foreach(q => SparkEntry.queries(q)(spark, sf).count())
+    assert((persisted -- before).nonEmpty, "dedup sweep should persist its shared caches")
+    GraftOps.clearDedupCaches(spark)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while ((persisted -- before).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert((persisted -- before).isEmpty,
+      s"leaked persisted RDDs after clear: ${(persisted -- before).mkString(", ")}")
+  }
 }

@@ -107,4 +107,28 @@ class SourcesSpec extends SparkSuite {
       s"re-registered bucketed join shuffled its inputs:\n${plan.take(2000)}")
     assert(plan.contains("Bucketed: true"), "scan lost its bucket metadata")
   }
+
+  test("bucketed layout self-heals a crashed partial publish (stable dir without _SUCCESS)") {
+    // A writer that died mid-publish leaves a stable dir WITHOUT _SUCCESS;
+    // the rename of the next builder then fails (target exists). The
+    // publish must clear the stale dir and retry — not degrade every
+    // future session to per-pid rebuilds with an unrepaired stable path.
+    val q = SparkEntry.queries("join_bucketed_colocated")
+    val r1 = q(spark, sf).collect().map(_.toString).toSeq
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val stable = Paths.get(
+      s"target/graft_scratch/stable_bucketed_${sf.replaceAll("[^A-Za-z0-9.]", "_")}")
+    import scala.jdk.CollectionConverters._
+    val tableDirs = Files.list(stable).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq
+    assert(tableDirs.nonEmpty, s"no published table dirs under $stable")
+    tableDirs.foreach(d => Files.deleteIfExists(d.resolve("_SUCCESS")))
+    spark.sql(s"DROP TABLE IF EXISTS li_bkt_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS ord_bkt_$tag")
+    assert(q(spark, sf).collect().map(_.toString).toSeq == r1)
+    tableDirs.foreach { d =>
+      assert(Files.exists(d.resolve("_SUCCESS")),
+        s"stale stable dir was not healed and re-published: $d")
+    }
+  }
 }
