@@ -69,13 +69,18 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // honesty markers: `single_run_over_cap` is now only ever non-empty
-    // when SPARK_GRAFT_BENCH_RUNS=1; `cold_first_run` records each
-    // discarded over-cap warmup so one-time cache-build cost stays on the
-    // record next to the warm medians
-    val capped = results.collect { case (k, v, 1, _) if v >= 0 && runs > 1 => "\"" + k + "\"" }
+    // honesty markers: `single_run_over_cap` = queries recorded from ONE
+    // noisy sample (only possible in SPARK_GRAFT_BENCH_RUNS=1 mode now —
+    // in median mode an over-cap first run is discarded as warmup);
+    // `cold_first_run` records each discarded over-cap warmup so one-time
+    // cache-build cost stays on the record next to the warm medians.
+    // Locale-independent number rendering throughout (an f"" float format
+    // follows the JVM default locale — a comma-decimal locale would
+    // corrupt the JSON).
+    def num(d: Double): String = (math.round(d * 1000) / 1000.0).toString
+    val capped = results.collect { case (k, v, 1, _) if v >= slowCap => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val colds = results.collect { case (k, _, _, Some(c)) => s"\"" + k + "\":" + f"$c%.3f" }
+    val colds = results.collect { case (k, _, _, Some(c)) => s"\"" + k + "\":" + num(c) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)

@@ -126,7 +126,12 @@ object Chunking {
     // pipeline_pack_sequences' executed plan — but if a session disables
     // spark.sql.exchange.reuse the two branches could re-sample different
     // boundaries and silently disagree on shard assignment. In that case
-    // materialize the assignment once (lazy localCheckpoint) instead.
+    // materialize the assignment once (lazy localCheckpoint; its blocks
+    // are reclaimed by the ContextCleaner when the result DataFrame
+    // becomes unreferenced, same lifecycle as connectedComponents'
+    // rounds). The conf is sampled HERE, at plan-build time — flipping
+    // exchange.reuse between building and executing the returned frame
+    // is outside the guarantee.
     val assigned = df
       .repartitionByRange(nShards, col(partCol), col(orderCol))
       .withColumn("__shard", spark_partition_id())

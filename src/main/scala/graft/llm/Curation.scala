@@ -139,10 +139,15 @@ object Curation {
     * The declared ANN queries keep ranking on `q` because the DuckDB
     * oracle has no int8 payload type — ExpressionsSpec pins the
     * byte-dot/double-dot equality instead. */
-  def withInt8Packed(df: DataFrame): DataFrame = {
+  def withInt8Packed(df: DataFrame): DataFrame = packedQ8(withInt8(df))
+
+  /** attach `q8` = PackInt8(q) to an ALREADY-quantized frame — the one
+    * place the packing expression lives ([[withInt8Packed]] and the
+    * declared int8 query both come through here). */
+  private def packedQ8(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     require(!df.columns.contains("q8"), "withInt8Packed reserves the column name q8")
-    withInt8(df).withColumn("q8", ColumnBridge.column(
+    df.withColumn("q8", ColumnBridge.column(
       graft.functions.PackInt8(ColumnBridge.expression(col("q")))))
   }
 
@@ -195,10 +200,10 @@ object Curation {
 
   /** [[quantized]] + the packed `q8` payload — the int8-ranked declared
     * query reads THIS so the whole stage-1 ranking path (pack + byte dot)
-    * executes under the oracle gate. */
+    * executes under the oracle gate; derives from [[quantized]] so the
+    * two ANN queries can never quantize from diverging inputs. */
   private def quantizedPacked(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    withInt8Packed(Similarity.withUnit(Tables(s, dir, "embeddings"), col("embedding"))
-      .select(col("vec_id"), col("label"), col("v")))
+    packedQ8(quantized(s, dir))
 
   val queries: Map[String, Q] = Map(
     // new batch = doc_id % 7 = 0 (stand-in arrival partition), corpus =

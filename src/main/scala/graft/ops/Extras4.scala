@@ -184,23 +184,36 @@ object Extras4 {
       s.sql(s"DROP TABLE `$tmpT`") // external: files stay for the publish
       stable.getParentFile.mkdirs()
       if (!tmp.renameTo(stable) && !complete(stable)) {
-        // rename failed and the stable path holds no completed layout —
-        // either a crashed writer left a partial dir there, or the target
-        // is non-empty garbage. Self-heal: clear the stale dir and retry
-        // ONCE, so the published layout recovers instead of every future
-        // process forever re-paying the full ingest from its pid dir.
-        // (A concurrent winner re-publishing between the delete and the
-        // retry just makes our retry fail with `complete(stable)` true.)
+        // rename failed and the stable path holds no completed layout — a
+        // crashed writer left a partial dir there. Self-heal so the
+        // published layout recovers instead of every future process
+        // forever re-paying the full ingest from its pid dir. Safety: the
+        // healer (a) takes an exclusive mkdir lock so only one process
+        // heals, and (b) renames the stale dir ASIDE rather than deleting
+        // in place — if a concurrent publisher completed the stable path
+        // between our check and the heal, its identical-fingerprint
+        // layout is moved aside and immediately replaced by ours (same
+        // fingerprint ⇒ same definition + sources ⇒ same content), never
+        // destroyed under a live reader.
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete()
         }
-        if (!complete(stable)) rm(stable)
-        if (!tmp.renameTo(stable) && !complete(stable)) {
-          // truly unpublishable (e.g. cross-device target/): serve this
-          // session from the build dir rather than fail the query
-          location = tmp
+        val lock = new java.io.File(stable.getParentFile, s"${stable.getName}.heal_lock")
+        if (lock.mkdir()) {
+          try {
+            val aside = new java.io.File(stable.getParentFile,
+              s"${stable.getName}.stale_${ProcessHandle.current().pid()}")
+            if (!complete(stable)) {
+              stable.renameTo(aside) // atomic move-aside; no-op if gone
+              if (tmp.renameTo(stable)) rm(aside)
+              else aside.renameTo(stable) // cross-device target/: restore
+            }
+          } finally lock.delete()
         }
+        // lost the lock / truly unpublishable: serve this session from
+        // whichever completed layout exists, else our build dir
+        if (!complete(stable)) location = tmp
       }
     }
     val schema = s.read.parquet(location.getAbsolutePath).schema.toDDL

@@ -119,16 +119,24 @@ class SourcesSpec extends SparkSuite {
     val stable = Paths.get(
       s"target/graft_scratch/stable_bucketed_${sf.replaceAll("[^A-Za-z0-9.]", "_")}")
     import scala.jdk.CollectionConverters._
-    val tableDirs = Files.list(stable).iterator().asScala
-      .filter(Files.isDirectory(_)).toSeq
+    // dirs are ${table}_b${nBuckets}_$fingerprint — regenerated testdata
+    // can leave stale-fingerprint siblings that the current run will
+    // never republish, so corrupt and assert ONLY the current tables'
+    // dirs (by name prefix; the re-run republishes the live fingerprint)
+    val prefixes = Seq(s"li_bkt_${tag}_b", s"ord_bkt_${tag}_b")
+    def tableDirs = Files.list(stable).iterator().asScala
+      .filter(d => Files.isDirectory(d) &&
+        prefixes.exists(d.getFileName.toString.startsWith))
+      .toSeq
     assert(tableDirs.nonEmpty, s"no published table dirs under $stable")
     tableDirs.foreach(d => Files.deleteIfExists(d.resolve("_SUCCESS")))
     spark.sql(s"DROP TABLE IF EXISTS li_bkt_$tag")
     spark.sql(s"DROP TABLE IF EXISTS ord_bkt_$tag")
     assert(q(spark, sf).collect().map(_.toString).toSeq == r1)
-    tableDirs.foreach { d =>
-      assert(Files.exists(d.resolve("_SUCCESS")),
-        s"stale stable dir was not healed and re-published: $d")
+    prefixes.foreach { p =>
+      assert(tableDirs.exists(d => d.getFileName.toString.startsWith(p) &&
+          Files.exists(d.resolve("_SUCCESS"))),
+        s"no healed re-published layout for $p under $stable")
     }
   }
 }
