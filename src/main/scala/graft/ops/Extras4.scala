@@ -200,10 +200,17 @@ object Extras4 {
           f.delete()
         }
         val lock = new java.io.File(stable.getParentFile, s"${stable.getName}.heal_lock")
+        // a healer that died holding the lock must not disable healing
+        // forever — treat a lock older than 10 min as abandoned (any
+        // real heal is a couple of renames, not minutes)
+        if (lock.exists() &&
+            System.currentTimeMillis() - lock.lastModified() > 10 * 60 * 1000)
+          lock.delete()
         if (lock.mkdir()) {
           try {
             val aside = new java.io.File(stable.getParentFile,
               s"${stable.getName}.stale_${ProcessHandle.current().pid()}")
+            if (aside.exists()) rm(aside) // our own earlier heal's garbage
             if (!complete(stable)) {
               stable.renameTo(aside) // atomic move-aside; no-op if gone
               if (tmp.renameTo(stable)) rm(aside)
