@@ -139,4 +139,49 @@ class SourcesSpec extends SparkSuite {
         s"no healed re-published layout for $p under $stable")
     }
   }
+
+  test("heal lock: a live lock blocks healing without failing queries; a stale lock expires") {
+    val q = SparkEntry.queries("join_bucketed_colocated")
+    val r1 = q(spark, sf).collect().map(_.toString).toSeq
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val stable = Paths.get(
+      s"target/graft_scratch/stable_bucketed_${sf.replaceAll("[^A-Za-z0-9.]", "_")}")
+    import scala.jdk.CollectionConverters._
+    val prefixes = Seq(s"li_bkt_${tag}_b", s"ord_bkt_${tag}_b")
+    val tableDirs = Files.list(stable).iterator().asScala
+      .filter(d => Files.isDirectory(d) &&
+        prefixes.exists(d.getFileName.toString.startsWith) &&
+        !d.getFileName.toString.contains(".heal_lock") &&
+        !d.getFileName.toString.contains(".stale_"))
+      .toSeq
+    assert(tableDirs.nonEmpty)
+    // crashed publish + a LIVE lock held by "another" healer
+    tableDirs.foreach(d => Files.deleteIfExists(d.resolve("_SUCCESS")))
+    val locks = tableDirs.map(d =>
+      d.resolveSibling(d.getFileName.toString + ".heal_lock"))
+    locks.foreach(Files.createDirectories(_))
+    def dropTables(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS li_bkt_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS ord_bkt_$tag")
+    }
+    dropTables()
+    // blocked from healing, the query must still answer — served from the
+    // pid-local build dir — and must NOT have touched the stable path
+    assert(q(spark, sf).collect().map(_.toString).toSeq == r1)
+    assert(tableDirs.forall(d => !Files.exists(d.resolve("_SUCCESS"))),
+      "a process that lost the heal lock republished anyway")
+    // age the locks past the 10-min TTL: the next fresh-catalog run must
+    // expire them, heal, and release its own lock
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 11 * 60 * 1000)
+    locks.foreach(l => Files.setLastModifiedTime(l, old))
+    dropTables()
+    assert(q(spark, sf).collect().map(_.toString).toSeq == r1)
+    prefixes.foreach { p =>
+      assert(tableDirs.exists(d => d.getFileName.toString.startsWith(p) &&
+          Files.exists(d.resolve("_SUCCESS"))),
+        s"stale lock not expired / layout not healed for $p")
+    }
+    assert(locks.forall(l => !Files.exists(l)), "healer leaked its lock")
+  }
 }
