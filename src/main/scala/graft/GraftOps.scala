@@ -209,6 +209,22 @@ object GraftOps {
       .agg(functions.SketchFunctions.misraGries(
         org.apache.spark.sql.functions.col(valueCol), capacity).as("topk"))
 
+  /** EXACT heavy hitters per group via the standard two-pass pattern:
+    * pass 1 sketches each group with Misra–Gries (bounded state, map-side
+    * partials) to get ≤ `capacity` candidate values per group; pass 2
+    * exact-counts ONLY candidate-matching rows (semi-join prune). The MG
+    * guarantee — every value with count > n/(capacity+1) is in the
+    * sketch — makes the prune lossless for heavy values, so the returned
+    * (groupCols…, valueCol, cnt) rows ARE the exact deterministic
+    * heavy-hitter set (count·(capacity+1) > group size), with exact
+    * counts — unlike the raw sketch, whose low-frequency tail and
+    * estimates are encounter-order-dependent. At 100 TB: pass 1 shuffles
+    * one bounded sketch per (partition, group); pass 2 shuffles only rows
+    * whose value is a candidate. Values compare by their string form. */
+  def topValuesExact(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      capacity: Int): DataFrame =
+    clean.ProfileQueries.topValuesExact(df, groupCols, valueCol, capacity)
+
   // ---- clustering / CDC ----------------------------------------------------
 
   /** connected components of an undirected pair list → (node, component);

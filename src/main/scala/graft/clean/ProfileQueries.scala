@@ -46,6 +46,35 @@ object ProfileQueries {
 
   private val profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** ENGINE for [[graft.GraftOps.topValuesExact]] — exact heavy hitters
+    * per group, two passes: (1) Misra–Gries sketch per group → candidate
+    * values (bounded shuffle regardless of value cardinality); (2) exact
+    * counts of candidate-matching rows only (left_semi prune). By the MG
+    * guarantee every value with count·(capacity+1) > n is a candidate, so
+    * the heavy filter over the pruned exact counts returns the EXACT
+    * deterministic heavy-hitter set — the sketch only bounds pass-2 cost,
+    * never the answer. Values compare by string form (the sketch stores
+    * strings); output columns: groupCols…, valueCol (string), cnt. */
+  def topValuesExact(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      capacity: Int): DataFrame = {
+    val reserved = Seq("__v", "__topk", "__n", "cnt")
+    require(!df.columns.exists(reserved.contains) &&
+      !reserved.contains(valueCol) && !groupCols.exists(reserved.contains),
+      s"topValuesExact reserves the column names ${reserved.mkString(", ")}")
+    val g = groupCols.map(col)
+    val sdf = df.select(g :+ col(valueCol).cast("string").as("__v"): _*)
+    val sk = sdf.groupBy(g: _*)
+      .agg(graft.functions.SketchFunctions.misraGries(col("__v"), capacity)
+          .as("__topk"),
+        count(lit(1)).as("__n"))
+    val cand = sk.select(g :+ explode(col("__topk.item")).as("__v"): _*)
+    val counts = sdf.join(cand, groupCols :+ "__v", "left_semi")
+      .groupBy(g :+ col("__v"): _*).agg(count(lit(1)).as("cnt"))
+    counts.join(sk.select(g :+ col("__n"): _*), groupCols)
+      .where(col("cnt") * (capacity + 1) > col("__n"))
+      .select(g :+ col("__v").as(valueCol) :+ col("cnt"): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "profile_summary" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
@@ -216,6 +245,26 @@ object ProfileQueries {
             .as("heavy_in_sketch"),
           coalesce(col("est_bounded"), lit(true)).as("est_bounded"))
         .orderBy(col("event_type"))
+    },
+
+    // EXACT heavy hitters per group through the two-pass engine
+    // ([[topValuesExact]]): unlike profile_topk_approx — whose raw sketch
+    // is encounter-order-dependent and therefore only contract-checkable —
+    // this query's output is the deterministic exact heavy set with exact
+    // counts, so the oracle mirrors it as plain GROUP BY + HAVING with no
+    // sketch at all. The sketch's only job is bounding pass-2 cost; the
+    // same skewed value derivation as profile_topk_approx keeps the heavy
+    // set non-trivial (2 hot values/group vs ~120 cold singletons).
+    "profile_topk_heavy" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"),
+          when(col("user_id") % 5 <= 1,
+            concat(lit("hot"), (col("user_id") % 5).cast("string")))
+            .otherwise(concat(lit("cold"), col("user_id").cast("string")))
+            .as("v"))
+      topValuesExact(ev, Seq("event_type"), "v", 8)
+        .orderBy(col("event_type"), col("v"))
     }
   )
 
@@ -269,6 +318,18 @@ object ProfileQueries {
         |  true AS heavy_in_sketch, true AS est_bounded
         |FROM n LEFT JOIN h USING (event_type)
         |ORDER BY n.event_type""".stripMargin,
+    // the two-pass engine's answer is EXACT, so the mirror needs no
+    // sketch: plain per-(group, value) counts + the heavy threshold
+    // (capacity 8 ⇒ cnt·9 > group size)
+    "profile_topk_heavy" ->
+      """WITH ev AS (SELECT event_type,
+        |    CASE WHEN user_id % 5 <= 1 THEN 'hot' || cast(user_id % 5 as varchar)
+        |         ELSE 'cold' || cast(user_id as varchar) END AS v
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT event_type, count(*) AS n_events FROM ev GROUP BY 1),
+        |c AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2)
+        |SELECT c.event_type, c.v, c.cnt FROM c JOIN n USING (event_type)
+        |WHERE cnt * 9 > n_events ORDER BY event_type, v""".stripMargin,
     "profile_quantiles" ->
       """SELECT quantile_cont(l_quantity, 0.25) AS q25_qty,
         |quantile_cont(l_quantity, 0.5) AS q50_qty,

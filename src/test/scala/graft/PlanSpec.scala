@@ -290,6 +290,19 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
   }
 
+  test("profile_topk_heavy prunes pass 2 with a semi-join on the sketch candidates") {
+    // the two-pass exact heavy hitters: pass 2 must only count rows whose
+    // value is a sketch candidate (LeftSemi; AQE broadcasts the tiny
+    // groups×capacity candidate side at runtime) — a plan that counts
+    // every (group, value) pair has lost the whole point of pass 1
+    val df = SparkEntry.queries("profile_topk_heavy")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("LeftSemi"), s"pass-2 candidate prune missing:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate side not broadcast at bench scale:\n${p.take(2000)}")
+  }
+
   test("no declared query feeds a Window from an Exchange SinglePartition") {
     // A whole-table window (empty partitionBy / global ORDER) plans
     // `Exchange SinglePartition → [Sort] → Window` — every row through one

@@ -123,6 +123,22 @@ object CleanOpsProps extends Properties("CleanOps") {
       }
     }
 
+  property("topValuesExact == in-memory exact heavy-hitter set, counts exact") =
+    Prop.forAll(
+      Gen.listOfN(80, Gen.frequency((3, Gen.const("hot")), (1, Gen.choose(0, 20).map("c" + _)))),
+      Gen.choose(2, 6)) { (vs, cap) =>
+      vs.isEmpty || {
+        // the two-pass answer must be the EXACT deterministic heavy set —
+        // the sketch may only prune pass-2 cost, never change the answer
+        val exact = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val expected = exact.filter { case (_, c) => c * (cap + 1) > vs.size }
+        val got = GraftOps.topValuesExact(
+            vs.map(("g", _)).toDF("g", "v").repartition(5), Seq("g"), "v", cap)
+          .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+        got == expected
+      }
+    }
+
   property("upsertLatestWins: highest version wins, inserts appear, base survives") =
     Prop.forAll(
       // change keys 0..9 over base keys 0..6, so keys 7..9 exercise the
