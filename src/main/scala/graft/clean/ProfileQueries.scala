@@ -47,17 +47,25 @@ object ProfileQueries {
   private val profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** ENGINE for [[graft.GraftOps.topValuesExact]] — exact heavy hitters
-    * per group, two passes: (1) Misra–Gries sketch per group → candidate
-    * values (bounded shuffle regardless of value cardinality); (2) exact
-    * counts of candidate-matching rows only (left_semi prune). By the MG
-    * guarantee every value with count·(capacity+1) > n is a candidate, so
-    * the heavy filter over the pruned exact counts returns the EXACT
-    * deterministic heavy-hitter set — the sketch only bounds pass-2 cost,
-    * never the answer. Values compare by string form (the sketch stores
-    * strings); output columns: groupCols…, valueCol (string), cnt. */
+    * per group, two passes over the input: (1) Misra–Gries sketch per
+    * group → candidate values (bounded shuffle regardless of value
+    * cardinality), with the group's non-null value count `__n` riding the
+    * same aggregate; (2) exact counts of candidate-matching rows only —
+    * an inner join against the tiny (groups×capacity) candidate relation,
+    * which carries `__n` so no second join against the sketch is needed
+    * (one sketch subtree, exactly two input scans — PlanSpec pins it).
+    * By the MG guarantee every value with count·(capacity+1) > n is a
+    * candidate, so the heavy filter over the pruned exact counts returns
+    * the EXACT deterministic heavy-hitter set — the sketch only bounds
+    * pass-2 cost, never the answer. Group keys compare NULL-SAFE (a null
+    * group is a group, matching groupBy); null values are not values
+    * (the sketch skips them, `__n` counts non-null — a 90%-null column's
+    * heavy threshold is over its actual values). Values compare by string
+    * form; output columns: groupCols…, valueCol (string), cnt. */
   def topValuesExact(df: DataFrame, groupCols: Seq[String], valueCol: String,
       capacity: Int): DataFrame = {
-    val reserved = Seq("__v", "__topk", "__n", "cnt")
+    val reserved = Seq("__v", "__cv", "__topk", "__n", "cnt") ++
+      groupCols.map(c => s"__g_$c")
     require(!df.columns.exists(reserved.contains) &&
       !reserved.contains(valueCol) && !groupCols.exists(reserved.contains),
       s"topValuesExact reserves the column names ${reserved.mkString(", ")}")
@@ -66,13 +74,18 @@ object ProfileQueries {
     val sk = sdf.groupBy(g: _*)
       .agg(graft.functions.SketchFunctions.misraGries(col("__v"), capacity)
           .as("__topk"),
-        count(lit(1)).as("__n"))
-    val cand = sk.select(g :+ explode(col("__topk.item")).as("__v"): _*)
-    val counts = sdf.join(cand, groupCols :+ "__v", "left_semi")
-      .groupBy(g :+ col("__v"): _*).agg(count(lit(1)).as("cnt"))
-    counts.join(sk.select(g :+ col("__n"): _*), groupCols)
+        count(col("__v")).as("__n"))
+    val cand = sk.select(groupCols.map(c => col(c).as(s"__g_$c")) :+
+      col("__n") :+ explode(col("__topk.item")).as("__cv"): _*)
+    val joined = sdf.join(cand,
+      (groupCols.map(c => sdf(c) <=> cand(s"__g_$c")) :+
+        (sdf("__v") === cand("__cv"))).reduce(_ && _))
+    joined
+      .groupBy(groupCols.map(c => col(s"__g_$c")) :+ col("__cv"): _*)
+      .agg(count(lit(1)).as("cnt"), first(col("__n")).as("__n"))
       .where(col("cnt") * (capacity + 1) > col("__n"))
-      .select(g :+ col("__v").as(valueCol) :+ col("cnt"): _*)
+      .select(groupCols.map(c => col(s"__g_$c").as(c)) :+
+        col("__cv").as(valueCol) :+ col("cnt"): _*)
   }
 
   val queries: Map[String, Q] = Map(

@@ -290,17 +290,23 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
   }
 
-  test("profile_topk_heavy prunes pass 2 with a semi-join on the sketch candidates") {
-    // the two-pass exact heavy hitters: pass 2 must only count rows whose
-    // value is a sketch candidate (LeftSemi; AQE broadcasts the tiny
-    // groups×capacity candidate side at runtime) — a plan that counts
-    // every (group, value) pair has lost the whole point of pass 1
+  test("profile_topk_heavy: one broadcast candidate join, exactly two input scans") {
+    // the two-pass exact heavy hitters: pass 2 must count only rows
+    // matching the tiny (groups×capacity) candidate relation — broadcast
+    // at runtime, never a shuffle join — and the sketch/count aggregate
+    // must be ONE subtree, so the input is scanned exactly twice (an
+    // earlier shape consumed the sketch twice with disjoint projections
+    // and paid a third full scan)
     val df = SparkEntry.queries("profile_topk_heavy")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    assert(p.contains("LeftSemi"), s"pass-2 candidate prune missing:\n${p.take(2000)}")
     assert(p.contains("BroadcastHashJoin"),
       s"candidate side not broadcast at bench scale:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"pass-2 prune degraded to a shuffle join:\n${p.take(2000)}")
+    val nScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(nScans == 2, s"expected exactly 2 input scans, got $nScans:\n${p.take(3000)}")
   }
 
   test("no declared query feeds a Window from an Exchange SinglePartition") {

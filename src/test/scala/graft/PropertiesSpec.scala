@@ -123,18 +123,29 @@ object CleanOpsProps extends Properties("CleanOps") {
       }
     }
 
-  property("topValuesExact == in-memory exact heavy-hitter set, counts exact") =
+  property("topValuesExact == in-memory exact heavy set; null groups kept, nulls not values") =
     Prop.forAll(
-      Gen.listOfN(80, Gen.frequency((3, Gen.const("hot")), (1, Gen.choose(0, 20).map("c" + _)))),
-      Gen.choose(2, 6)) { (vs, cap) =>
-      vs.isEmpty || {
+      Gen.listOfN(80, Gen.zip(
+        Gen.oneOf(Some("g1"), Some("g2"), None),
+        Gen.frequency((4, Gen.const(Some("hot"))),
+          (2, Gen.choose(0, 20).map(i => Some("c" + i))), (1, Gen.const(None))))),
+      Gen.choose(2, 6)) { (rows, cap) =>
+      rows.isEmpty || {
         // the two-pass answer must be the EXACT deterministic heavy set —
-        // the sketch may only prune pass-2 cost, never change the answer
-        val exact = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
-        val expected = exact.filter { case (_, c) => c * (cap + 1) > vs.size }
+        // the sketch may only prune pass-2 cost, never change the answer;
+        // a NULL group key is a group (null-safe joins), null values are
+        // not values (threshold denominator = non-null count per group)
+        val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+          val vals = rs.flatMap(_._2)
+          vals.groupBy(identity).collect {
+            case (v, occ) if occ.size * (cap + 1) > vals.size =>
+              (g, v) -> occ.size.toLong
+          }
+        }
         val got = GraftOps.topValuesExact(
-            vs.map(("g", _)).toDF("g", "v").repartition(5), Seq("g"), "v", cap)
-          .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+            rows.toDF("g", "v").repartition(5), Seq("g"), "v", cap)
+          .collect()
+          .map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2)).toMap
         got == expected
       }
     }

@@ -13,6 +13,14 @@ class SourcesSpec extends SparkSuite {
 
   private lazy val tmp = Files.createTempDirectory("graft-sources").toString
 
+  /** Files.list with the underlying DirectoryStream CLOSED (the raw
+    * stream leaks a directory fd until GC). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+    finally s.close()
+  }
+
   test("CSV round-trip with header + inferSchema") {
     val df = Tables(spark, sf, "nation")
     df.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
@@ -118,16 +126,14 @@ class SourcesSpec extends SparkSuite {
     val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
     val stable = Paths.get(
       s"target/graft_scratch/stable_bucketed_${sf.replaceAll("[^A-Za-z0-9.]", "_")}")
-    import scala.jdk.CollectionConverters._
     // dirs are ${table}_b${nBuckets}_$fingerprint — regenerated testdata
     // can leave stale-fingerprint siblings that the current run will
     // never republish, so corrupt and assert ONLY the current tables'
     // dirs (by name prefix; the re-run republishes the live fingerprint)
     val prefixes = Seq(s"li_bkt_${tag}_b", s"ord_bkt_${tag}_b")
-    def tableDirs = Files.list(stable).iterator().asScala
+    def tableDirs = listDir(stable)
       .filter(d => Files.isDirectory(d) &&
         prefixes.exists(d.getFileName.toString.startsWith))
-      .toSeq
     assert(tableDirs.nonEmpty, s"no published table dirs under $stable")
     tableDirs.foreach(d => Files.deleteIfExists(d.resolve("_SUCCESS")))
     spark.sql(s"DROP TABLE IF EXISTS li_bkt_$tag")
@@ -146,14 +152,12 @@ class SourcesSpec extends SparkSuite {
     val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
     val stable = Paths.get(
       s"target/graft_scratch/stable_bucketed_${sf.replaceAll("[^A-Za-z0-9.]", "_")}")
-    import scala.jdk.CollectionConverters._
     val prefixes = Seq(s"li_bkt_${tag}_b", s"ord_bkt_${tag}_b")
-    val tableDirs = Files.list(stable).iterator().asScala
+    val tableDirs = listDir(stable)
       .filter(d => Files.isDirectory(d) &&
         prefixes.exists(d.getFileName.toString.startsWith) &&
         !d.getFileName.toString.contains(".heal_lock") &&
         !d.getFileName.toString.contains(".stale_"))
-      .toSeq
     assert(tableDirs.nonEmpty)
     // crashed publish + a LIVE lock held by "another" healer
     tableDirs.foreach(d => Files.deleteIfExists(d.resolve("_SUCCESS")))
