@@ -212,7 +212,8 @@ object GraftOps {
   /** EXACT heavy hitters per group via the standard two-pass pattern:
     * pass 1 sketches each group with Misra–Gries (bounded state, map-side
     * partials) to get ≤ `capacity` candidate values per group; pass 2
-    * exact-counts ONLY candidate-matching rows (semi-join prune). The MG
+    * exact-counts ONLY candidate-matching rows (a join against the tiny
+    * broadcastable candidate relation). The MG
     * guarantee — every value with count > n/(capacity+1) is in the
     * sketch — makes the prune lossless for heavy values, so the returned
     * (groupCols…, valueCol, cnt) rows ARE the exact deterministic
