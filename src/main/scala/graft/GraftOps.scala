@@ -136,6 +136,16 @@ object GraftOps {
     llm.Chunking.distributedRunningSum(df, partCol, orderCol, valueCol, outCol,
       exclusive, shards)
 
+  /** budget-capped corpus selection: keep each `streamCol` stream's rows
+    * in ascending `priorityCol` order until the running `tokenCol` total
+    * reaches `budget` (the last kept row may straddle it) — the data-
+    * selection step between quality scoring and training. Distributed
+    * via [[distributedRunningSum]]; `priorityCol` must be unique per
+    * stream (use a (score, id) composite) for determinism. */
+  def selectByBudget(df: DataFrame, streamCol: String, priorityCol: String,
+      tokenCol: String, budget: Long, shards: Int = 0): DataFrame =
+    llm.Chunking.selectByBudget(df, streamCol, priorityCol, tokenCol, budget, shards)
+
   /** per-doc n-gram repetition quality signal (Gopher/C4-style):
     * rep_ratio_e6 = (1 − distinct/total n-grams)·10⁶ — map-side. */
   def repetitionScored(df: DataFrame, idCol: String, textCol: String,

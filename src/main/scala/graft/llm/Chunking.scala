@@ -162,6 +162,26 @@ object Chunking {
       .drop("__shard", "__lcum", "__off", "__okey", "__oshard")
   }
 
+  /** PUBLIC API: budget-capped corpus selection — keep each `streamCol`
+    * stream's rows in ASCENDING `priorityCol` order until the running
+    * `tokenCol` total reaches `budget`: a row survives iff the token
+    * count of strictly-higher-priority rows is < budget, so the budget
+    * can be overshot by at most the last selected row (the standard
+    * "fill the budget, let the last doc straddle" data-selection step
+    * between scoring and training). The cumulative sum is
+    * [[distributedRunningSum]], so one giant stream never funnels
+    * through a single task; everything else is map-side. `priorityCol`
+    * must be unique per stream for a deterministic selection (make it a
+    * (score, id) composite). */
+  def selectByBudget(df: DataFrame, streamCol: String, priorityCol: String,
+      tokenCol: String, budget: Long, shards: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    distributedRunningSum(df, streamCol, priorityCol, tokenCol, "__before",
+        exclusive = true, shards)
+      .where(col("__before") < budget)
+      .drop("__before")
+  }
+
   val queries: Map[String, Q] = Map(
     // 64-token chunks every 48 tokens (16-token overlap)
     "text_chunk_split" -> { (s, dir) =>
@@ -176,6 +196,24 @@ object Chunking {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("source"), col("pack_id"))
+    },
+
+    // budget-capped selection: per source, keep the LARGEST docs (the
+    // deterministic stand-in for a quality ordering) until 2000 tokens
+    // are filled. priority = -(n_chars·2³²) + doc_id — unique (doc_id
+    // tie-break rides in the low bits), ascending = biggest-first. The
+    // running sum is the distributed two-level prefix sum, so this is
+    // the second declared query through that kernel.
+    "pipeline_select_budget" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(split(lower(col("text")), " ")).cast("long"))
+        .withColumn("__prio",
+          -(col("n_chars").cast("long") * lit(4294967296L)) + col("doc_id"))
+      selectByBudget(d, "source", "__prio", "n_tokens", 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("source"))
     }
   )
 
@@ -205,6 +243,19 @@ object Chunking {
         |SELECT source, pack_id, count(*) AS n_docs,
         |  cast(sum(tok) as bigint) AS sum_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM p GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+        |FROM p GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+    "pipeline_select_budget" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    cast(len(string_split(lower(text), ' ')) as bigint) AS n_tokens,
+        |    -(cast(n_chars as bigint) * 4294967296) + doc_id AS prio
+        |  FROM documents),
+        |p AS (SELECT source, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY prio
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(n_tokens) as bigint) AS sum_tokens,
+        |  cast(sum(doc_id) as bigint) AS sum_ids
+        |FROM p WHERE cum < 2000 GROUP BY source ORDER BY source""".stripMargin
   )
 }

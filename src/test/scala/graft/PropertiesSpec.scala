@@ -233,6 +233,20 @@ object CurationProps extends Properties("Curation") {
       got == expected
     }
 
+  property("selectByBudget == in-memory priority-order prefix under the budget") =
+    Prop.forAll(Gen.listOfN(8, docGen), Gen.choose(5, 60)) { (docs, budget) =>
+      val df = docs.zipWithIndex.map { case (t, i) =>
+        (i.toLong, "s", t, t.split(" ").length.toLong) }
+        .toDF("id", "src", "body", "tok")
+      val got = GraftOps.selectByBudget(df, "src", "id", "tok", budget)
+        .select("id").collect().map(_.getLong(0)).toSet
+      // model: walk ids ascending, keep while tokens-before < budget
+      val toks = docs.map(_.split(" ").length.toLong)
+      val cums = toks.scanLeft(0L)(_ + _)
+      val expected = docs.indices.filter(i => cums(i) < budget).map(_.toLong).toSet
+      got == expected
+    }
+
   property("packSequences matches the in-memory exclusive-cumsum model") =
     Prop.forAll(Gen.listOfN(8, docGen), Gen.choose(5, 30)) { (docs, budget) =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }
