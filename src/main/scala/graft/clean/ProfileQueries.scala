@@ -66,8 +66,10 @@ object ProfileQueries {
       capacity: Int): DataFrame = {
     val reserved = Seq("__v", "__cv", "__topk", "__n", "cnt") ++
       groupCols.map(c => s"__g_$c")
-    require(!df.columns.exists(reserved.contains) &&
-      !reserved.contains(valueCol) && !groupCols.exists(reserved.contains),
+    // only the columns that survive the initial projection can collide —
+    // an unrelated df column that happens to be named "cnt" is projected
+    // away and must not trip the guard
+    require(!reserved.contains(valueCol) && !groupCols.exists(reserved.contains),
       s"topValuesExact reserves the column names ${reserved.mkString(", ")}")
     val g = groupCols.map(col)
     val sdf = df.select(g :+ col(valueCol).cast("string").as("__v"): _*)
@@ -77,7 +79,12 @@ object ProfileQueries {
         count(col("__v")).as("__n"))
     val cand = sk.select(groupCols.map(c => col(c).as(s"__g_$c")) :+
       col("__n") :+ explode(col("__topk.item")).as("__cv"): _*)
-    val joined = sdf.join(cand,
+    // the candidate relation is ≤ groups×capacity rows by construction —
+    // broadcast it structurally rather than trusting the planner's size
+    // estimate (an AQE-off session over-estimating the aggregate would
+    // otherwise degrade this prune to a full second shuffle of the input,
+    // the exact cost the sketch exists to avoid)
+    val joined = sdf.join(broadcast(cand),
       (groupCols.map(c => sdf(c) <=> cand(s"__g_$c")) :+
         (sdf("__v") === cand("__cv"))).reduce(_ && _))
     joined
@@ -214,16 +221,7 @@ object ProfileQueries {
     // the heavy set is non-trivial in every group.
     "profile_topk_approx" -> { (s, dir) =>
       val C = 8
-      // null GROUP keys would survive Spark's groupBy but vanish in the
-      // null-rejecting equi-joins below (and DuckDB's USING joins keep
-      // them) — exclude them in both engines so the contract is total
-      val ev = Tables(s, dir, "events")
-        .where(col("user_id").isNotNull && col("event_type").isNotNull)
-        .select(col("event_type"),
-          when(col("user_id") % 5 <= 1,
-            concat(lit("hot"), (col("user_id") % 5).cast("string")))
-            .otherwise(concat(lit("cold"), col("user_id").cast("string")))
-            .as("v"))
+      val ev = skewedEvents(s, dir)
       val sk = ev.groupBy(col("event_type"))
         .agg(graft.functions.SketchFunctions.misraGries(col("v"), C).as("sketch"),
           count(lit(1)).as("n_events"))
@@ -269,17 +267,36 @@ object ProfileQueries {
     // same skewed value derivation as profile_topk_approx keeps the heavy
     // set non-trivial (2 hot values/group vs ~120 cold singletons).
     "profile_topk_heavy" -> { (s, dir) =>
-      val ev = Tables(s, dir, "events")
-        .where(col("user_id").isNotNull && col("event_type").isNotNull)
-        .select(col("event_type"),
-          when(col("user_id") % 5 <= 1,
-            concat(lit("hot"), (col("user_id") % 5).cast("string")))
-            .otherwise(concat(lit("cold"), col("user_id").cast("string")))
-            .as("v"))
-      topValuesExact(ev, Seq("event_type"), "v", 8)
+      topValuesExact(skewedEvents(s, dir), Seq("event_type"), "v", 8)
         .orderBy(col("event_type"), col("v"))
     }
   )
+
+  /** Shared input of the two heavy-hitter queries: events with a
+    * deterministic skewed value — user_id % 5 ∈ {0, 1} fold into two
+    * ~20% hot values per group, the rest stay ~0.5% cold singletons —
+    * so a capacity-8 sketch genuinely compresses ~120 distinct values
+    * and the heavy set is non-trivial in every group. Null group keys
+    * are excluded in BOTH engines (they'd survive Spark's groupBy but
+    * vanish in null-rejecting equi-joins, while DuckDB's USING keeps
+    * them). ONE definition here + [[sqlSkewedEventsCte]] — the Spark and
+    * SQL forms must stay in lockstep or the twin queries' oracles
+    * silently diverge. */
+  private def skewedEvents(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        when(col("user_id") % 5 <= 1,
+          concat(lit("hot"), (col("user_id") % 5).cast("string")))
+          .otherwise(concat(lit("cold"), col("user_id").cast("string")))
+          .as("v"))
+
+  /** DuckDB twin of [[skewedEvents]] — splice as the `ev` CTE body. */
+  private val sqlSkewedEventsCte: String =
+    """ev AS (SELECT event_type,
+      |    CASE WHEN user_id % 5 <= 1 THEN 'hot' || cast(user_id % 5 as varchar)
+      |         ELSE 'cold' || cast(user_id as varchar) END AS v
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL)""".stripMargin
 
   private val sqlCorrMatrix: String = {
     def dec(c: String) =
@@ -318,10 +335,7 @@ object ProfileQueries {
       """SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand
         |ORDER BY n DESC, p_brand LIMIT 10""".stripMargin,
     "profile_topk_approx" ->
-      """WITH ev AS (SELECT event_type,
-        |    CASE WHEN user_id % 5 <= 1 THEN 'hot' || cast(user_id % 5 as varchar)
-        |         ELSE 'cold' || cast(user_id as varchar) END AS v
-        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      s"""WITH $sqlSkewedEventsCte,
         |n AS (SELECT event_type, count(*) AS n_events FROM ev GROUP BY 1),
         |c AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
         |h AS (SELECT c.event_type, count(*) AS n_heavy
@@ -335,10 +349,7 @@ object ProfileQueries {
     // sketch: plain per-(group, value) counts + the heavy threshold
     // (capacity 8 ⇒ cnt·9 > group size)
     "profile_topk_heavy" ->
-      """WITH ev AS (SELECT event_type,
-        |    CASE WHEN user_id % 5 <= 1 THEN 'hot' || cast(user_id % 5 as varchar)
-        |         ELSE 'cold' || cast(user_id as varchar) END AS v
-        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      s"""WITH $sqlSkewedEventsCte,
         |n AS (SELECT event_type, count(*) AS n_events FROM ev GROUP BY 1),
         |c AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2)
         |SELECT c.event_type, c.v, c.cnt FROM c JOIN n USING (event_type)

@@ -77,11 +77,21 @@ object Chunking {
     require(!df.columns.contains("n_tokens") && !df.columns.contains("pack_id") &&
       idCol != "n_tokens" && idCol != "pack_id",
       "packSequences reserves the column names n_tokens, pack_id")
-    distributedRunningSum(
-        df.withColumn("n_tokens", size(split(lower(col(textCol)), " ")).cast("long")),
+    // the prefix-sum kernel runs on a SLIM (stream, id, n_tokens)
+    // projection — the shape that makes its two internal plan branches
+    // canonically identical, so the sampled range exchange is provably
+    // reused rather than recomputed (see the invariant note in
+    // distributedRunningSum) — and the result joins back on the unique
+    // (stream, id) key. idCol must be unique per stream (it orders the
+    // token stream; duplicate ids would make packing ill-defined anyway).
+    val slim = distributedRunningSum(
+        df.select(col(streamCol), col(idCol),
+          size(split(lower(col(textCol)), " ")).cast("long").as("n_tokens")),
         streamCol, idCol, "n_tokens", "__cum", exclusive = true, shards)
-      .withColumn("pack_id", floor(col("__cum") / budget))
-      .drop("__cum")
+      .select(col(streamCol).as("__pstream"), col(idCol).as("__pid"),
+        col("n_tokens"), floor(col("__cum") / budget).as("pack_id"))
+    df.join(slim, col(streamCol) <=> col("__pstream") && col(idCol) <=> col("__pid"))
+      .drop("__pstream", "__pid")
   }
 
   /** PUBLIC API: running sum of `valueCol` over each `partCol` group in
@@ -120,24 +130,37 @@ object Chunking {
     // aggregate and the main window) that are joined back together, and
     // the shard id comes from spark_partition_id() AFTER the range
     // exchange, whose boundaries are SAMPLED by RangePartitioner. Both
-    // branches must therefore observe the SAME physical exchange: with
-    // exchange reuse on (Spark's default) the identical subtree is
-    // deduplicated — PlanSpec pins exactly one range exchange in
-    // pipeline_pack_sequences' executed plan — but if a session disables
-    // spark.sql.exchange.reuse the two branches could re-sample different
-    // boundaries and silently disagree on shard assignment. In that case
-    // materialize the assignment once (lazy localCheckpoint; its blocks
-    // are reclaimed by the ContextCleaner when the result DataFrame
-    // becomes unreferenced, same lifecycle as connectedComponents'
-    // rounds). The conf is sampled HERE, at plan-build time — flipping
-    // exchange.reuse between building and executing the returned frame
-    // is outside the guarantee.
+    // branches must therefore observe the SAME physical exchange. Exchange
+    // reuse (Spark's default) deduplicates the two subtrees ONLY if they
+    // canonicalize identically — and column pruning can silently break
+    // that: if `df` carries columns beyond (part, order, value), the
+    // offsets branch prunes them below the exchange while the main branch
+    // keeps them, the subtrees no longer compare equal, and each branch
+    // materializes its OWN exchange with independently sampled boundaries
+    // (caught in round 7: pipeline_select_budget's saved plan had two
+    // rangepartitioning exchanges — wrong sums waiting to happen at any
+    // scale where the reservoir no longer sees every row). Therefore:
+    //   - df == exactly (part, order, value): the subtrees are identical
+    //     by construction (nothing to prune; the exchange's partition
+    //     keys pin part+order below it, the aggregate needs value) —
+    //     reuse is structural. PlanSpec pins the single-exchange shape
+    //     for both declared queries through this kernel. Callers with
+    //     wide rows should pre-project and join the result back on a
+    //     unique (part, order) key, like packSequences/selectByBudget.
+    //   - extra columns present, or reuse disabled by conf: materialize
+    //     the shard assignment once (lazy localCheckpoint; blocks are
+    //     reclaimed by the ContextCleaner when the result DataFrame
+    //     becomes unreferenced, same lifecycle as connectedComponents'
+    //     rounds). Conf is sampled HERE, at plan-build time — flipping
+    //     exchange.reuse between building and executing the returned
+    //     frame is outside the guarantee.
     val assigned = df
       .repartitionByRange(nShards, col(partCol), col(orderCol))
       .withColumn("__shard", spark_partition_id())
     val reuseOn =
       spark.conf.getOption("spark.sql.exchange.reuse").forall(_.toBoolean)
-    val ranged = if (reuseOn) assigned else assigned.localCheckpoint(false)
+    val slim = df.columns.toSet == Set(partCol, orderCol, valueCol)
+    val ranged = if (reuseOn && slim) assigned else assigned.localCheckpoint(false)
     // Level 1: cumsum WITHIN each (part, shard) run — the window
     // partition key includes the shard, so no single task ever holds
     // more than ~1/nShards of a group.
@@ -172,14 +195,24 @@ object Chunking {
     * [[distributedRunningSum]], so one giant stream never funnels
     * through a single task; everything else is map-side. `priorityCol`
     * must be unique per stream for a deterministic selection (make it a
-    * (score, id) composite). */
+    * (score, id) composite). The kernel runs on a slim (stream,
+    * priority, token) projection — the shape whose two internal plan
+    * branches provably share one range exchange (see
+    * distributedRunningSum's invariant note) — and the surviving keys
+    * semi-join back against `df`, so wide corpus rows never ride the
+    * prefix-sum shuffles. */
   def selectByBudget(df: DataFrame, streamCol: String, priorityCol: String,
       tokenCol: String, budget: Long, shards: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
-    distributedRunningSum(df, streamCol, priorityCol, tokenCol, "__before",
+    val keep = distributedRunningSum(
+        df.select(col(streamCol), col(priorityCol), col(tokenCol)),
+        streamCol, priorityCol, tokenCol, "__before",
         exclusive = true, shards)
       .where(col("__before") < budget)
-      .drop("__before")
+      .select(col(streamCol).as("__kstream"), col(priorityCol).as("__kprio"))
+    df.join(keep,
+      col(streamCol) <=> col("__kstream") && col(priorityCol) <=> col("__kprio"),
+      "left_semi")
   }
 
   val queries: Map[String, Q] = Map(

@@ -290,6 +290,29 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
   }
 
+  test("pipeline_select_budget's two branches observe ONE range exchange") {
+    // the second declared query through distributedRunningSum. Its first
+    // shipped shape violated the kernel's same-physical-exchange
+    // invariant: the caller kept doc_id for downstream, column pruning
+    // gave the offsets branch a NARROWER exchange subtree, ReuseExchange
+    // no longer matched, and the saved plan quietly materialized TWO
+    // rangepartitioning exchanges — independently sampled shard
+    // boundaries, i.e. wrong running sums at any scale where the
+    // reservoir stops seeing every row (sf0.01 passed on small-data
+    // luck). selectByBudget now runs the kernel on a slim 3-column
+    // projection (branches canonically identical ⇒ reuse is structural)
+    // and semi-joins survivors back; pin the single-exchange shape.
+    val df = SparkEntry.queries("pipeline_select_budget")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val n = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && l.contains("__prio") &&
+        !l.contains("ReusedExchange"))
+    assert(n == 1,
+      s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
+  }
+
   test("profile_topk_heavy: one broadcast candidate join, exactly two input scans") {
     // the two-pass exact heavy hitters: pass 2 must count only rows
     // matching the tiny (groups×capacity) candidate relation — broadcast
