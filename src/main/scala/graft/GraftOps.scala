@@ -236,6 +236,18 @@ object GraftOps {
       capacity: Int): DataFrame =
     clean.ProfileQueries.topValuesExact(df, groupCols, valueCol, capacity)
 
+  /** distribution drift between two slices of one relation (reference vs
+    * current corpus) — ONE row: slice sizes, PSI over smoothed bin shares
+    * with the `psi > 0.2` drift verdict, and the binned KS statistic
+    * max |F_ref − F_cur|. `isRefCol` is the boolean slice flag,
+    * `bucketCol` an int bin id from any deterministic binning, `nBins`
+    * the nominal bin count (smoothing denominator). One groupBy(bucket)
+    * pass; all downstream math is on ≤ nBins rows via broadcasts — the
+    * pre-refresh data-quality gate of a training pipeline, at any scale. */
+  def driftPsiKs(df: DataFrame, isRefCol: String, bucketCol: String,
+      nBins: Int): DataFrame =
+    clean.ProfileQueries.driftPsiKs(df, isRefCol, bucketCol, nBins)
+
   // ---- clustering / CDC ----------------------------------------------------
 
   /** connected components of an undirected pair list → (node, component);

@@ -46,6 +46,69 @@ object ProfileQueries {
 
   private val profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** ENGINE for [[graft.GraftOps.driftPsiKs]] — distribution drift between
+    * two slices of one relation (reference vs current: yesterday's corpus
+    * vs today's batch, train vs eval, pre- vs post-filter), the data-
+    * quality gate a training pipeline runs before accepting a refresh.
+    * Input: `isRefCol` (boolean slice flag) + `bucketCol` (int bin id from
+    * any deterministic binning; bins with no rows in either slice
+    * contribute nothing). Output is ONE row:
+    *
+    *   - `psi` — Population Stability Index Σ (p−q)·ln(p/q) over smoothed
+    *     bin shares p=(n+0.5)/(N+nBins/2), q likewise (the 0.5 Laplace
+    *     term keeps one-sided-empty bins finite). Industry folklore:
+    *     psi < 0.1 stable, > 0.2 drifted (`psi_drifted`).
+    *   - `ks` — the binned Kolmogorov–Smirnov statistic max |F_ref −
+    *     F_cur| over bin-cumulative RAW shares (no smoothing; empty bins
+    *     cost 0).
+    *
+    * Scale shape: one pass groupBy(bucket) with conditional counts (tiny
+    * result ≤ #bins), then everything downstream is arithmetic on ≤#bins
+    * rows. The KS cumulatives avoid BOTH banned shapes — the
+    * empty-partitionBy window (single-task funnel) and a conditioned
+    * BroadcastNestedLoopJoin triangular self-join (O(n·m) row compares;
+    * PlanSpec bans it in declared plans regardless of size) — by
+    * expanding each bin to `sequence(bucket, max_bucket)` target ids and
+    * equi-grouping: ≤ nBins² generated rows, map-side, so bucket ids
+    * must be small dense ints (a real binning), never raw hash values.
+    * The step-function max |F_ref − F_cur| is invariant to the phantom
+    * targets the expansion adds between sparse bins. Double determinism:
+    * each PSI/cum term is cast to decimal(18,12) before summing
+    * (associative ⇒ partition-order-proof, the profile_entropy
+    * discipline), so the DuckDB oracle reproduces psi/ks bit-for-bit
+    * after round-6. */
+  def driftPsiKs(df: DataFrame, isRefCol: String, bucketCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val binned = df.groupBy(col(bucketCol).as("bucket")).agg(
+      sum(when(col(isRefCol), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(!col(isRefCol), 1L).otherwise(0L)).as("n_cur"))
+    val tot = binned.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val shares = binned.crossJoin(broadcast(tot)).select(
+      col("bucket"), col("t_ref"), col("t_cur"),
+      ((col("n_ref").cast("double") + lit(0.5)) /
+        (col("t_ref").cast("double") + lit(nBins / 2.0))).as("p"),
+      ((col("n_cur").cast("double") + lit(0.5)) /
+        (col("t_cur").cast("double") + lit(nBins / 2.0))).as("q"),
+      (col("n_ref").cast("double") / col("t_ref").cast("double")).as("pr"),
+      (col("n_cur").cast("double") / col("t_cur").cast("double")).as("qr"))
+    val maxb = binned.agg(max(col("bucket")).as("__maxb"))
+    val cums = shares.crossJoin(broadcast(maxb))
+      .select(col("pr"), col("qr"),
+        explode(sequence(col("bucket"), col("__maxb"))).as("__t"))
+      .groupBy(col("__t"))
+      .agg(sum(col("pr").cast("decimal(18,12)")).as("cp"),
+        sum(col("qr").cast("decimal(18,12)")).as("cq"))
+    val psi = shares.agg(
+      round(sum(((col("p") - col("q")) * log(col("p") / col("q")))
+        .cast("decimal(18,12)")).cast("double"), 6).as("psi"))
+    val ks = cums.agg(
+      round(max(abs((col("cp") - col("cq")).cast("double"))), 6).as("ks"))
+    tot.crossJoin(broadcast(psi)).crossJoin(broadcast(ks)).select(
+      col("t_ref").as("n_ref"), col("t_cur").as("n_cur"),
+      col("psi"), (col("psi") > 0.2).as("psi_drifted"), col("ks"))
+  }
+
   /** ENGINE for [[graft.GraftOps.topValuesExact]] — exact heavy hitters
     * per group, two passes over the input: (1) Misra–Gries sketch per
     * group → candidate values (bounded shuffle regardless of value
@@ -110,6 +173,9 @@ object ProfileQueries {
     // same discipline as agg_corr_manual, generalized to the matrix a
     // profiling pane actually shows.
     "profile_corr_matrix" -> { (s, dir) =>
+      // NOTE: CorrAbBench mirrors this dec() rule and the aggregate list —
+      // its recorded keep-the-decimal-form conclusion describes THIS query;
+      // change the decimal types there too or the evidence goes stale
       def dec(c: String): Column =
         if (c == "l_quantity" || c == "l_extendedprice")
           col(c).cast("decimal(12,2)") else col(c).cast("decimal(12,6)")
@@ -269,6 +335,20 @@ object ProfileQueries {
     "profile_topk_heavy" -> { (s, dir) =>
       topValuesExact(skewedEvents(s, dir), Seq("event_type"), "v", 8)
         .orderBy(col("event_type"), col("v"))
+    },
+
+    // drift gate through [[driftPsiKs]]: orders split into deterministic
+    // halves by o_orderkey parity (near-identical distributions — the
+    // expected verdict is "stable", exercising the metric math rather
+    // than a synthetic catastrophe), binned by profile_histogram's
+    // 25k-wide totalprice buckets
+    "profile_drift_psi_ks" -> { (s, dir) =>
+      driftPsiKs(
+        Tables(s, dir, "orders").select(
+          (col("o_orderkey") % 2 === 0).as("is_ref"),
+          least(floor(col("o_totalprice") / 25000.0), lit(19.0)).cast("int")
+            .as("bucket")),
+        "is_ref", "bucket", 20)
     }
   )
 
@@ -354,6 +434,41 @@ object ProfileQueries {
         |c AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2)
         |SELECT c.event_type, c.v, c.cnt FROM c JOIN n USING (event_type)
         |WHERE cnt * 9 > n_events ORDER BY event_type, v""".stripMargin,
+    // mirrors driftPsiKs term by term: smoothed shares as doubles, each
+    // PSI / cumulative-share term cast to decimal(18,12) before summing
+    // (the entropy discipline), round-6 at the end. All share arithmetic
+    // forces double EXPLICITLY — DuckDB's 0.5/10.0 literals are DECIMAL,
+    // and bigint+decimal division has different semantics than Spark's
+    // long+double. The KS cumulatives here use a TRIANGULAR self-join
+    // (fine in DuckDB; the Spark side uses a sequence-expansion instead
+    // because PlanSpec bans conditioned BNLJ in declared plans) — the
+    // max |cp − cq| is identical: the expansion only adds phantom
+    // targets where the step functions repeat values
+    "profile_drift_psi_ks" ->
+      """WITH o AS (SELECT (o_orderkey % 2 = 0) AS is_ref,
+        |    cast(least(floor(o_totalprice / 25000.0), 19.0) as int) AS bucket
+        |  FROM orders),
+        |b AS (SELECT bucket,
+        |    cast(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) as bigint) AS n_ref,
+        |    cast(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) as bigint) AS n_cur
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT cast(sum(n_ref) as bigint) AS t_ref,
+        |    cast(sum(n_cur) as bigint) AS t_cur FROM b),
+        |s AS (SELECT bucket,
+        |    (cast(n_ref as double) + cast(0.5 as double)) / (cast(t_ref as double) + cast(10.0 as double)) AS p,
+        |    (cast(n_cur as double) + cast(0.5 as double)) / (cast(t_cur as double) + cast(10.0 as double)) AS q,
+        |    cast(n_ref as double) / cast(t_ref as double) AS pr,
+        |    cast(n_cur as double) / cast(t_cur as double) AS qr
+        |  FROM b CROSS JOIN t),
+        |c AS (SELECT s.bucket,
+        |    sum(cast(s2.pr as decimal(18,12))) AS cp,
+        |    sum(cast(s2.qr as decimal(18,12))) AS cq
+        |  FROM s JOIN s s2 ON s2.bucket <= s.bucket GROUP BY 1),
+        |pp AS (SELECT round(cast(sum(cast((p - q) * ln(p / q) as decimal(18,12))) as double), 6) AS psi FROM s),
+        |kk AS (SELECT round(max(abs(cast(cp - cq as double))), 6) AS ks FROM c)
+        |SELECT t.t_ref AS n_ref, t.t_cur AS n_cur, pp.psi,
+        |  (pp.psi > 0.2) AS psi_drifted, kk.ks
+        |FROM t CROSS JOIN pp CROSS JOIN kk""".stripMargin,
     "profile_quantiles" ->
       """SELECT quantile_cont(l_quantity, 0.25) AS q25_qty,
         |quantile_cont(l_quantity, 0.5) AS q50_qty,

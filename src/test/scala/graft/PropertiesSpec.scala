@@ -247,6 +247,30 @@ object CurationProps extends Properties("Curation") {
       got == expected
     }
 
+  property("driftPsiKs: identical slices ⇒ psi = ks = 0, not drifted") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0, 9))) { buckets =>
+      // every bucket occurs equally in both slices ⇒ p == q everywhere
+      val df = buckets.flatMap(b => Seq((true, b), (false, b)))
+        .toDF("is_ref", "bucket")
+      val r = GraftOps.driftPsiKs(df, "is_ref", "bucket", 10).head()
+      r.getDouble(r.fieldIndex("psi")) == 0.0 &&
+        r.getDouble(r.fieldIndex("ks")) == 0.0 &&
+        !r.getBoolean(r.fieldIndex("psi_drifted")) &&
+        r.getLong(r.fieldIndex("n_ref")) == buckets.size &&
+        r.getLong(r.fieldIndex("n_cur")) == buckets.size
+    }
+
+  property("driftPsiKs: disjoint slices ⇒ drifted, binned KS = 1") =
+    Prop.forAll(Gen.choose(1, 30), Gen.choose(1, 30)) { (nRef, nCur) =>
+      // all reference mass in bucket 0, all current mass in bucket 1
+      val df = (Seq.fill(nRef)((true, 0)) ++ Seq.fill(nCur)((false, 1)))
+        .toDF("is_ref", "bucket")
+      val r = GraftOps.driftPsiKs(df, "is_ref", "bucket", 10).head()
+      r.getBoolean(r.fieldIndex("psi_drifted")) &&
+        r.getDouble(r.fieldIndex("ks")) == 1.0 &&
+        r.getDouble(r.fieldIndex("psi")) > 0.2
+    }
+
   property("packSequences matches the in-memory exclusive-cumsum model") =
     Prop.forAll(Gen.listOfN(8, docGen), Gen.choose(5, 30)) { (docs, budget) =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }
