@@ -146,6 +146,13 @@ object GraftOps {
       tokenCol: String, budget: Long, shards: Int = 0): DataFrame =
     llm.Chunking.selectByBudget(df, streamCol, priorityCol, tokenCol, budget, shards)
 
+  /** per-group quota cap: keep ≤ quota(group) rows per group in ascending
+    * `orderCol` order; `quotas` = small (groupCol, quota) relation,
+    * broadcast — absent/null quota = uncapped, quota ≤ 0 drops the group. */
+  def quotaPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      quotas: DataFrame, shards: Int = 0): DataFrame =
+    llm.Chunking.quotaPerGroup(df, groupCol, orderCol, quotas, shards)
+
   /** per-doc n-gram repetition quality signal (Gopher/C4-style):
     * rep_ratio_e6 = (1 − distinct/total n-grams)·10⁶ — map-side. */
   def repetitionScored(df: DataFrame, idCol: String, textCol: String,
@@ -183,6 +190,11 @@ object GraftOps {
   /** deterministic fixed-size centroid sample for [[annIvf]]. */
   def ivfCentroids(vectors: DataFrame, num: Int): DataFrame =
     llm.Similarity.ivfCentroids(vectors, num)
+
+  /** per-cluster occupancy + cohesion stats for an IVF index (empty
+    * clusters kept as zero rows) — the corpus-diversity dashboard. */
+  def ivfClusterStats(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    llm.Similarity.ivfClusterStats(vectors, centroids)
 
   /** pairs within a blocking column whose cosine ≥ threshold. */
   def cosineThresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame =

@@ -215,6 +215,43 @@ object Chunking {
       "left_semi")
   }
 
+  /** PUBLIC API: per-group quota cap — keep at most `quota(group)` rows of
+    * each `groupCol` group, chosen in ascending `orderCol` order: the
+    * source-balancing step of a corpus mix (cap the over-represented
+    * crawls, keep the rest whole). `orderCol` must be unique per group for
+    * a deterministic selection — compose a (hash, id) scalar like the
+    * declared query does. `quotas` is a small (groupCol, quota) relation,
+    * broadcast; a group ABSENT from it (or with a null quota) is uncapped,
+    * a quota ≤ 0 drops its group entirely. The running row count is
+    * [[distributedRunningSum]] over the slim (group, order, 1L)
+    * projection — single shared range exchange, no giant group ever
+    * funnels through one window task — and surviving (group, order) keys
+    * semi-join back against `df`, so wide corpus rows never ride the
+    * prefix-sum shuffles. Null group keys form one (cappable) group,
+    * matching groupBy. */
+  def quotaPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      quotas: DataFrame, shards: Int = 0): DataFrame = {
+    val reserved = Seq("__one", "__before", "__qgroup", "__quota",
+      "__kgroup", "__korder")
+    require(!reserved.contains(groupCol) && !reserved.contains(orderCol) &&
+      !df.columns.exists(Seq("__kgroup", "__korder").contains),
+      s"quotaPerGroup reserves the column names ${reserved.mkString(", ")}")
+    require(quotas.columns.toSet == Set(groupCol, "quota"),
+      s"quotas must be exactly ($groupCol, quota), got ${quotas.columns.mkString(", ")}")
+    val counted = distributedRunningSum(
+      df.select(col(groupCol), col(orderCol)).withColumn("__one", lit(1L)),
+      groupCol, orderCol, "__one", "__before", exclusive = true, shards)
+    val keep = counted
+      .join(broadcast(quotas.select(col(groupCol).as("__qgroup"),
+          col("quota").cast("long").as("__quota"))),
+        col(groupCol) <=> col("__qgroup"), "left_outer")
+      .where(col("__before") < coalesce(col("__quota"), lit(Long.MaxValue)))
+      .select(col(groupCol).as("__kgroup"), col(orderCol).as("__korder"))
+    df.join(keep,
+      col(groupCol) <=> col("__kgroup") && col(orderCol) <=> col("__korder"),
+      "left_semi")
+  }
+
   val queries: Map[String, Q] = Map(
     // 64-token chunks every 48 tokens (16-token overlap)
     "text_chunk_split" -> { (s, dir) =>
@@ -246,6 +283,29 @@ object Chunking {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
           sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("source"))
+    },
+
+    // per-source quota cap: caps cycle 10/20/30 by source index, so at
+    // sf0.01's 25 docs/source the 30-cap sources stay WHOLE — both the
+    // truncating and the under-quota paths execute in one query.
+    // Selection order = pipeline_shuffle_deterministic's seeded LCG
+    // composed with doc_id into ONE ascending scalar: h < 99991 and
+    // doc_id < 2²⁴ (testdata contract), so h·2²⁴ + doc_id orders exactly
+    // like (h, doc_id) with no overflow — a unique per-row priority, the
+    // kernel's determinism contract. Third declared query through
+    // distributedRunningSum.
+    "pipeline_quota_per_source" -> { (s, dir) =>
+      val h = ((col("doc_id") % 100003L) * 48271L + 11L) % 99991L
+      val d = Tables(s, dir, "documents").where(col("source").isNotNull)
+        .withColumn("__prio", h * lit(16777216L) + col("doc_id"))
+      val quotas = d.select(col("source")).distinct()
+        .select(col("source"),
+          (lit(10L) + (substring(col("source"), 4, 10).cast("long") % 3L) * 10L)
+            .as("quota"))
+      quotaPerGroup(d, "source", "__prio", quotas)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("source"))
     }
   )
@@ -289,6 +349,16 @@ object Chunking {
         |SELECT source, count(*) AS n_docs,
         |  cast(sum(n_tokens) as bigint) AS sum_tokens,
         |  cast(sum(doc_id) as bigint) AS sum_ids
-        |FROM p WHERE cum < 2000 GROUP BY source ORDER BY source""".stripMargin
+        |FROM p WHERE cum < 2000 GROUP BY source ORDER BY source""".stripMargin,
+    // row_number over (h, doc_id) ≡ the Spark side's composed scalar
+    // priority (doc_id < 2²⁴); rn ≤ cap ≡ exclusive-running-count < cap
+    "pipeline_quota_per_source" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ((doc_id % 100003) * 48271 + 11) % 99991, doc_id) AS rn,
+        |    10 + (cast(substr(source, 4) as bigint) % 3) * 10 AS cap
+        |  FROM documents WHERE source IS NOT NULL)
+        |SELECT source, count(*) AS n_docs, cast(sum(doc_id) as bigint) AS sum_ids
+        |FROM r WHERE rn <= cap GROUP BY source ORDER BY source""".stripMargin
   )
 }

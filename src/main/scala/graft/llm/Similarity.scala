@@ -168,6 +168,41 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** PUBLIC API: per-cluster occupancy and cohesion stats for an IVF
+    * index — the corpus-diversity dashboard a curation pipeline watches:
+    * cluster sizes (skew = collapsed diversity or a bad centroid set) and
+    * mean/min/max cosine to the assigned centroid (cohesion), with empty
+    * clusters kept as explicit zero rows. Assignment is one broadcast of
+    * the centroid set and a map-side partial argmax per vector — the
+    * tie-break (rounded cosine desc, then min cid) and rounding scale are
+    * [[assignToCentroids]]'s, THE canonical definition, restated here
+    * because this aggregate must also keep the winning cosine, which
+    * assignToCentroids discards. Only narrow (vec_id, cid, cos) rows ever
+    * shuffle — the vectors themselves stay map-side — and the final
+    * aggregate is ≤ |centroids| rows. The mean is a decimal(18,12) sum of
+    * round(cos, 6) terms divided as double: partition-order-proof, so the
+    * DuckDB oracle matches bit-for-bit. In: `vectors` (vec_id, v) unit
+    * vectors, `centroids` (cid, cv); out: one row per centroid
+    * (cid, n_vectors, mean_cos, min_cos, max_cos). */
+  def ivfClusterStats(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      // max(ccos) IS the cosine to the assigned centroid: the argmax
+      // tie-break only picks WHICH cid wins among equal-cosine centroids
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"),
+        max(col("ccos")).as("ccos"))
+    val stats = scored.groupBy(col("cid")).agg(
+      count(lit(1)).as("n_vectors"),
+      round(sum(col("ccos").cast("decimal(18,12)")).cast("double") /
+        count(lit(1)), 6).as("mean_cos"),
+      min(col("ccos")).as("min_cos"),
+      max(col("ccos")).as("max_cos"))
+    centroids.select(col("cid")).join(stats, Seq("cid"), "left_outer")
+      .select(col("cid"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        col("mean_cos"), col("min_cos"), col("max_cos"))
+  }
+
   /** PUBLIC API: all pairs within `blockCol` whose cosine ≥ threshold;
     * inputs carry unit vectors as (vec_id, <blockCol>, v). */
   def thresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame = {
@@ -235,6 +270,16 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       annIvf(all.select(col("vec_id"), col("v")), probesQ, cents, 2, 5)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // per-cluster occupancy/cohesion over the SAME centroid set as
+    // sim_ann_ivf — the diversity dashboard for that index
+    "sim_cluster_stats" -> { (s, dir) =>
+      val all = vecs(s, dir)
+      val cents = all.where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      ivfClusterStats(all.select(col("vec_id"), col("v")), cents)
+        .orderBy(col("cid"))
     }
   )
 
@@ -285,6 +330,24 @@ object Similarity {
          |ranked AS (SELECT qid, vec_id, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
          |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin
+         |ORDER BY qid, rank""".stripMargin,
+    // arn = 1 keeps the winning (max, min-cid) cosine — identical to the
+    // engine's max_by/max pair; empty clusters survive the left join
+    "sim_cluster_stats" ->
+      s"""WITH e AS ($sqlVecs),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |assigned AS (SELECT vec_id, cid, ccos FROM (
+         |  SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS ccos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS arn
+         |  FROM e CROSS JOIN cents c) WHERE arn = 1),
+         |stats AS (SELECT cid, count(*) AS n_vectors,
+         |    round(cast(sum(cast(ccos as decimal(18,12))) as double)
+         |      / count(*), 6) AS mean_cos,
+         |    min(ccos) AS min_cos, max(ccos) AS max_cos
+         |  FROM assigned GROUP BY cid)
+         |SELECT c.cid, coalesce(n_vectors, 0) AS n_vectors,
+         |  mean_cos, min_cos, max_cos
+         |FROM cents c LEFT JOIN stats USING (cid) ORDER BY cid""".stripMargin
   )
 }

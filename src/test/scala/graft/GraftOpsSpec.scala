@@ -176,6 +176,30 @@ class GraftOpsSpec extends SparkSuite {
     }
   }
 
+  test("ivfClusterStats: occupancy + cohesion per centroid, empty clusters kept") {
+    val vecs = GraftOps.withUnitVector(
+      Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.6f)),
+        (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.6f, 0.8f)))
+        .toDF("vec_id", "emb"), col("emb"))
+      .select(col("vec_id"), col("v"))
+    // axis centroids catch two vectors each at cos {1.0, 0.8}; the −x
+    // centroid is nobody's argmax and must survive as an explicit 0 row
+    val cents = GraftOps.withUnitVector(
+      Seq((10L, Seq(1.0f, 0.0f)), (20L, Seq(0.0f, 1.0f)),
+        (30L, Seq(-1.0f, 0.0f)))
+        .toDF("cid", "cemb"), col("cemb"))
+      .select(col("cid"), col("v").as("cv"))
+    val rows = GraftOps.ivfClusterStats(vecs, cents).orderBy("cid").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
+    val byCid = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byCid(10L).getLong(1) == 2 && byCid(20L).getLong(1) == 2)
+    assert(byCid(10L).getDouble(2) == 0.9 && byCid(10L).getDouble(3) == 0.8 &&
+      byCid(10L).getDouble(4) == 1.0)
+    assert(byCid(20L).getDouble(2) == 0.9)
+    assert(byCid(30L).getLong(1) == 0L && byCid(30L).isNullAt(2) &&
+      byCid(30L).isNullAt(3) && byCid(30L).isNullAt(4))
+  }
+
   test("annIvfPq quantized ranking tracks exact cosine on user vectors") {
     val vecs = GraftOps.withInt8Quantization(GraftOps.withUnitVector(
       (1L to 40L).map(i => (i, Seq(i.toFloat, (41 - i).toFloat, (i % 7).toFloat)))

@@ -313,6 +313,25 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
   }
 
+  test("pipeline_quota_per_source's two branches observe ONE range exchange") {
+    // third declared query through distributedRunningSum — same
+    // single-shared-exchange invariant as pipeline_select_budget: the
+    // kernel runs on the slim (source, __prio, __one) projection, so the
+    // offsets and window branches canonicalize identically and
+    // ReuseExchange must leave exactly one materialized shard-split
+    // exchange (the output sort's range exchange is on `source`, not
+    // `__prio`, and is excluded by the filter)
+    val df = SparkEntry.queries("pipeline_quota_per_source")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val n = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && l.contains("__prio") &&
+        !l.contains("ReusedExchange"))
+    assert(n == 1,
+      s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
+  }
+
   test("profile_topk_heavy: one broadcast candidate join, exactly two input scans") {
     // the two-pass exact heavy hitters: pass 2 must count only rows
     // matching the tiny (groups×capacity) candidate relation — broadcast

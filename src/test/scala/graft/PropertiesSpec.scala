@@ -247,6 +247,27 @@ object CurationProps extends Properties("Curation") {
       got == expected
     }
 
+  property("quotaPerGroup == per-group order-prefix; absent/null quota uncapped, ≤0 drops") =
+    Prop.forAll(Gen.listOfN(24, Gen.choose(0, 4)), Gen.choose(0, 4)) { (groups, capBase) =>
+      // groups 0..4; quota table: group 0 → capBase, group 1 → 0 (drop),
+      // group 2 → null (uncapped), groups 3/4 absent (uncapped)
+      val df = groups.zipWithIndex.map { case (g, i) => (s"g$g", i.toLong) }
+        .toDF("grp", "ord")
+      val quotas = Seq(("g0", Some(capBase.toLong)), ("g1", Some(0L)),
+        ("g2", Option.empty[Long])).toDF("grp", "quota")
+      val got = GraftOps.quotaPerGroup(df, "grp", "ord", quotas)
+        .select("ord").collect().map(_.getLong(0)).toSet
+      val expected = groups.zipWithIndex.groupBy(_._1).flatMap { case (g, rows) =>
+        val ordered = rows.map(_._2.toLong).sorted
+        g match {
+          case 0 => ordered.take(capBase)
+          case 1 => Nil
+          case _ => ordered
+        }
+      }.toSet
+      got == expected
+    }
+
   property("driftPsiKs: identical slices ⇒ psi = ks = 0, not drifted") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0, 9))) { buckets =>
       // every bucket occurs equally in both slices ⇒ p == q everywhere
