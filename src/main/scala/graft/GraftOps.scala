@@ -243,10 +243,16 @@ object GraftOps {
     * counts — unlike the raw sketch, whose low-frequency tail and
     * estimates are encounter-order-dependent. At 100 TB: pass 1 shuffles
     * one bounded sketch per (partition, group); pass 2 shuffles only rows
-    * whose value is a candidate. Values compare by their string form. */
+    * whose value is a candidate. Values compare by their string form.
+    * The candidate relation is groups×capacity rows and is broadcast by
+    * default (the prune must never degrade to a second full shuffle);
+    * at extreme GROUP cardinality — where groups×capacity itself exceeds
+    * broadcast limits — pass `broadcastCandidates = false` to let the
+    * planner pick, or use [[approxTopValues]]. */
   def topValuesExact(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      capacity: Int): DataFrame =
-    clean.ProfileQueries.topValuesExact(df, groupCols, valueCol, capacity)
+      capacity: Int, broadcastCandidates: Boolean = true): DataFrame =
+    clean.ProfileQueries.topValuesExact(df, groupCols, valueCol, capacity,
+      broadcastCandidates)
 
   /** distribution drift between two slices of one relation (reference vs
     * current corpus) — ONE row: slice sizes, PSI over smoothed bin shares

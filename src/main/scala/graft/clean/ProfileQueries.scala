@@ -62,6 +62,15 @@ object ProfileQueries {
     *     F_cur| over bin-cumulative RAW shares (no smoothing; empty bins
     *     cost 0).
     *
+    * Degenerate inputs fail CLOSED: an empty slice (t_ref or t_cur = 0)
+    * sets `psi_drifted` true regardless of psi — the smoothed empty-side
+    * distribution degenerates to uniform and psi can read "stable" for
+    * exactly the refresh-produced-nothing failure the gate exists to
+    * catch — and its raw shares are null (zero-guarded divide), so `ks`
+    * is null, never ±Inf. Rows with a NULL bucket are excluded from BOTH
+    * metrics (coalesce nulls to a sentinel bucket upstream if they carry
+    * drift signal).
+    *
     * Scale shape: one pass groupBy(bucket) with conditional counts (tiny
     * result ≤ #bins), then everything downstream is arithmetic on ≤#bins
     * rows. The KS cumulatives avoid BOTH banned shapes — the
@@ -80,20 +89,35 @@ object ProfileQueries {
   def driftPsiKs(df: DataFrame, isRefCol: String, bucketCol: String,
       nBins: Int): DataFrame = {
     require(nBins > 0, "nBins must be positive")
-    val binned = df.groupBy(col(bucketCol).as("bucket")).agg(
-      sum(when(col(isRefCol), 1L).otherwise(0L)).as("n_ref"),
-      sum(when(!col(isRefCol), 1L).otherwise(0L)).as("n_cur"))
-    val tot = binned.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    // null buckets are excluded from BOTH metrics (counting them in the
+    // totals but not the KS cumulatives — where sequence(null, _) drops
+    // the row — would make psi and ks disagree about the same mass);
+    // callers whose binning can emit null must coalesce to a sentinel
+    // bucket if null carries drift signal
+    val binned = df.where(col(bucketCol).isNotNull)
+      .groupBy(col(bucketCol).as("bucket")).agg(
+        sum(when(col(isRefCol), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col(isRefCol), 1L).otherwise(0L)).as("n_cur"))
+    // max(bucket) RIDES the totals aggregate: a separate binned.agg(max)
+    // branch gets pruned to a bucket-only subtree, no longer
+    // canonicalizes with the shares branch, and re-scans + re-shuffles
+    // the entire input — the same pruning-breaks-reuse trap
+    // distributedRunningSum documents and PlanSpec pins here
+    val tot = binned.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"), max(col("bucket")).as("__maxb"))
     val shares = binned.crossJoin(broadcast(tot)).select(
-      col("bucket"), col("t_ref"), col("t_cur"),
+      col("bucket"), col("__maxb"), col("t_ref"), col("t_cur"),
       ((col("n_ref").cast("double") + lit(0.5)) /
         (col("t_ref").cast("double") + lit(nBins / 2.0))).as("p"),
       ((col("n_cur").cast("double") + lit(0.5)) /
         (col("t_cur").cast("double") + lit(nBins / 2.0))).as("q"),
-      (col("n_ref").cast("double") / col("t_ref").cast("double")).as("pr"),
-      (col("n_cur").cast("double") / col("t_cur").cast("double")).as("qr"))
-    val maxb = binned.agg(max(col("bucket")).as("__maxb"))
-    val cums = shares.crossJoin(broadcast(maxb))
+      // raw shares go through a zero-guarded divide: an EMPTY slice must
+      // surface as null cumulatives (→ null ks) rather than ±Inf rows
+      when(col("t_ref") =!= 0,
+        col("n_ref").cast("double") / col("t_ref").cast("double")).as("pr"),
+      when(col("t_cur") =!= 0,
+        col("n_cur").cast("double") / col("t_cur").cast("double")).as("qr"))
+    val cums = shares
       .select(col("pr"), col("qr"),
         explode(sequence(col("bucket"), col("__maxb"))).as("__t"))
       .groupBy(col("__t"))
@@ -104,9 +128,17 @@ object ProfileQueries {
         .cast("decimal(18,12)")).cast("double"), 6).as("psi"))
     val ks = cums.agg(
       round(max(abs((col("cp") - col("cq")).cast("double"))), 6).as("ks"))
+    // the gate FAILS CLOSED: an empty slice (or empty input) is drifted
+    // by definition — psi alone can read "stable" there, because the
+    // smoothed q degenerates to the uniform 1/nBins distribution
     tot.crossJoin(broadcast(psi)).crossJoin(broadcast(ks)).select(
-      col("t_ref").as("n_ref"), col("t_cur").as("n_cur"),
-      col("psi"), (col("psi") > 0.2).as("psi_drifted"), col("ks"))
+      coalesce(col("t_ref"), lit(0L)).as("n_ref"),
+      coalesce(col("t_cur"), lit(0L)).as("n_cur"),
+      col("psi"),
+      (coalesce(col("t_ref"), lit(0L)) === 0 ||
+        coalesce(col("t_cur"), lit(0L)) === 0 ||
+        col("psi") > 0.2).as("psi_drifted"),
+      col("ks"))
   }
 
   /** ENGINE for [[graft.GraftOps.topValuesExact]] — exact heavy hitters
@@ -126,7 +158,7 @@ object ProfileQueries {
     * heavy threshold is over its actual values). Values compare by string
     * form; output columns: groupCols…, valueCol (string), cnt. */
   def topValuesExact(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      capacity: Int): DataFrame = {
+      capacity: Int, broadcastCandidates: Boolean = true): DataFrame = {
     val reserved = Seq("__v", "__cv", "__topk", "__n", "cnt") ++
       groupCols.map(c => s"__g_$c")
     // only the columns that survive the initial projection can collide —
@@ -146,8 +178,12 @@ object ProfileQueries {
     // broadcast it structurally rather than trusting the planner's size
     // estimate (an AQE-off session over-estimating the aggregate would
     // otherwise degrade this prune to a full second shuffle of the input,
-    // the exact cost the sketch exists to avoid)
-    val joined = sdf.join(broadcast(cand),
+    // the exact cost the sketch exists to avoid). The flip side: at
+    // extreme GROUP cardinality groups×capacity itself can exceed
+    // broadcast limits — callers there pass broadcastCandidates = false
+    // and accept the planner's choice
+    val candRel = if (broadcastCandidates) broadcast(cand) else cand
+    val joined = sdf.join(candRel,
       (groupCols.map(c => sdf(c) <=> cand(s"__g_$c")) :+
         (sdf("__v") === cand("__cv"))).reduce(_ && _))
     joined
@@ -451,14 +487,14 @@ object ProfileQueries {
         |b AS (SELECT bucket,
         |    cast(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) as bigint) AS n_ref,
         |    cast(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) as bigint) AS n_cur
-        |  FROM o GROUP BY 1),
+        |  FROM o WHERE bucket IS NOT NULL GROUP BY 1),
         |t AS (SELECT cast(sum(n_ref) as bigint) AS t_ref,
         |    cast(sum(n_cur) as bigint) AS t_cur FROM b),
         |s AS (SELECT bucket,
         |    (cast(n_ref as double) + cast(0.5 as double)) / (cast(t_ref as double) + cast(10.0 as double)) AS p,
         |    (cast(n_cur as double) + cast(0.5 as double)) / (cast(t_cur as double) + cast(10.0 as double)) AS q,
-        |    cast(n_ref as double) / cast(t_ref as double) AS pr,
-        |    cast(n_cur as double) / cast(t_cur as double) AS qr
+        |    cast(n_ref as double) / nullif(cast(t_ref as double), 0) AS pr,
+        |    cast(n_cur as double) / nullif(cast(t_cur as double), 0) AS qr
         |  FROM b CROSS JOIN t),
         |c AS (SELECT s.bucket,
         |    sum(cast(s2.pr as decimal(18,12))) AS cp,
@@ -466,8 +502,10 @@ object ProfileQueries {
         |  FROM s JOIN s s2 ON s2.bucket <= s.bucket GROUP BY 1),
         |pp AS (SELECT round(cast(sum(cast((p - q) * ln(p / q) as decimal(18,12))) as double), 6) AS psi FROM s),
         |kk AS (SELECT round(max(abs(cast(cp - cq as double))), 6) AS ks FROM c)
-        |SELECT t.t_ref AS n_ref, t.t_cur AS n_cur, pp.psi,
-        |  (pp.psi > 0.2) AS psi_drifted, kk.ks
+        |SELECT coalesce(t.t_ref, 0) AS n_ref, coalesce(t.t_cur, 0) AS n_cur,
+        |  pp.psi,
+        |  (coalesce(t.t_ref, 0) = 0 OR coalesce(t.t_cur, 0) = 0
+        |    OR pp.psi > 0.2) AS psi_drifted, kk.ks
         |FROM t CROSS JOIN pp CROSS JOIN kk""".stripMargin,
     "profile_quantiles" ->
       """SELECT quantile_cont(l_quantity, 0.25) AS q25_qty,

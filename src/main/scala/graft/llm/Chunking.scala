@@ -75,15 +75,18 @@ object Chunking {
   def packSequences(df: DataFrame, streamCol: String, idCol: String,
       textCol: String, budget: Int, shards: Int = 0): DataFrame = {
     require(!df.columns.contains("n_tokens") && !df.columns.contains("pack_id") &&
-      idCol != "n_tokens" && idCol != "pack_id",
-      "packSequences reserves the column names n_tokens, pack_id")
+      idCol != "n_tokens" && idCol != "pack_id" &&
+      !df.columns.exists(Seq("__pstream", "__pid").contains),
+      "packSequences reserves the column names n_tokens, pack_id, __pstream, __pid")
     // the prefix-sum kernel runs on a SLIM (stream, id, n_tokens)
     // projection — the shape that makes its two internal plan branches
     // canonically identical, so the sampled range exchange is provably
     // reused rather than recomputed (see the invariant note in
     // distributedRunningSum) — and the result joins back on the unique
-    // (stream, id) key. idCol must be unique per stream (it orders the
-    // token stream; duplicate ids would make packing ill-defined anyway).
+    // (stream, id) key. idCol must be unique per stream: it orders the
+    // token stream (duplicates make packing ill-defined) AND keys the
+    // join-back, where duplicate (stream, id) rows would fan out
+    // multiplicatively instead of erroring.
     val slim = distributedRunningSum(
         df.select(col(streamCol), col(idCol),
           size(split(lower(col(textCol)), " ")).cast("long").as("n_tokens")),
@@ -194,8 +197,10 @@ object Chunking {
     * between scoring and training). The cumulative sum is
     * [[distributedRunningSum]], so one giant stream never funnels
     * through a single task; everything else is map-side. `priorityCol`
-    * must be unique per stream for a deterministic selection (make it a
-    * (score, id) composite). The kernel runs on a slim (stream,
+    * must be unique per stream — it both determines the selection and
+    * keys the survivor semi-join, so a duplicated (stream, priority) key
+    * would keep ALL its rows (over-selecting past the budget) rather
+    * than erroring; make it a (score, id) composite. The kernel runs on a slim (stream,
     * priority, token) projection — the shape whose two internal plan
     * branches provably share one range exchange (see
     * distributedRunningSum's invariant note) — and the surviving keys
@@ -204,6 +209,8 @@ object Chunking {
   def selectByBudget(df: DataFrame, streamCol: String, priorityCol: String,
       tokenCol: String, budget: Long, shards: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(!df.columns.exists(Seq("__kstream", "__kprio").contains),
+      "selectByBudget reserves the column names __kstream, __kprio")
     val keep = distributedRunningSum(
         df.select(col(streamCol), col(priorityCol), col(tokenCol)),
         streamCol, priorityCol, tokenCol, "__before",
@@ -222,7 +229,9 @@ object Chunking {
     * a deterministic selection — compose a (hash, id) scalar like the
     * declared query does. `quotas` is a small (groupCol, quota) relation,
     * broadcast; a group ABSENT from it (or with a null quota) is uncapped,
-    * a quota ≤ 0 drops its group entirely. The running row count is
+    * a quota ≤ 0 drops its group entirely, and a group listed more than
+    * once is capped at its STRICTEST (minimum non-null) quota. The
+    * running row count is
     * [[distributedRunningSum]] over the slim (group, order, 1L)
     * projection — single shared range exchange, no giant group ever
     * funnels through one window task — and surviving (group, order) keys
@@ -241,10 +250,15 @@ object Chunking {
     val counted = distributedRunningSum(
       df.select(col(groupCol), col(orderCol)).withColumn("__one", lit(1L)),
       groupCol, orderCol, "__one", "__before", exclusive = true, shards)
+    // a duplicated group key in `quotas` must not fan the left_outer out
+    // (which would silently keep a row if it passed EITHER cap — the
+    // laxest quota would win); collapse to the STRICTEST cap per group,
+    // deterministically. min ignores nulls, so (g, null) + (g, 5) → 5
+    // and an all-null group stays uncapped.
+    val oneQuota = quotas.groupBy(col(groupCol).as("__qgroup"))
+      .agg(min(col("quota").cast("long")).as("__quota"))
     val keep = counted
-      .join(broadcast(quotas.select(col(groupCol).as("__qgroup"),
-          col("quota").cast("long").as("__quota"))),
-        col(groupCol) <=> col("__qgroup"), "left_outer")
+      .join(broadcast(oneQuota), col(groupCol) <=> col("__qgroup"), "left_outer")
       .where(col("__before") < coalesce(col("__quota"), lit(Long.MaxValue)))
       .select(col(groupCol).as("__kgroup"), col(orderCol).as("__korder"))
     df.join(keep,

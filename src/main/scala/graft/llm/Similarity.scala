@@ -118,19 +118,32 @@ object Similarity {
       .limit(num)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
-  /** nearest-centroid assignment, shared by [[annIvf]] and
-    * [[graft.llm.Curation.annIvfPq]] — THE definition of the IVF
-    * tie-break (rounded cosine desc, then min cid) and rounding scale:
-    * one broadcast of the centroid set; max_by keeps the argmax partial-
-    * aggregable, so only |vectors| rows shuffle. In: (vec_id, v);
-    * out: (vec_id, v, cid). */
-  private[llm] def assignToCentroids(vectors: DataFrame,
-      centroids: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(centroids))
+  /** nearest-centroid argmax — THE single definition of the IVF
+    * tie-break (rounded cosine desc, then min cid) and its rounding
+    * scale, shared by [[assignToCentroids]] (keeps the vector payload)
+    * and [[ivfClusterStats]] (keeps the winning cosine instead — the
+    * wide vector never rides ITS shuffle): one broadcast of the centroid
+    * set; max_by/max keep the argmax partial-aggregable, so only
+    * |vectors| rows shuffle. */
+  private def argmaxCentroid(vectors: DataFrame, centroids: DataFrame,
+      keepV: Boolean): DataFrame = {
+    val grouped = vectors.crossJoin(broadcast(centroids))
       .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
       .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"),
-        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
+    val cidAgg =
+      max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid")
+    // max(ccos) IS the cosine to the assigned centroid: the argmax
+    // tie-break only picks WHICH cid wins among equal-cosine centroids
+    if (keepV) grouped.agg(first(col("v")).as("v"), cidAgg)
+    else grouped.agg(cidAgg, max(col("ccos")).as("ccos"))
+  }
+
+  /** nearest-centroid assignment, shared by [[annIvf]] and
+    * [[graft.llm.Curation.annIvfPq]] — [[argmaxCentroid]] with the
+    * vector payload. In: (vec_id, v); out: (vec_id, v, cid). */
+  private[llm] def assignToCentroids(vectors: DataFrame,
+      centroids: DataFrame): DataFrame =
+    argmaxCentroid(vectors, centroids, keepV = true)
       .select(col("vec_id"), col("v"), col("cid"))
 
   /** per-query best-`nProbe` centroids, shared likewise: keeps every
@@ -172,12 +185,10 @@ object Similarity {
     * index — the corpus-diversity dashboard a curation pipeline watches:
     * cluster sizes (skew = collapsed diversity or a bad centroid set) and
     * mean/min/max cosine to the assigned centroid (cohesion), with empty
-    * clusters kept as explicit zero rows. Assignment is one broadcast of
-    * the centroid set and a map-side partial argmax per vector — the
-    * tie-break (rounded cosine desc, then min cid) and rounding scale are
-    * [[assignToCentroids]]'s, THE canonical definition, restated here
-    * because this aggregate must also keep the winning cosine, which
-    * assignToCentroids discards. Only narrow (vec_id, cid, cos) rows ever
+    * clusters kept as explicit zero rows. Assignment is
+    * [[argmaxCentroid]] — the one shared definition of the IVF
+    * tie-break, here keeping the winning cosine instead of the vector
+    * payload. Only narrow (vec_id, cid, cos) rows ever
     * shuffle — the vectors themselves stay map-side — and the final
     * aggregate is ≤ |centroids| rows. The mean is a decimal(18,12) sum of
     * round(cos, 6) terms divided as double: partition-order-proof, so the
@@ -185,13 +196,7 @@ object Similarity {
     * vectors, `centroids` (cid, cv); out: one row per centroid
     * (cid, n_vectors, mean_cos, min_cos, max_cos). */
   def ivfClusterStats(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
-      .groupBy(col("vec_id"))
-      // max(ccos) IS the cosine to the assigned centroid: the argmax
-      // tie-break only picks WHICH cid wins among equal-cosine centroids
-      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"),
-        max(col("ccos")).as("ccos"))
+    val scored = argmaxCentroid(vectors, centroids, keepV = false)
     val stats = scored.groupBy(col("cid")).agg(
       count(lit(1)).as("n_vectors"),
       round(sum(col("ccos").cast("decimal(18,12)")).cast("double") /

@@ -332,6 +332,24 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
   }
 
+  test("profile_drift_psi_ks scans its input exactly once") {
+    // the drift gate's contract is ONE groupBy(bucket) pass over the
+    // input with everything downstream on ≤ nBins rows. binned feeds
+    // several branches (totals+max, shares, psi) that must all reuse the
+    // same aggregate subtree; an earlier shape computed max(bucket) as
+    // its own binned.agg, which column pruning narrowed to a bucket-only
+    // subtree — no longer canonically equal, so the whole input was
+    // scanned and shuffled a SECOND time (the same pruning-breaks-reuse
+    // trap distributedRunningSum documents). max(bucket) now rides the
+    // totals aggregate; pin the single-scan shape.
+    val df = SparkEntry.queries("profile_drift_psi_ks")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val nScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(nScans == 1, s"expected exactly 1 input scan, got $nScans:\n${p.take(3000)}")
+  }
+
   test("profile_topk_heavy: one broadcast candidate join, exactly two input scans") {
     // the two-pass exact heavy hitters: pass 2 must count only rows
     // matching the tiny (groups×capacity) candidate relation — broadcast

@@ -292,6 +292,40 @@ object CurationProps extends Properties("Curation") {
         r.getDouble(r.fieldIndex("psi")) > 0.2
     }
 
+  property("driftPsiKs fails CLOSED on an empty slice: drifted, null ks, no Inf") =
+    Prop.forAll(Gen.choose(1, 30)) { nRef =>
+      // current slice is empty — the refresh-produced-nothing failure
+      val df = Seq.fill(nRef)((true, 0)).toDF("is_ref", "bucket")
+      val r = GraftOps.driftPsiKs(df, "is_ref", "bucket", 10).head()
+      r.getBoolean(r.fieldIndex("psi_drifted")) &&
+        r.isNullAt(r.fieldIndex("ks")) &&
+        r.getLong(r.fieldIndex("n_ref")) == nRef.toLong &&
+        r.getLong(r.fieldIndex("n_cur")) == 0L
+    }
+
+  property("driftPsiKs: null-bucket rows are excluded from BOTH metrics") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0, 9)), Gen.choose(1, 10)) {
+      (buckets, nNull) =>
+        // balanced slices + current-only null-bucket rows: if the nulls
+        // counted toward totals but not the KS cumulatives (the old
+        // shape), psi/ks would disagree and n_cur would include them
+        val rows = buckets.flatMap(b => Seq((true, Option(b)), (false, Option(b)))) ++
+          Seq.fill(nNull)((false, Option.empty[Int]))
+        val r = GraftOps.driftPsiKs(rows.toDF("is_ref", "bucket"),
+          "is_ref", "bucket", 10).head()
+        r.getDouble(r.fieldIndex("psi")) == 0.0 &&
+          r.getDouble(r.fieldIndex("ks")) == 0.0 &&
+          !r.getBoolean(r.fieldIndex("psi_drifted")) &&
+          r.getLong(r.fieldIndex("n_cur")) == buckets.size.toLong
+    }
+
+  property("quotaPerGroup: duplicated quota keys collapse to the STRICTEST cap") =
+    Prop.forAll(Gen.choose(1, 5), Gen.choose(6, 20)) { (lo, hi) =>
+      val df = (0 until 30).map(i => ("g", i.toLong)).toDF("grp", "ord")
+      val quotas = Seq(("g", hi.toLong), ("g", lo.toLong)).toDF("grp", "quota")
+      GraftOps.quotaPerGroup(df, "grp", "ord", quotas).count() == lo.toLong
+    }
+
   property("packSequences matches the in-memory exclusive-cumsum model") =
     Prop.forAll(Gen.listOfN(8, docGen), Gen.choose(5, 30)) { (docs, budget) =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }
