@@ -141,6 +141,51 @@ object ProfileQueries {
       col("ks"))
   }
 
+  /** Pure-Scala twin of [[driftPsiKs]]'s metric math, for consumers that
+    * hold the two histograms as plain maps — the streaming monitor
+    * ([[graft.streaming.Stateful.driftMonitorStream]]) computes its
+    * per-micro-batch verdict here. Same share smoothing, same
+    * decimal(18,12) per-term discipline (JBD.valueOf ≡ Catalyst's
+    * double→decimal cast, both the shortest-decimal-representation
+    * route), same HALF_UP round-6 — so a batch/streaming pair fed the
+    * same histograms agrees bit-for-bit (PropertiesSpec pins it). */
+  private[graft] object DriftMath {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    private def dec12(d: Double): JBD =
+      JBD.valueOf(d).setScale(12, RoundingMode.HALF_UP)
+    private def round6(d: Double): Double =
+      JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue
+    /** returns (psi, ks — None when a slice is empty, drifted, t_cur);
+      * fail-closed semantics identical to the DataFrame form. */
+    def psiKs(ref: Map[Int, Long], cur: Map[Int, Long], nBins: Int)
+        : (Double, Option[Double], Boolean, Long) = {
+      val buckets = (ref.keySet ++ cur.keySet).toSeq.sorted
+      val tRef = ref.valuesIterator.sum
+      val tCur = cur.valuesIterator.sum
+      var psiSum = JBD.ZERO
+      buckets.foreach { b =>
+        val p = (ref.getOrElse(b, 0L) + 0.5) / (tRef + nBins / 2.0)
+        val q = (cur.getOrElse(b, 0L) + 0.5) / (tCur + nBins / 2.0)
+        psiSum = psiSum.add(dec12((p - q) * math.log(p / q)))
+      }
+      val psi = round6(psiSum.doubleValue)
+      val ks =
+        if (tRef == 0L || tCur == 0L) None
+        else {
+          var cp = JBD.ZERO
+          var cq = JBD.ZERO
+          var best = 0.0
+          buckets.foreach { b =>
+            cp = cp.add(dec12(ref.getOrElse(b, 0L).toDouble / tRef))
+            cq = cq.add(dec12(cur.getOrElse(b, 0L).toDouble / tCur))
+            best = math.max(best, math.abs(cp.subtract(cq).doubleValue))
+          }
+          Some(round6(best))
+        }
+      (psi, ks, tRef == 0L || tCur == 0L || psi > 0.2, tCur)
+    }
+  }
+
   /** ENGINE for [[graft.GraftOps.topValuesExact]] — exact heavy hitters
     * per group, two passes over the input: (1) Misra–Gries sketch per
     * group → candidate values (bounded shuffle regardless of value

@@ -106,6 +106,44 @@ object Stateful {
     * top-`k` (Update mode). State is O(capacity) per group FOREVER — the
     * monitor-top-domains / top-sources-of-ingest shape where exact
     * per-value streaming counts would grow state without bound. */
+  case class BucketObs(key: String, bucket: Int)
+  case class DriftVerdict(key: String, n_cur: Long, psi: Double,
+      psi_drifted: Boolean, ks: Option[Double])
+
+  /** PUBLIC API: CONTINUOUS distribution-drift monitor — the streaming
+    * form of `GraftOps.driftPsiKs`: per monitor key, the cumulative
+    * bucket histogram of the stream-so-far lives in [[GroupState]]
+    * (≤ #observed buckets ≈ nBins counters per key FOREVER) and each
+    * micro-batch emits the key's refreshed PSI/KS verdict against the
+    * static `reference` histogram (Update mode) — the
+    * watch-the-ingest-distribution shape where re-running the batch gate
+    * per refresh would rescan the whole corpus. The metric math is the
+    * SHARED [[graft.clean.ProfileQueries.DriftMath]] kernel (same
+    * smoothing, decimal term discipline, and rounding as the batch
+    * DataFrame form — PropertiesSpec pins the parity), so the verdict
+    * fails CLOSED exactly like batch: an empty reference is drifted with
+    * ks None. Null buckets must be handled upstream (`BucketObs.bucket`
+    * is primitive — coalesce to a sentinel bin before constructing). */
+  def driftMonitorStream(rows: Dataset[BucketObs], reference: Map[Int, Long],
+      nBins: Int): Dataset[DriftVerdict] = {
+    require(nBins > 0, "nBins must be positive")
+    implicit val encOut = Encoders.product[DriftVerdict]
+    implicit val encState = Encoders.kryo[Map[Int, Long]]
+    rows
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[Map[Int, Long], DriftVerdict](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (k: String, it: Iterator[BucketObs], state: GroupState[Map[Int, Long]]) =>
+          val m = scala.collection.mutable.Map.empty[Int, Long] ++
+            state.getOption.getOrElse(Map.empty[Int, Long])
+          it.foreach(r => m.update(r.bucket, m.getOrElse(r.bucket, 0L) + 1L))
+          state.update(m.toMap)
+          val (psi, ks, drifted, tCur) =
+            graft.clean.ProfileQueries.DriftMath.psiKs(reference, m.toMap, nBins)
+          Iterator(DriftVerdict(k, tCur, psi, drifted, ks))
+      }
+  }
+
   def approxTopValuesStream(rows: Dataset[GroupValue], capacity: Int,
       k: Int): Dataset[TopValue] = {
     require(capacity >= 1 && k >= 1, "need capacity >= 1 and k >= 1")

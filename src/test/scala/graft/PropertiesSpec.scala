@@ -319,6 +319,24 @@ object CurationProps extends Properties("Curation") {
           r.getLong(r.fieldIndex("n_cur")) == buckets.size.toLong
     }
 
+  property("DriftMath (streaming kernel) == batch driftPsiKs on shared histograms") =
+    Prop.forAll(Gen.listOf(Gen.choose(0, 9)), Gen.nonEmptyListOf(Gen.choose(0, 9))) {
+      (refB, curB) =>
+        val df = (refB.map((true, _)) ++ curB.map((false, _)))
+          .toDF("is_ref", "bucket")
+        val row = GraftOps.driftPsiKs(df, "is_ref", "bucket", 10).head()
+        val ref = refB.groupBy(identity).map { case (b, l) => b -> l.size.toLong }
+        val cur = curB.groupBy(identity).map { case (b, l) => b -> l.size.toLong }
+        val (psi, ks, drifted, tCur) =
+          graft.clean.ProfileQueries.DriftMath.psiKs(ref, cur, 10)
+        val ksMatches =
+          if (row.isNullAt(row.fieldIndex("ks"))) ks.isEmpty
+          else ks.contains(row.getDouble(row.fieldIndex("ks")))
+        row.getDouble(row.fieldIndex("psi")) == psi &&
+          row.getBoolean(row.fieldIndex("psi_drifted")) == drifted &&
+          row.getLong(row.fieldIndex("n_cur")) == tCur && ksMatches
+    }
+
   property("quotaPerGroup: duplicated quota keys collapse to the STRICTEST cap") =
     Prop.forAll(Gen.choose(1, 5), Gen.choose(6, 20)) { (lo, hi) =>
       val df = (0 until 30).map(i => ("g", i.toLong)).toDF("grp", "ord")

@@ -65,6 +65,32 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("driftMonitorStream: cumulative state, verdict flips when the stream drifts") {
+    import graft.streaming.Stateful.BucketObs
+    implicit val sc = spark.sqlContext
+    val ref = Map(0 -> 10L, 1 -> 10L)
+    val mem = MemoryStream[BucketObs]
+    val q = Stateful.driftMonitorStream(mem.toDS(), ref, 10)
+      .writeStream.format("memory").queryName("driftmon")
+      .outputMode("update").start()
+    // batch 1: the stream mirrors the reference shape → stable
+    mem.addData((Seq.fill(5)(0) ++ Seq.fill(5)(1)).map(BucketObs("k", _)): _*)
+    q.processAllAvailable()
+    // batch 2: all new mass lands in an unseen bucket → drifted
+    mem.addData(Seq.fill(40)(9).map(BucketObs("k", _)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("driftmon").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(10L, 50L), rows.mkString(", "))
+    assert(!rows(0)._3, s"balanced prefix flagged drifted: ${rows(0)}")
+    assert(rows(1)._3, s"drifted stream not flagged: ${rows(1)}")
+    // the emitted verdict IS the shared kernel over the cumulative state
+    val (psi2, _, drifted2, t2) = graft.clean.ProfileQueries.DriftMath.psiKs(
+      ref, Map(0 -> 5L, 1 -> 5L, 9 -> 40L), 10)
+    assert(rows(1) == ((t2, psi2, drifted2)), s"${rows(1)} vs ($t2, $psi2, $drifted2)")
+  }
+
   test("approxTopValuesStream: MG state persists across batches, guarantees hold") {
     import graft.streaming.Stateful.GroupValue
     implicit val sc = spark.sqlContext
