@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev diagnostic (not part of the driver contract): EXECUTES every
+  * declared query and reports how many parquet scans its FINAL adaptive
+  * plan materialized. PLANS.md (pre-execution formatted explain) counts
+  * every scan SUBTREE — AQE stage/exchange reuse only collapses
+  * duplicates at runtime — so this is the honest census for the
+  * pruning-breaks-reuse trap that bit pipeline_select_budget and
+  * profile_drift_psi_ks in round 7: a DataFrame consumed by 2+ branches
+  * whose projections diverge stops canonicalizing, and the input is
+  * silently scanned (and shuffled) once per branch.
+  *
+  * Run: sbt "runMain graft.ScanAudit /root/testdata/sf0.001"
+  * Output: one line per query, `scans=N name`, sorted descending — plus
+  * a trailing table-level tally. Expected N > 1 only for genuine
+  * self-joins / multi-table joins; anything else is a reuse miss. */
+object ScanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.collect()
+        val finalPlan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val n = finalPlan.linesIterator.count(l =>
+          l.contains("Scan parquet") || l.contains("FileScan parquet"))
+        Some(name -> n)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[scanaudit] $name failed: ${e.getMessage}")
+          None
+      }
+    }
+    results.sortBy(-_._2).foreach { case (name, n) => println(s"scans=$n $name") }
+    println(s"audited=${results.size} total_scans=${results.map(_._2).sum}")
+    try GraftOps.clearDedupCaches(spark) catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

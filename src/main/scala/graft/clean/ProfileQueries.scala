@@ -3,6 +3,7 @@ package graft.clean
 import graft._
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.8 per-column profiling — the reference widget's column-summary pass.
@@ -366,42 +367,42 @@ object ProfileQueries {
     // into two ~20% hot values, the rest stay ~0.5% singletons, so the
     // sketch (capacity 8) genuinely compresses ~120 distinct values and
     // the heavy set is non-trivial in every group.
+    // Plan shape (round-7 ScanAudit rework): the input is consumed
+    // EXACTLY twice — the sketch aggregate and the exact (group, value)
+    // counts — and everything downstream derives from ONE left_outer
+    // join of those two (every sketch item is a seen value, so no item
+    // row can drop). The earlier shape re-consumed the sketch/exact
+    // aggregates per derived relation (bounded/heavy/n_found/final) and,
+    // because each consumer pruned a different projection, none of the
+    // subtrees canonicalized — the executed plan scanned the input SIX
+    // times. n_events = sum of exact counts per group (v is never null
+    // here) via a per-group window whose partitions are DISTINCT values,
+    // the same cardinality `exact` already materializes. A group with an
+    // EMPTY sketch (capacity+1 equal-count values can cancel in reduce)
+    // just has est null on every row: est_bounded vacuously true,
+    // heavy_in_sketch false only if a heavy value is missing — matching
+    // the oracle's one-row-per-group shape.
     "profile_topk_approx" -> { (s, dir) =>
       val C = 8
       val ev = skewedEvents(s, dir)
       val sk = ev.groupBy(col("event_type"))
-        .agg(graft.functions.SketchFunctions.misraGries(col("v"), C).as("sketch"),
-          count(lit(1)).as("n_events"))
-      val items = sk
-        .select(col("event_type"), col("n_events"), explode(col("sketch")).as("it"))
-        .select(col("event_type"), col("n_events"),
-          col("it.item").as("v"), col("it.est").as("est"))
+        .agg(graft.functions.SketchFunctions.misraGries(col("v"), C).as("sketch"))
+      val items = sk.select(col("event_type"), explode(col("sketch")).as("it"))
+        .select(col("event_type"), col("it.item").as("v"), col("it.est").as("est"))
       val exact = ev.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
-      val bounded = items.join(exact, Seq("event_type", "v"))
-        .groupBy(col("event_type")).agg(
-          bool_and(col("est") <= col("cnt") &&
-            (col("cnt") - col("est")) * (C + 1) <= col("n_events")).as("est_bounded"))
-      val heavy = exact
-        .join(sk.select(col("event_type"), col("n_events")), "event_type")
-        .where(col("cnt") * (C + 1) > col("n_events"))
-        .select(col("event_type"), col("v"))
-      val nHeavy = heavy.groupBy(col("event_type")).agg(count(lit(1)).as("n_heavy"))
-      val nFound = heavy.join(items.select(col("event_type"), col("v")),
-          Seq("event_type", "v"), "left_semi")
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n_found"))
-      sk.select(col("event_type"), col("n_events"))
-        .join(nHeavy, Seq("event_type"), "left_outer")
-        .join(nFound, Seq("event_type"), "left_outer")
-        // left_outer like n_heavy/n_found: a group whose sketch evaluates
-        // EMPTY (possible when capacity+1 equal-count values cancel in
-        // reduce) has no `bounded` row — an empty sketch satisfies the
-        // bound vacuously, and the oracle always emits one row per group
-        .join(bounded, Seq("event_type"), "left_outer")
-        .select(col("event_type"), col("n_events"),
-          coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
-          (coalesce(col("n_found"), lit(0L)) === coalesce(col("n_heavy"), lit(0L)))
-            .as("heavy_in_sketch"),
-          coalesce(col("est_bounded"), lit(true)).as("est_bounded"))
+      val wTot = Window.partitionBy(col("event_type"))
+      val flagged = exact.join(items, Seq("event_type", "v"), "left_outer")
+        .withColumn("n_events", sum(col("cnt")).over(wTot))
+        .withColumn("heavy", col("cnt") * (C + 1) > col("n_events"))
+        .withColumn("in_sketch", col("est").isNotNull)
+        .withColumn("bound_ok", col("est").isNull ||
+          (col("est") <= col("cnt") &&
+            (col("cnt") - col("est")) * (C + 1) <= col("n_events")))
+      flagged.groupBy(col("event_type")).agg(
+          first(col("n_events")).as("n_events"),
+          sum(when(col("heavy"), 1L).otherwise(0L)).as("n_heavy"),
+          bool_and(!col("heavy") || col("in_sketch")).as("heavy_in_sketch"),
+          bool_and(col("bound_ok")).as("est_bounded"))
         .orderBy(col("event_type"))
     },
 

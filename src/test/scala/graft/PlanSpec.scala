@@ -332,6 +332,21 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
   }
 
+  test("profile_topk_approx scans its input exactly twice") {
+    // round-7 ScanAudit finding: the old shape consumed the sketch/exact
+    // aggregates once per derived relation (bounded/heavy/found/final),
+    // each pruning a different projection — nothing canonicalized, and
+    // the executed plan scanned events SIX times. The contract now
+    // derives everything from one left_outer join of the two aggregates:
+    // sketch pass + exact-counts pass, nothing else.
+    val df = SparkEntry.queries("profile_topk_approx")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val nScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(nScans == 2, s"expected exactly 2 input scans, got $nScans:\n${p.take(3000)}")
+  }
+
   test("profile_drift_psi_ks scans its input exactly once") {
     // the drift gate's contract is ONE groupBy(bucket) pass over the
     // input with everything downstream on ≤ nBins rows. binned feeds
