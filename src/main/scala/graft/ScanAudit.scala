@@ -27,15 +27,29 @@ object ScanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Tree walk, not string grep: the plan STRING prints the cached plan
+    // inside every InMemoryRelation (built once per sweep, not per query)
+    // and repeats exchanges under "== Initial Plan ==" — both inflate a
+    // text census. Walking the executed tree counts a FileSourceScan
+    // exactly when this query's runtime materializes it: AQE wrappers
+    // are flattened, ReusedExchange is NOT descended (its child is the
+    // already-counted original), InMemoryTableScan has no plan children
+    // so cached builds never count.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def liveScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => liveScans(a.executedPlan)
+      case q: QueryStageExec        => liveScans(q.plan)
+      case _: ReusedExchangeExec    => 0
+      case _: FileSourceScanExec    => 1
+      case other => other.children.map(liveScans).sum
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.collect()
-        val finalPlan = df.queryExecution.executedPlan.toString
-          .split("== Initial Plan ==").head
-        val n = finalPlan.linesIterator.count(l =>
-          l.contains("Scan parquet") || l.contains("FileScan parquet"))
-        Some(name -> n)
+        Some(name -> liveScans(df.queryExecution.executedPlan))
       } catch {
         case e: Throwable =>
           System.err.println(s"[scanaudit] $name failed: ${e.getMessage}")

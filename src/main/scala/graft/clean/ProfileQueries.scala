@@ -14,27 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object ProfileQueries {
 
-  /** One profiling row for a numeric column — a single column-pruned pass. */
-  private def summarize(df: DataFrame, c: String): DataFrame = {
-    val d = col(c).cast("decimal(12,2)")
-    df.agg(
-      count(col(c)).as("n"),
-      (count(lit(1)) - count(col(c))).as("n_null"),
-      countDistinct(col(c)).as("n_distinct"),
-      sum(d).cast("double").as("__sx"),
-      sum(d * d).cast("double").as("__sx2"),
-      min(col(c)).as("mn"),
-      max(col(c)).as("mx")
-    ).select(
-      lit(c).as("col_name"), col("n"), col("n_null"), col("n_distinct"),
-      // Σx² exceeds 2^53 at sf≥0.01, and the two engines' decimal→double
-      // casts can differ by 1 ulp — round the derived stats to 6.
-      round(col("__sx") / col("n"), 6).as("mean"),
-      round(sqrt((col("__sx2") - col("__sx") * col("__sx") / col("n")) / (col("n") - 1)), 6)
-        .as("std"),
-      col("mn"), col("mx"))
-  }
-
   private def sqlSummarize(c: String): String =
     s"""SELECT '$c' AS col_name, count($c) AS n,
        |count(*) - count($c) AS n_null,
@@ -241,9 +220,39 @@ object ProfileQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // ALL columns' stats in ONE aggregate pass, then the per-column rows
+    // unpivot map-side (the profile_corr_matrix discipline). The old
+    // shape ran summarize() once per column and unioned — each branch
+    // pruned to its own single column, so the plan scanned (and
+    // shuffled) lineitem once PER profiled column: 4 full passes where
+    // one suffices. The multi-countDistinct plans as one scan + Expand
+    // (×5 rows pre-shuffle), which beats 4 scans + 4 shuffles at any
+    // scale where the scan dominates. PlanSpec pins the 1-scan shape.
     "profile_summary" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem")
-      profCols.map(summarize(li, _)).reduce(_ unionByName _)
+      def d(c: String) = col(c).cast("decimal(12,2)")
+      val aggs = profCols.flatMap { c => Seq(
+        count(col(c)).as(s"n_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        sum(d(c)).cast("double").as(s"sx_$c"),
+        sum(d(c) * d(c)).cast("double").as(s"sx2_$c"),
+        min(col(c)).as(s"mn_$c"),
+        max(col(c)).as(s"mx_$c"))
+      }
+      Tables(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(explode(array(profCols.map { c =>
+          struct(
+            lit(c).as("col_name"), col(s"n_$c").as("n"),
+            (col("n_rows") - col(s"n_$c")).as("n_null"),
+            col(s"nd_$c").as("n_distinct"),
+            // Σx² exceeds 2^53 at sf≥0.01, and the two engines'
+            // decimal→double casts can differ by 1 ulp — round to 6
+            round(col(s"sx_$c") / col(s"n_$c"), 6).as("mean"),
+            round(sqrt((col(s"sx2_$c") - col(s"sx_$c") * col(s"sx_$c") / col(s"n_$c"))
+              / (col(s"n_$c") - 1)), 6).as("std"),
+            col(s"mn_$c").as("mn"), col(s"mx_$c").as("mx"))
+        }: _*)).as("p"))
+        .select(col("p.*"))
         .orderBy(col("col_name"))
     },
 

@@ -332,6 +332,20 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
   }
 
+  test("profile_summary scans lineitem exactly once") {
+    // round-7 ScanAudit finding: the old per-column summarize + unionByName
+    // shape pruned each branch to its own single column — 4 full scans +
+    // 4 shuffles of lineitem for a 4-column profile. The contract is ONE
+    // multi-column aggregate pass (multi-countDistinct plans as a single
+    // scan + Expand) with a map-side unpivot.
+    val df = SparkEntry.queries("profile_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val nScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(nScans == 1, s"expected exactly 1 lineitem scan, got $nScans:\n${p.take(3000)}")
+  }
+
   test("profile_topk_approx scans its input exactly twice") {
     // round-7 ScanAudit finding: the old shape consumed the sketch/exact
     // aggregates once per derived relation (bounded/heavy/found/final),
