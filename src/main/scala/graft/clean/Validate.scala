@@ -6,9 +6,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality rules (the reference's "detect" surface as a
-  * library): each rule reports a violation COUNT. All row-predicate rules
-  * ride ONE aggregate pass over the table (conditional sum columns);
-  * each referential rule adds one broadcast anti-join against its dim. */
+  * library): each rule reports a violation COUNT. ALL rules ride ONE
+  * aggregate pass over the table — row-predicate rules as conditional sum
+  * columns, referential rules as broadcast left joins of the distinct dim
+  * keys whose unmatched-marker rows feed the same sums. */
 sealed trait Rule { def name: String }
 object Rule {
   /** duplicate rows on the key column(s): count − count(distinct). */
@@ -38,10 +39,9 @@ object Rule {
   *   INJECTED deterministically (keyed on orderkey modulo, the
   *   cast_safe_numeric pattern) and the oracle mirrors the injection:
   *   the gate proves the validator COUNTS, not that clean data is clean.
-  *   Scale: the four single-table rules are conditional columns of ONE
-  *   aggregate (one pass, map-side partials); the referential rule is a
-  *   broadcast anti-join against the dimension — no rule costs its own
-  *   scan of the fact beyond these two.
+  *   Scale: ALL five rules are conditional columns of ONE aggregate over
+  *   the fact (one pass, map-side partials); the referential rule only
+  *   adds a broadcast left join of the distinct dim keys before it.
   * - `scale_standardize`: z-score + min-max scaled copies of a column.
   *   Stats (mean/std from exact decimal sums, min/max) are ONE tiny agg
   *   broadcast back over the rows — the agg→crossJoin(broadcast) pattern
@@ -55,57 +55,66 @@ object Rule {
 object Validate {
 
   /** PUBLIC API: evaluate [[Rule]]s against a table → (rule, n_violations),
-    * one output row per rule, sorted by rule name. */
+    * one output row per rule, sorted by rule name.
+    *
+    * ONE pass over the fact regardless of the rule mix: every row-predicate
+    * rule is a conditional sum of a single aggregate, and each referential
+    * rule rides the SAME aggregate via a broadcast left join of the
+    * DISTINCT dim keys (a dangling row is one whose marker stayed null).
+    * The pre-join distinct is load-bearing twice over — a duplicate-keyed
+    * dim must not fan out the fact rows the other rules are counting, and
+    * it shrinks the broadcast to the key set. The old shape ran the
+    * row-predicate aggregate and a separate anti-join aggregate per ref
+    * rule: two full fact scans where one suffices (PlanSpec pins the
+    * 2-scan total for the declared query: fact once + dim once). */
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "validate needs at least one rule")
-    val (refs, aggable) = rules.partition(_.isInstanceOf[Rule.RefIntegrity])
-    val parts = Seq(
-      Option.when(aggable.nonEmpty) {
-        val aggCols = aggable.zipWithIndex.map {
-          case (Rule.Unique(cs), i) =>
-            // distinct over a STRUCT of the key columns: a struct with NULL
-            // fields is itself non-NULL, so NULL-keyed rows count as values
-            // instead of being dropped (bare countDistinct would report
-            // every NULL-keyed row as a duplicate). ORACLE MIRROR CAVEAT:
-            // the textbook count(*) - count(DISTINCT key) DROPS NULL keys,
-            // so on a nullable key it undercounts vs this rule — a DuckDB
-            // mirror must write count(DISTINCT ROW(key...)) (or coalesce
-            // the key) to agree; the declared validate_constraints query
-            // only matches the plain pattern because its injected dirt
-            // never nulls the unique key.
-            (count(lit(1)) - countDistinct(struct(cs.map(col): _*))).as(s"r$i")
-          case (Rule.NotNull(c), i) =>
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"r$i")
-          case (Rule.InSet(c, allowed), i) =>
-            sum(when(!col(c).isin(allowed: _*), 1L).otherwise(0L)).as(s"r$i")
-          case (Rule.Bounds(c, lo, hi), i) =>
-            val bad = lo.map(col(c) < _).getOrElse(lit(false)) ||
-              hi.map(col(c) > _).getOrElse(lit(false))
-            sum(when(bad, 1L).otherwise(0L)).as(s"r$i")
-          case (r, _) => throw new IllegalArgumentException(s"unexpected rule $r")
-        }
-        val kvs = aggable.zipWithIndex.map { case (r, i) =>
-          struct(lit(r.name).as("rule"), col(s"r$i").cast("long").as("n_violations"))
-        }
-        df.agg(aggCols.head, aggCols.tail: _*)
-          .select(explode(array(kvs: _*)).as("kv"))
-          .select(col("kv.rule").as("rule"), col("kv.n_violations").as("n_violations"))
-      },
-      Option.when(refs.nonEmpty) {
-        refs.collect { case r @ Rule.RefIntegrity(c, dim, dimCol) =>
-          // frame-qualified dim reference: an unqualified col(dimCol) is
-          // ambiguous whenever df carries a column of the same name
-          // (same-name FKs, self-referential dims) — d("…") resolves
-          // against the dim side only, for ANY input column names
-          val d = dim.select(col(dimCol).as("__dim_key"))
-          df.where(col(c).isNotNull)
-            .join(broadcast(d), df(c) === d("__dim_key"), "left_anti")
-            .agg(count(lit(1)).as("n_violations"))
-            .select(lit(r.name).as("rule"), col("n_violations"))
-        }.reduce(_ unionByName _)
-      }
-    ).flatten
-    parts.reduce(_ unionByName _).orderBy(col("rule"))
+    val refs = rules.collect { case r: Rule.RefIntegrity => r }
+    refs.indices.foreach { j =>
+      require(!df.columns.contains(s"__dim_key_$j"),
+        s"validate reserves column name __dim_key_$j")
+    }
+    val joined = refs.zipWithIndex.foldLeft(df) {
+      case (acc, (Rule.RefIntegrity(c, dim, dimCol), j)) =>
+        // frame-qualified key rename: an unqualified col(dimCol) is
+        // ambiguous whenever df carries a column of the same name
+        // (same-name FKs, self-referential dims)
+        val d = dim.select(col(dimCol).as(s"__dim_key_$j")).distinct()
+        acc.join(broadcast(d), acc(c) === d(s"__dim_key_$j"), "left_outer")
+    }
+    val aggCols = rules.zipWithIndex.map {
+      case (Rule.Unique(cs), i) =>
+        // distinct over a STRUCT of the key columns: a struct with NULL
+        // fields is itself non-NULL, so NULL-keyed rows count as values
+        // instead of being dropped (bare countDistinct would report
+        // every NULL-keyed row as a duplicate). ORACLE MIRROR CAVEAT:
+        // the textbook count(*) - count(DISTINCT key) DROPS NULL keys,
+        // so on a nullable key it undercounts vs this rule — a DuckDB
+        // mirror must write count(DISTINCT ROW(key...)) (or coalesce
+        // the key) to agree; the declared validate_constraints query
+        // only matches the plain pattern because its injected dirt
+        // never nulls the unique key.
+        (count(lit(1)) - countDistinct(struct(cs.map(col): _*))).as(s"r$i")
+      case (Rule.NotNull(c), i) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"r$i")
+      case (Rule.InSet(c, allowed), i) =>
+        sum(when(!col(c).isin(allowed: _*), 1L).otherwise(0L)).as(s"r$i")
+      case (Rule.Bounds(c, lo, hi), i) =>
+        val bad = lo.map(col(c) < _).getOrElse(lit(false)) ||
+          hi.map(col(c) > _).getOrElse(lit(false))
+        sum(when(bad, 1L).otherwise(0L)).as(s"r$i")
+      case (r: Rule.RefIntegrity, i) =>
+        val j = refs.indexOf(r)
+        sum(when(col(r.col).isNotNull && col(s"__dim_key_$j").isNull, 1L)
+          .otherwise(0L)).as(s"r$i")
+    }
+    val kvs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"r$i").cast("long").as("n_violations"))
+    }
+    joined.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.rule").as("rule"), col("kv.n_violations").as("n_violations"))
+      .orderBy(col("rule"))
   }
 
   val queries: Map[String, Q] = Map(

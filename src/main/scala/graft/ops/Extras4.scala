@@ -123,13 +123,20 @@ object Extras4 {
       // real orderkey at any scale factor — a fixed offset would alias once
       // the table outgrew it, creating (key, version) ties with different
       // payloads that the two engines would break differently.
-      val updates = o.where(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
-          lit("U").as("status"), lit(2L).as("version"))
-      val inserts = o.where(col("o_orderkey") % 11 === 0)
-        .select((-(col("o_orderkey") + 1L)).as("key"), col("o_custkey").as("cust"),
-          lit("N").as("status"), lit(1L).as("version"))
-      upsertLatestWins(base, updates.unionByName(inserts), "key", "version")
+      // Both feed kinds come out of ONE scan: explode a 2-slot conditional
+      // array (null slot = kind not fired for this row, filtered after) —
+      // the old where-branch pair scanned orders once per kind. Base stays
+      // its own scan: in production base and changes are distinct
+      // relations, so 2 scans is this query's honest floor.
+      val updates = when(col("o_orderkey") % 7 === 0,
+        struct(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+          lit("U").as("status"), lit(2L).as("version")))
+      val inserts = when(col("o_orderkey") % 11 === 0,
+        struct((-(col("o_orderkey") + 1L)).as("key"), col("o_custkey").as("cust"),
+          lit("N").as("status"), lit(1L).as("version")))
+      val feed = o.select(explode(array(updates, inserts)).as("c"))
+        .where(col("c").isNotNull).select(col("c.*"))
+      upsertLatestWins(base, feed, "key", "version")
         .select(col("key"), col("cust"), col("status"), col("version"))
         .orderBy(col("key"))
     }

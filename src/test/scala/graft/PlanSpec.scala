@@ -332,6 +332,29 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
   }
 
+  test("validate_constraints scans the fact once and the dim once") {
+    // ALL rules — row-predicate and referential — ride one aggregate
+    // pass: the ref rule is a broadcast left join of distinct dim keys
+    // feeding a conditional sum, not its own anti-join scan of orders.
+    val df = SparkEntry.queries("validate_constraints")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val nScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(nScans == 2, s"expected 2 scans (orders + customer), got $nScans:\n${p.take(3000)}")
+  }
+
+  test("upsert_latest_wins scans orders exactly twice (base + one-pass feed)") {
+    // updates and inserts explode out of ONE conditional-array scan; the
+    // old where-branch pair cost a scan per feed kind (3 total).
+    val df = SparkEntry.queries("upsert_latest_wins")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val nScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(nScans == 2, s"expected 2 scans (base + feed), got $nScans:\n${p.take(3000)}")
+  }
+
   test("profile_summary scans lineitem exactly once") {
     // round-7 ScanAudit finding: the old per-column summarize + unionByName
     // shape pruned each branch to its own single column — 4 full scans +
