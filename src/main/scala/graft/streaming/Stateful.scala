@@ -79,6 +79,52 @@ object Stateful {
         OutputMode.Append())
   }
 
+  case class GroupDoc(group: String, doc_id: Long)
+
+  /** v2 processor: per-key admission against a per-key quota map. One
+    * long of state (admitted-so-far) per key, exactly [[FirstNProcessor]]
+    * with the cap resolved per key instead of fixed. */
+  private class QuotaProcessor(quotas: Map[String, Long])
+      extends StatefulProcessor[String, GroupDoc, GroupDoc] {
+    @transient private var admitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[GroupDoc],
+        timers: TimerValues): Iterator[GroupDoc] = {
+      val cap = quotas.get(key) // None = uncapped
+      var n = if (admitted.exists()) admitted.get() else 0L
+      val out = scala.collection.mutable.ListBuffer.empty[GroupDoc]
+      rows.foreach { r => if (cap.forall(n < _)) { n += 1; out += r } }
+      admitted.update(n)
+      out.iterator
+    }
+  }
+
+  /** PUBLIC API: CONTINUOUS per-group admission quota — the streaming
+    * form of `GraftOps.quotaPerGroup`, with ARRIVAL order standing in
+    * for the batch kernel's `orderCol` ranking: a stream cannot re-rank
+    * what already passed, so it admits each group's FIRST `quota(group)`
+    * rows across all micro-batches. Feed it priority-ordered input and
+    * it reproduces the batch selection exactly (StatefulSpec pins that
+    * parity row-for-row). Same quota contract as the batch relation:
+    * a group absent from `quotas` is uncapped, quota ≤ 0 admits nothing
+    * (a Map cannot hold duplicate keys, so the batch kernel's
+    * strictest-of-duplicates rule is vacuous here). State is ONE long
+    * per group on the RocksDB store (arbitrary-state v2, like
+    * [[firstNPerUser]]); `quotas` is a plan-time map — broadcast-sized
+    * by the same argument as the batch kernel's quota relation. */
+  def quotaPerGroupStream(rows: Dataset[GroupDoc],
+      quotas: Map[String, Long]): Dataset[GroupDoc] = {
+    implicit val encG = Encoders.product[GroupDoc]
+    rows
+      .groupByKey(_.group)(Encoders.STRING)
+      .transformWithState(new QuotaProcessor(quotas), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   case class GroupValue(group: String, value: String)
   case class TopValue(group: String, item: String, est: Long, rank: Int)
 

@@ -65,6 +65,79 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("quotaPerGroupStream: per-key caps persist across batches; absent=uncapped, <=0 drops") {
+    import graft.streaming.Stateful.GroupDoc
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[GroupDoc]
+      val q = Stateful.quotaPerGroupStream(mem.toDS(),
+          Map("a" -> 2L, "b" -> 0L))
+        .writeStream.format("memory").queryName("quota")
+        .outputMode("append").start()
+      mem.addData(GroupDoc("a", 1), GroupDoc("b", 2), GroupDoc("c", 3))
+      q.processAllAvailable()
+      // a has 1 admission left; b admits nothing ever; c is uncapped
+      mem.addData(GroupDoc("a", 4), GroupDoc("a", 5), GroupDoc("b", 6),
+        GroupDoc("c", 7))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("quota").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      // a admitted 2 of 3 (one of doc 4/5 — shuffle order within the
+      // second batch picks which), b none, c all
+      val (as, rest) = out.partition(_._1 == "a")
+      assert(as.length == 2 && as.head._2 == 1L, out.mkString(", "))
+      assert(rest.toSeq == Seq(("c", 3L), ("c", 7L)), out.mkString(", "))
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("quotaPerGroupStream reproduces batch quotaPerGroup under priority-ordered arrival") {
+    import graft.streaming.Stateful.GroupDoc
+    implicit val sc = spark.sqlContext
+    // batch kernel selects each group's lowest-prio rows; stream admits
+    // first-arrived. Feeding rows one micro-batch at a time in ascending
+    // prio order makes the two selections provably identical.
+    val rows = Seq(
+      ("a", 10L, 100L), ("a", 20L, 101L), ("a", 30L, 102L), ("a", 40L, 103L),
+      ("b", 15L, 200L), ("b", 25L, 201L),
+      ("c", 11L, 300L), ("c", 21L, 301L), ("c", 31L, 302L))
+    val quotas = Map("a" -> 2L, "c" -> 1L) // b uncapped
+    val batchDf = rows.toDF("group", "prio", "doc_id")
+    val quotasDf = quotas.toSeq.toDF("group", "quota")
+    val expected = GraftOps.quotaPerGroup(batchDf, "group", "prio", quotasDf)
+      .select("group", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[GroupDoc]
+      val q = Stateful.quotaPerGroupStream(mem.toDS(), quotas)
+        .writeStream.format("memory").queryName("quotaparity")
+        .outputMode("append").start()
+      // one row per micro-batch = strict arrival order, no intra-batch
+      // shuffle nondeterminism
+      rows.sortBy(_._2).foreach { case (g, _, id) =>
+        mem.addData(GroupDoc(g, id)); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("quotaparity").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("driftMonitorStream: cumulative state, verdict flips when the stream drifts") {
     import graft.streaming.Stateful.BucketObs
     implicit val sc = spark.sqlContext
