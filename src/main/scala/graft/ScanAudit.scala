@@ -35,15 +35,18 @@ object ScanAudit {
     // are flattened, ReusedExchange is NOT descended (its child is the
     // already-counted original), InMemoryTableScan has no plan children
     // so cached builds never count.
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, ReusedSubqueryExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // subqueries (scalar subqueries, DPP SubqueryBroadcast) hang off
+    // p.subqueries, not p.children — a scan inside one is just as live
     def liveScans(p: SparkPlan): Int = p match {
       case a: AdaptiveSparkPlanExec => liveScans(a.executedPlan)
       case q: QueryStageExec        => liveScans(q.plan)
       case _: ReusedExchangeExec    => 0
-      case _: FileSourceScanExec    => 1
-      case other => other.children.map(liveScans).sum
+      case _: ReusedSubqueryExec    => 0
+      case f: FileSourceScanExec    => 1 + f.subqueries.map(liveScans).sum
+      case other => (other.children ++ other.subqueries).map(liveScans).sum
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {

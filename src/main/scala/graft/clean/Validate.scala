@@ -69,18 +69,25 @@ object Validate {
     * 2-scan total for the declared query: fact once + dim once). */
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "validate needs at least one rule")
-    val refs = rules.collect { case r: Rule.RefIntegrity => r }
-    refs.indices.foreach { j =>
+    // ref ordinal threaded by GLOBAL rule position (not indexOf): equal
+    // duplicate rules each keep their own marker join, so no rule ever
+    // reads another's marker and no join is left dead
+    val refOrdinal: Map[Int, Int] = rules.zipWithIndex
+      .collect { case (_: Rule.RefIntegrity, i) => i }
+      .zipWithIndex.toMap
+    refOrdinal.values.foreach { j =>
       require(!df.columns.contains(s"__dim_key_$j"),
         s"validate reserves column name __dim_key_$j")
     }
-    val joined = refs.zipWithIndex.foldLeft(df) {
-      case (acc, (Rule.RefIntegrity(c, dim, dimCol), j)) =>
+    val joined = rules.zipWithIndex.foldLeft(df) {
+      case (acc, (Rule.RefIntegrity(c, dim, dimCol), i)) =>
         // frame-qualified key rename: an unqualified col(dimCol) is
         // ambiguous whenever df carries a column of the same name
         // (same-name FKs, self-referential dims)
+        val j = refOrdinal(i)
         val d = dim.select(col(dimCol).as(s"__dim_key_$j")).distinct()
         acc.join(broadcast(d), acc(c) === d(s"__dim_key_$j"), "left_outer")
+      case (acc, _) => acc
     }
     val aggCols = rules.zipWithIndex.map {
       case (Rule.Unique(cs), i) =>
@@ -104,12 +111,16 @@ object Validate {
           hi.map(col(c) > _).getOrElse(lit(false))
         sum(when(bad, 1L).otherwise(0L)).as(s"r$i")
       case (r: Rule.RefIntegrity, i) =>
-        val j = refs.indexOf(r)
-        sum(when(col(r.col).isNotNull && col(s"__dim_key_$j").isNull, 1L)
+        sum(when(col(r.col).isNotNull &&
+          col(s"__dim_key_${refOrdinal(i)}").isNull, 1L)
           .otherwise(0L)).as(s"r$i")
     }
+    // coalesce: sum() over ZERO rows is NULL — an empty-but-clean table
+    // must report 0 violations, not null (the old per-rule anti-join's
+    // count() gave 0; a n_violations === 0 gate would flip on null)
     val kvs = rules.zipWithIndex.map { case (r, i) =>
-      struct(lit(r.name).as("rule"), col(s"r$i").cast("long").as("n_violations"))
+      struct(lit(r.name).as("rule"),
+        coalesce(col(s"r$i").cast("long"), lit(0L)).as("n_violations"))
     }
     joined.agg(aggCols.head, aggCols.tail: _*)
       .select(explode(array(kvs: _*)).as("kv"))

@@ -265,6 +265,23 @@ class GraftOpsSpec extends SparkSuite {
       "in_set_status" -> 1L, "bounds_x" -> 3L, "ref_ref_id" -> 1L))
   }
 
+  test("validate reports 0 (not null) violations on an empty table") {
+    import graft.clean.Rule
+    // sum() over zero rows is NULL — the kernel must coalesce so an
+    // empty-but-clean input reads 0 everywhere (a n_violations === 0
+    // gate would flip on null), matching the old anti-join count()
+    val dim = Seq(10L).toDF("id")
+    val df = Seq.empty[(Long, Option[Long], String, Double)]
+      .toDF("k", "ref", "status", "x")
+    val out = GraftOps.validate(df, Seq(
+      Rule.Unique(Seq("k")), Rule.NotNull("ref"),
+      Rule.InSet("status", Seq("A")), Rule.Bounds("x", Some(0.0), None),
+      Rule.RefIntegrity("ref", dim, "id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("unique_k" -> 0L, "not_null_ref" -> 0L,
+      "in_set_status" -> 0L, "bounds_x" -> 0L, "ref_ref_id" -> 0L))
+  }
+
   test("sessionize assigns per-key session ids split on the gap") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),

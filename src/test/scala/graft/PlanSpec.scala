@@ -332,26 +332,29 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
   }
 
+  /** Execute and count parquet-scan lines in the AQE FINAL plan section —
+    * the "== Initial Plan ==" tail repeats every exchange (r6 gotcha), so
+    * split it off first. Returns the section too, for extra assertions. */
+  private def executedScanCount(df: org.apache.spark.sql.DataFrame): (Int, String) = {
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val n = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    (n, p)
+  }
+
   test("validate_constraints scans the fact once and the dim once") {
     // ALL rules — row-predicate and referential — ride one aggregate
     // pass: the ref rule is a broadcast left join of distinct dim keys
     // feeding a conditional sum, not its own anti-join scan of orders.
-    val df = SparkEntry.queries("validate_constraints")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    val nScans = p.linesIterator.count(l =>
-      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    val (nScans, p) = executedScanCount(SparkEntry.queries("validate_constraints")(spark, sf))
     assert(nScans == 2, s"expected 2 scans (orders + customer), got $nScans:\n${p.take(3000)}")
   }
 
   test("upsert_latest_wins scans orders exactly twice (base + one-pass feed)") {
     // updates and inserts explode out of ONE conditional-array scan; the
     // old where-branch pair cost a scan per feed kind (3 total).
-    val df = SparkEntry.queries("upsert_latest_wins")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    val nScans = p.linesIterator.count(l =>
-      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    val (nScans, p) = executedScanCount(SparkEntry.queries("upsert_latest_wins")(spark, sf))
     assert(nScans == 2, s"expected 2 scans (base + feed), got $nScans:\n${p.take(3000)}")
   }
 
@@ -361,11 +364,7 @@ class PlanSpec extends SparkSuite {
     // 4 shuffles of lineitem for a 4-column profile. The contract is ONE
     // multi-column aggregate pass (multi-countDistinct plans as a single
     // scan + Expand) with a map-side unpivot.
-    val df = SparkEntry.queries("profile_summary")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    val nScans = p.linesIterator.count(l =>
-      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    val (nScans, p) = executedScanCount(SparkEntry.queries("profile_summary")(spark, sf))
     assert(nScans == 1, s"expected exactly 1 lineitem scan, got $nScans:\n${p.take(3000)}")
   }
 
@@ -376,11 +375,7 @@ class PlanSpec extends SparkSuite {
     // the executed plan scanned events SIX times. The contract now
     // derives everything from one left_outer join of the two aggregates:
     // sketch pass + exact-counts pass, nothing else.
-    val df = SparkEntry.queries("profile_topk_approx")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    val nScans = p.linesIterator.count(l =>
-      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    val (nScans, p) = executedScanCount(SparkEntry.queries("profile_topk_approx")(spark, sf))
     assert(nScans == 2, s"expected exactly 2 input scans, got $nScans:\n${p.take(3000)}")
   }
 
@@ -394,11 +389,7 @@ class PlanSpec extends SparkSuite {
     // scanned and shuffled a SECOND time (the same pruning-breaks-reuse
     // trap distributedRunningSum documents). max(bucket) now rides the
     // totals aggregate; pin the single-scan shape.
-    val df = SparkEntry.queries("profile_drift_psi_ks")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    val nScans = p.linesIterator.count(l =>
-      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    val (nScans, p) = executedScanCount(SparkEntry.queries("profile_drift_psi_ks")(spark, sf))
     assert(nScans == 1, s"expected exactly 1 input scan, got $nScans:\n${p.take(3000)}")
   }
 
@@ -409,15 +400,11 @@ class PlanSpec extends SparkSuite {
     // must be ONE subtree, so the input is scanned exactly twice (an
     // earlier shape consumed the sketch twice with disjoint projections
     // and paid a third full scan)
-    val df = SparkEntry.queries("profile_topk_heavy")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val (nScans, p) = executedScanCount(SparkEntry.queries("profile_topk_heavy")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
       s"candidate side not broadcast at bench scale:\n${p.take(2000)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"pass-2 prune degraded to a shuffle join:\n${p.take(2000)}")
-    val nScans = p.linesIterator.count(l =>
-      l.contains("Scan parquet") || l.contains("FileScan parquet"))
     assert(nScans == 2, s"expected exactly 2 input scans, got $nScans:\n${p.take(3000)}")
   }
 
