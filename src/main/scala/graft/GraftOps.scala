@@ -200,6 +200,15 @@ object GraftOps {
   def cosineThresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame =
     llm.Similarity.thresholdPairs(df, blockCol, threshold)
 
+  /** SemDeDup-style semantic dedup: cluster (vec_id, v) vectors to their
+    * nearest centroid, cosine-threshold pairs WITHIN clusters, drop every
+    * non-min-id member of each transitive duplicate group; returns the
+    * surviving vec_ids. |centroids| trades pair cost vs boundary-split
+    * recall (√N classic). */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame =
+    llm.Similarity.semanticDedup(vectors, centroids, threshold)
+
   /** attach int8 scalar-quantization columns (s, q) to unit vectors. */
   def withInt8Quantization(df: DataFrame): DataFrame = llm.Curation.withInt8(df)
 

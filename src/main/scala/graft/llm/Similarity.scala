@@ -219,6 +219,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** PUBLIC API: SemDeDup-style semantic dedup (cluster-then-dedup, the
+    * published recipe for embedding dedup at corpus scale — see Abbas et
+    * al. 2023, arXiv:2303.09540): assign every vector to its nearest
+    * centroid ([[assignToCentroids]] — one broadcast-centroid argmax
+    * pass), generate cosine-threshold pairs WITHIN clusters only
+    * ([[thresholdPairs]] blocked on cid — pairwise cost is Σ cluster²,
+    * bounded by the largest cluster, never corpus²), resolve transitive
+    * duplicate groups to their min-id canonical
+    * ([[Dedup.connectedComponents]] over the pair edges), and return the
+    * surviving (vec_id) rows. |centroids| is the caller's cost/recall
+    * knob exactly as in [[annIvf]] (√N classic): more centroids → smaller
+    * blocks → cheaper pairs but more near-dups split across cluster
+    * boundaries and missed — same trade as the paper's k. */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(vectors, centroids)
+    val losers = Dedup.connectedComponents(
+        thresholdPairs(assigned, "cid", threshold)
+          .select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .where(col("node") =!= col("component"))
+      .select(col("node").as("vec_id"))
+    vectors.select(col("vec_id")).join(losers, Seq("vec_id"), "left_anti")
+  }
+
   val queries: Map[String, Q] = Map(
     // exact cosine for all same-label pairs, top-100
     "sim_cosine_pairs" -> { (s, dir) =>
@@ -275,6 +299,26 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       annIvf(all.select(col("vec_id"), col("v")), probesQ, cents, 2, 5)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // SemDeDup end-to-end over vectors ∪ planted near-dup copies (the
+    // dedup_embedding_threshold copies trick — the base table has no
+    // cos ≥ 0.95 pairs), centroids pinned to the BASE %97 set for oracle
+    // determinism exactly like sim_ann_ivf. A copy lands in its
+    // original's cluster (same unit vector up to rounding), pairs at
+    // cos ≈ 1, and loses to the lower id; near-dups split across a
+    // cluster boundary are MISSED by design — that recall/cost trade is
+    // the operator's contract, and the oracle mirrors the same blocking.
+    "dedup_semantic_clustered" -> { (s, dir) =>
+      val base = vecs(s, dir)
+      val copies = withUnit(
+        Tables(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
+        transform(col("embedding"), x => x.cast("double") * 1.01))
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("v"))
+      val all = base.unionByName(copies).select(col("vec_id"), col("v"))
+      val cents = base.where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      semanticDedup(all, cents, 0.95).orderBy(col("vec_id"))
     },
 
     // per-cluster occupancy/cohesion over the SAME centroid set as
@@ -336,6 +380,38 @@ object Similarity {
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
          |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    // mirrors the engine stage-for-stage: same %97 base centroid set,
+    // arn=1 assignment (max rounded cos, min cid — the argmaxCentroid
+    // tie-break), within-cluster rounded-cos pairs, recursive-CTE
+    // components (the dedup_cluster_cc pattern), min-label canonical
+    "dedup_semantic_clustered" ->
+      s"""WITH RECURSIVE base AS ($sqlVecs),
+         |copies AS (SELECT vec_id + 1000000 AS vec_id, label,
+         |    ${sqlUnit("list_transform(embedding, x -> cast(x as double) * 1.01)")} AS v
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM copies),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 97 = 0),
+         |assigned AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS arn
+         |  FROM e CROSS JOIN cents c) WHERE arn = 1),
+         |vp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.95),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+         |          UNION ALL SELECT id_b, id_a FROM vp),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (SELECT node FROM
+         |  (SELECT node, min(lab) AS lab FROM reach GROUP BY node)
+         |  WHERE lab <> node)
+         |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT node FROM losers)
+         |ORDER BY vec_id""".stripMargin,
     // arn = 1 keeps the winning (max, min-cid) cosine — identical to the
     // engine's max_by/max pair; empty clusters survive the left join
     "sim_cluster_stats" ->

@@ -304,4 +304,24 @@ class GraftOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L))) // 3 is identical to 1 but blocked out
   }
+
+  test("semanticDedup drops within-cluster near-dups, keeps boundary-split ones") {
+    def u(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val vecs = GraftOps.withUnitVector(Seq(
+      (1L, u(1, 0)), (2L, u(1, 0.01)),
+      (3L, u(math.cos(math.toRadians(44)), math.sin(math.toRadians(44)))),
+      (4L, u(0, 1)), (5L, u(0.01, 1)),
+      (6L, u(math.cos(math.toRadians(46)), math.sin(math.toRadians(46)))))
+      .toDF("vec_id", "emb"), col("emb"))
+      .select(col("vec_id"), col("v"))
+    val cents = GraftOps.withUnitVector(
+      Seq((100L, u(1, 0)), (200L, u(0, 1))).toDF("cid", "emb"), col("emb"))
+      .select(col("cid"), col("v").as("cv"))
+    val out = GraftOps.semanticDedup(vecs, cents, 0.95)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 2 loses to 1 and 5 loses to 4 inside their clusters; 3 and 6 are
+    // cos(2°) ≈ 0.9994 near-dups but straddle the cluster boundary —
+    // blocking keeps both (the operator's documented recall trade)
+    assert(out == Seq(1L, 3L, 4L, 6L))
+  }
 }
