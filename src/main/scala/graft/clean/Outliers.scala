@@ -13,16 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
+  /** q1/q3 (rounded exactly like the oracle's `iqrBounds` CTE) and the
+    * 1.5·IQR fences, as ONE broadcastable scalar row — the single Spark
+    * definition both IQR queries share, mirroring the single SQL CTE; a
+    * future edit to the rounding or fence multiplier cannot desync them. */
+  private def iqrFences(li: org.apache.spark.sql.DataFrame) =
+    li.agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+      .select(
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+
   val queries: Map[String, Q] = Map(
     // IQR fence counts on l_extendedprice
     "outlier_iqr_flag" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
-      val qs = li.agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
-      li.crossJoin(broadcast(qs))
-        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
-        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      li.crossJoin(broadcast(iqrFences(li)))
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
           sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
@@ -64,12 +71,9 @@ object Outliers {
     // slower than this conditional-agg form (4.5 s vs 0.45 s at sf0.1).
     "outlier_remove" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
-      val qs = li.agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
-      val keep = col("l_extendedprice") >= col("q1") - (col("q3") - col("q1")) * 1.5 &&
-        col("l_extendedprice") <= col("q3") + (col("q3") - col("q1")) * 1.5
-      li.crossJoin(broadcast(qs))
+      val keep = col("l_extendedprice") >= col("lo") &&
+        col("l_extendedprice") <= col("hi")
+      li.crossJoin(broadcast(iqrFences(li)))
         .agg(sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
           dsum(when(keep, col("l_extendedprice"))).as("sum_kept"))
     },

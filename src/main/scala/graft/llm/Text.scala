@@ -90,8 +90,13 @@ object Text {
         .orderBy(col("tfidf").desc, col("word"))
       // rank on the ROUNDED score: ln() can differ by 1 ulp between the
       // engines' libm, and an unrounded tie at the rank-3 cutoff would
-      // flip rows on one side only (same rule as the sim family's cos)
-      tf.join(broadcast(dfreq), "word").crossJoin(broadcast(n))
+      // flip rows on one side only (same rule as the sim family's cos).
+      // dfreq gets NO broadcast hint: it is the full document-frequency
+      // vocabulary, which at 100 TB (typos, numbers, ids) outgrows any
+      // broadcast limit — AQE's runtime stats broadcast it while it's
+      // small and fall back to a shuffle join when it isn't; a hard hint
+      // would instead fail the job at the 8 GB broadcast ceiling
+      tf.join(dfreq, "word").crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("cnt") * log(col("n").cast("double") / col("df")), 6))
         .withColumn("rn", row_number().over(w))
@@ -110,13 +115,21 @@ object Text {
         .limit(50)
     },
 
+    // g_lang/g_source (the GROUPING() bits, int-cast on both engines)
+    // disambiguate a grouping-set NULL from a data NULL: without them a
+    // real (lang, NULL-source) data group and the lang rollup row carry
+    // identical sort keys and the two engines may order them differently
+    // — latent while the fixture is null-free, wrong the day it isn't
     "text_lang_source_stats" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .groupingSets(
           Seq(Seq(col("lang")), Seq(col("lang"), col("source")), Seq()),
           col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+        .agg(grouping(col("lang")).cast("int").as("g_lang"),
+          grouping(col("source")).cast("int").as("g_source"),
+          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("g_lang"), col("g_source"),
+          asc_nulls_first("lang"), asc_nulls_first("source"))
     },
 
     // inline lexicon broadcast-joined against the token stream
@@ -169,7 +182,10 @@ object Text {
     // (shared core in [[qualityScored]])
     "text_quality_score" -> { (s, dir) =>
       qualityScored(Tables(s, dir, "documents"))
-        .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")).cast("long"))
+        // plain replace, not regexp_replace: fixed single-char literal —
+        // no reason to pay a regex matcher per row on the full corpus
+        // (and it's exactly the oracle's replace())
+        .withColumn("n_alpha", length(expr("replace(text, ' ', '')")).cast("long"))
         .withColumn("avg_tok_len_e6", expr("n_alpha * 1000000 DIV n_tok"))
         .withColumn("stop_ratio_e6", expr("n_stop * 1000000 DIV n_tok"))
         .select(col("doc_id"), col("n_tok"), col("avg_tok_len_e6"),
@@ -254,9 +270,11 @@ object Text {
         |SELECT bigram, count(*) AS n FROM b WHERE bigram IS NOT NULL
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     "text_lang_source_stats" ->
-      """SELECT lang, source, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS sum_chars
+      """SELECT cast(GROUPING(lang) as int) AS g_lang,
+        |cast(GROUPING(source) as int) AS g_source,
+        |lang, source, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS sum_chars
         |FROM documents GROUP BY GROUPING SETS ((lang), (lang, source), ())
-        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+        |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "text_sentiment_lexicon" ->
       """WITH lex(word, weight) AS (VALUES ('fast', 2), ('slow', -2), ('big', 1), ('small', -1)),
         |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),

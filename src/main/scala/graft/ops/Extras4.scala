@@ -150,10 +150,16 @@ object Extras4 {
   def layoutStamp(defVersion: String, dir: String, tables: String*): String = {
     val parts = tables.map { t =>
       val f = new java.io.File(s"$dir/$t.parquet")
+      // fail fast: a missing source would stamp as 0:0 — a plausible-
+      // looking key that tracks nothing and whose real error (empty
+      // build) surfaces far from this typo'd table/dir
+      require(f.exists(), s"layoutStamp: missing source ${f.getPath}")
       s"$t:${f.length()}:${f.lastModified()}"
     }
+    // the RAW dir string is part of the key: the stable-path/table tags
+    // sanitize punctuation, so 'sf0.1' and 'sf0_1' would otherwise alias
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest((defVersion +: parts).mkString(",").getBytes("UTF-8"))
+      .digest((defVersion +: dir +: parts).mkString(",").getBytes("UTF-8"))
     md.take(6).map("%02x".format(_)).mkString
   }
 
@@ -174,10 +180,26 @@ object Extras4 {
     * Spark identifies a file's bucket by the `_0000N` suffix saveAsTable
     * wrote into the name, so files re-registered under a new catalog keep
     * their co-location — the SortMergeJoin still plans no exchange. */
+  private[this] val provisionLock = new Object
+
   def ensureBucketedTable(s: org.apache.spark.sql.SparkSession, table: String,
       dir: String, bucketCol: String, nBuckets: Int, fingerprint: String)
-      (build: => DataFrame): Unit = {
-    if (s.catalog.tableExists(table)) return
+      (build: => DataFrame): Unit = provisionLock.synchronized {
+    // JVM-wide lock: tmpT and the tmp build dir are keyed by PID, which
+    // two threads of one session share — unsynchronized, both would
+    // saveAsTable the same temp name/path and race the publish rename
+    if (s.catalog.tableExists(table)) {
+      // serve the cached registration ONLY if it points at THIS
+      // fingerprint's layout: a same-session testdata regen changes the
+      // stamp, and the old registration must re-provision, not silently
+      // serve stale files (the cross-session staleness guard is the
+      // stamp-keyed stable path; this is its in-session twin)
+      val loc = s.sql(s"DESCRIBE TABLE EXTENDED `$table`")
+        .where(col("col_name") === "Location")
+        .select(col("data_type")).collect().headOption.map(_.getString(0))
+      if (loc.exists(_.contains(s"_b${nBuckets}_$fingerprint"))) return
+      s.sql(s"DROP TABLE `$table`")
+    }
     val stable = new java.io.File(
       s"target/graft_scratch/stable_bucketed_${dir.replaceAll("[^A-Za-z0-9.]", "_")}/" +
         s"${table}_b${nBuckets}_$fingerprint")
@@ -196,12 +218,13 @@ object Extras4 {
         // published layout recovers instead of every future process
         // forever re-paying the full ingest from its pid dir. Safety: the
         // healer (a) takes an exclusive mkdir lock so only one process
-        // heals, and (b) renames the stale dir ASIDE rather than deleting
-        // in place — if a concurrent publisher completed the stable path
-        // between our check and the heal, its identical-fingerprint
-        // layout is moved aside and immediately replaced by ours (same
-        // fingerprint ⇒ same definition + sources ⇒ same content), never
-        // destroyed under a live reader.
+        // heals, (b) renames the stale dir ASIDE rather than deleting in
+        // place, and (c) re-checks the moved-aside dir for completeness —
+        // if a concurrent publisher finished between our check and the
+        // move, the completed layout (possibly already registered by
+        // other sessions, their FileIndexes caching its part-file names)
+        // is restored untouched instead of swapped for ours; only a dir
+        // that is STILL incomplete after the move is ever discarded.
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete()
@@ -220,7 +243,15 @@ object Extras4 {
             if (aside.exists()) rm(aside) // our own earlier heal's garbage
             if (!complete(stable)) {
               stable.renameTo(aside) // atomic move-aside; no-op if gone
-              if (tmp.renameTo(stable)) rm(aside)
+              if (complete(aside)) {
+                // a concurrent publisher COMPLETED the stable path between
+                // our check and the move — its layout may already be
+                // registered by other sessions (FileIndexes caching its
+                // part-file names), so put it straight back instead of
+                // replacing it with ours: deleting it would
+                // FileNotFoundException a live reader mid-query
+                aside.renameTo(stable)
+              } else if (tmp.renameTo(stable)) rm(aside)
               else aside.renameTo(stable) // cross-device target/: restore
             }
           } finally lock.delete()
