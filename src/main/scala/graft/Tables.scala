@@ -17,13 +17,22 @@ import org.apache.spark.sql.types._
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long, floor-truncate to micros —
-      // exactly what DuckDB's cast(ts_ns AS timestamp) does, so the two
-      // engines see identical µs values.
+      // events.ts has shipped in two parquet encodings across driver
+      // testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+      // reader rejects — read nanos as long, floor-truncate to micros,
+      // exactly DuckDB's cast(ts_ns AS timestamp)) and plain TIMESTAMP(µs)
+      // with no timezone (Spark TIMESTAMP_NTZ). Adapt on the observed
+      // schema so either generation works; both paths land on session-tz
+      // TimestampType with identical µs values (every entry point pins
+      // spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast is the
+      // identity on the stored micros).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df // already session-tz TimestampType
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   // ---- determinism helpers -------------------------------------------------
