@@ -19,19 +19,29 @@ object Tables {
     if (name == "events") {
       // events.ts has shipped in two parquet encodings across driver
       // testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
-      // reader rejects — read nanos as long, floor-truncate to micros,
-      // exactly DuckDB's cast(ts_ns AS timestamp)) and plain TIMESTAMP(µs)
-      // with no timezone (Spark TIMESTAMP_NTZ). Adapt on the observed
-      // schema so either generation works; both paths land on session-tz
-      // TimestampType with identical µs values (every entry point pins
-      // spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast is the
-      // identity on the stored micros).
+      // reader rejects — read nanos as long, truncate toward zero to
+      // micros via integral DIV, exactly DuckDB's cast(ts_ns AS timestamp)
+      // on the post-epoch testdata; pre-epoch nanos would round toward
+      // zero rather than floor in BOTH engines, so parity holds there
+      // too) and plain TIMESTAMP(µs) with no timezone (Spark
+      // TIMESTAMP_NTZ). Adapt on the observed schema so either generation
+      // works; both paths land on session-tz TimestampType with identical
+      // µs values (every entry point pins spark.sql.session.timeZone=UTC,
+      // so the NTZ→LTZ cast is the identity on the stored micros). Any
+      // OTHER encoding is a new testdata generation we haven't audited for
+      // cross-engine determinism — fail fast naming it rather than letting
+      // an unconverted ts flow into every downstream query.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => df // already session-tz TimestampType
+        case TimestampType => df // already session-tz TimestampType
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts arrived as unaudited dataType $other; expected parquet " +
+              "TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP — audit the new " +
+              "encoding for Spark/DuckDB parity before widening this match")
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
