@@ -24,6 +24,8 @@ object SparkEntry {
     (ops.Extras3.queries, ops.Extras3.oracle),
     (ops.Extras4.queries, ops.Extras4.oracle),
     (ops.Extras5.queries, ops.Extras5.oracle),
+    (ops.Analytics.queries, ops.Analytics.oracle),
+    (llm.Mix.queries, llm.Mix.oracle),
     (llm.Dedup2.queries, llm.Dedup2.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
     (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),

@@ -1,0 +1,116 @@
+package graft.llm
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Corpus composition: temperature-weighted mixing + unigram-LM scoring.
+  *
+  * - `pipeline_mix_temperature`: the α-temperature sampling recipe from
+  *   the multilingual-pretraining literature (sample language l with
+  *   probability ∝ n_l^α, α=0.5) realized as DETERMINISTIC down-sampling:
+  *   per-group keep-rate r_l = sqrt(n_min / n_l), normalized so the
+  *   SMALLEST group keeps everything (rates in (0,1], no up-sampling —
+  *   the up-sampling lever is `pipeline_mix_epochs`). A row is kept iff
+  *   an arithmetic LCG bucket of its key falls under floor(r_l·10⁶) —
+  *   content-stable across engines, retries, and repartitioning, unlike
+  *   `sample(fraction)`. sqrt/divide are single IEEE ops (bit-identical
+  *   in both engines); thresholds are compared as integers.
+  *
+  *   Scale shape: pass 1 is a column-pruned count per group (|groups|
+  *   rows out); the 1-row min joins back via crossJoin(broadcast(…));
+  *   pass 2 re-scans documents and filters MAP-SIDE against the
+  *   broadcast rate table — no shuffle of the corpus at any scale, the
+  *   exact shape a 100 TB mixing job wants. Two scans by design: caching
+  *   the corpus to save the second scan costs more than the re-read
+  *   (same trade as text_langid, SCALE.md round-7 census).
+  *
+  * - `text_lm_unigram_score`: CCNet-style LM quality signal — train a
+  *   unigram LM on the corpus itself, score each document by average
+  *   token surprisal (−ln p(w), the unigram cross-entropy / length). A
+  *   quality filter thresholds on this to drop gibberish (high surprisal)
+  *   and boilerplate (abnormally low). Per-token surprisals are cast to
+  *   decimal(18,12) BEFORE the per-doc sum (partition-order-proof, the
+  *   profile_entropy discipline); the vocab relation is tiny (≤ corpus
+  *   vocab) and broadcast, so scoring is one map-side join + one narrow
+  *   (doc_id, decimal) shuffle. At 100 TB the vocab table for a real
+  *   tokenizer is ≤ a few 100k rows — still broadcastable; training the
+  *   LM is one map-side-combined count pass.
+  */
+object Mix {
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_mix_temperature" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val minN = stats.agg(min(col("n_docs")).as("n_min"))
+      val rates = stats.crossJoin(broadcast(minN))
+        .withColumn("rate_e6",
+          floor(sqrt(col("n_min").cast("double") / col("n_docs").cast("double"))
+            * 1000000d).cast("long"))
+        .select("lang", "n_docs", "rate_e6")
+      // seeded LCG over the bounded key (split_train_test's overflow
+      // contract); distinct multiplier/modulus from the split/shuffle
+      // hashes so the three assignments don't correlate
+      val bucket = (col("doc_id") % 100003L) * 69069L % 1000000L
+      val kept = docs.join(broadcast(rates), Seq("lang"))
+        .where(bucket < col("rate_e6"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars_kept"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("rate_e6"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("sum_chars_kept"), lit(0L)).as("sum_chars_kept"))
+        .orderBy(col("lang"))
+    },
+
+    "text_lm_unigram_score" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val probs = vocab
+        .crossJoin(broadcast(vocab.agg(sum(col("cnt")).as("total"))))
+        .select(col("word"),
+          (-log(col("cnt").cast("double") / col("total").cast("double")))
+            .cast("decimal(18,12)").as("nll"))
+      toks.join(broadcast(probs), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_mix_temperature" ->
+      """WITH stats AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_docs) AS n_min FROM stats),
+        |rates AS (SELECT lang, n_docs,
+        |    cast(floor(sqrt(cast(n_min as double) / cast(n_docs as double))
+        |      * 1000000) as bigint) AS rate_e6
+        |  FROM stats, m),
+        |kept AS (SELECT d.lang, count(*) AS n_kept,
+        |    cast(sum(d.n_chars) as bigint) AS sum_chars_kept
+        |  FROM documents d JOIN rates r ON d.lang = r.lang
+        |  WHERE (d.doc_id % 100003) * 69069 % 1000000 < r.rate_e6
+        |  GROUP BY 1)
+        |SELECT r.lang, r.n_docs, r.rate_e6,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.sum_chars_kept, 0) AS sum_chars_kept
+        |FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+        |ORDER BY r.lang""".stripMargin,
+    "text_lm_unigram_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab),
+        |probs AS (SELECT word,
+        |    cast(-ln(cast(cnt as double) / cast(total as double))
+        |      as decimal(18,12)) AS nll
+        |  FROM vocab, tot)
+        |SELECT t.doc_id, count(*) AS n_tok,
+        |  round(cast(sum(p.nll) as double) / count(*), 6) AS avg_nll
+        |FROM toks t JOIN probs p ON t.word = p.word
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,215 @@
+package graft.ops
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Composite analytics queries — full multi-join/agg report shapes
+  * (TPC-H-derived Q3/Q5/Q6/Q10/Q15, adapted to the testdata columns).
+  *
+  * The single-operator inventory (§2.3/§2.4) proves each join/agg
+  * primitive in isolation; these queries prove the ORCHESTRATION: a
+  * 4-6 table join graph where the optimizer must pick build sides,
+  * push filters below joins, and prune columns per branch — the shape a
+  * BI layer actually emits against a 100 TB warehouse.
+  *
+  * Scale notes (verified in PLANS.md):
+  *  - Filters are declared on the base tables BEFORE the joins, so the
+  *    parquet scans show PushedFilters and each branch reads only its
+  *    referenced columns.
+  *  - Fixed-cardinality dims (region 5 rows, nation 25) are broadcast
+  *    EXPLICITLY — they stay tiny at any scale factor. Fact-fact joins
+  *    (lineitem⋈orders⋈customer/supplier) are left unhinted: AQE
+  *    broadcasts them at test SF and degrades to shuffle joins at
+  *    100 TB, where they co-partition on the join key.
+  *  - Top-N reports (`Q3`/`Q10`) end in orderBy+limit, which Spark
+  *    plans as TakeOrderedAndProject: per-partition heaps + a driver
+  *    merge of N rows — no global sort shuffle at any scale
+  *    (PlanSpec-pinned).
+  *  - Ties under the revenue sort break on the group key, so top-N is
+  *    a total order and the oracle matches row-for-row.
+  *  - Revenue terms follow the q1 exact-decimal discipline
+  *    (decimal(12,2)·decimal(3,2) products, ≤38 digits, cast to double
+  *    only at the end) so partition order can't change a single bit.
+  */
+object Analytics {
+
+  // shared exact-decimal revenue term: Σ price·(1−discount)
+  private def revenue: org.apache.spark.sql.Column = {
+    val one = lit(1).cast("decimal(3,2)")
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(3,2)")
+    sum(price * (one - disc)).cast("double")
+  }
+  private val sqlRevenue =
+    "cast(sum(cast(l_extendedprice as decimal(12,2)) * " +
+      "(cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2)))) as double)"
+
+  private def ts(lit0: String) = lit(lit0 + " 00:00:00").cast("timestamp")
+
+  val queries: Map[String, Q] = Map(
+    // Q3: unshipped-order value by segment — 3-way join, grouped revenue,
+    // top 10. The limit rides TakeOrderedAndProject, never a full sort.
+    "analytics_shipping_priority" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables(s, dir, "orders")
+        .where(col("o_orderdate") < ts("1998-07-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") > ts("1998-07-01"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(revenue.as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+
+    // Q5: revenue where the LOCAL supplier served the order (customer and
+    // supplier share a nation), one region, one year. region→nation is
+    // broadcast-reduced FIRST so only ~1/5 of suppliers survive into the
+    // fact join; the customer-nation equality rides the supplier join.
+    "analytics_local_supplier_volume" -> { (s, dir) =>
+      val asiaNations = Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = Tables(s, dir, "supplier")
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1998-01-01"))
+        .select("o_orderkey", "o_custkey")
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name")).agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Q6: would-be revenue from discount changes — pure scan+filter+agg;
+    // every predicate reaches the parquet scan as a pushed filter.
+    "analytics_discount_revenue" -> { (s, dir) =>
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(3,2)")
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
+          col("l_quantity") < 24)
+        .agg(sum(price * disc).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Q10: returned-item losses by customer, one year, top 20 — the
+    // customer-ranking report; nation is the only broadcast-hinted dim.
+    "analytics_returned_items" -> { (s, dir) =>
+      val ord = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= ts("1996-07-01") &&
+          col("o_orderdate") < ts("1997-07-01"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // Q15: supplier(s) with the quarter's MAX revenue — agg-of-agg. The
+    // 1-row max joins back via crossJoin(broadcast(...)), the same
+    // scalar-stat shape every profile query uses (never a partition-less
+    // window). The per-supplier aggregate is computed twice (once under
+    // max) because column pruning intentionally splits the two branches;
+    // each is one column-pruned 3-month scan.
+    "analytics_top_supplier" -> { (s, dir) =>
+      val rev = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1996-04-01"))
+        .groupBy(col("l_suppkey")).agg(revenue.as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("total_revenue") === col("max_rev"))
+        .join(Tables(s, dir, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "analytics_shipping_priority" ->
+      s"""SELECT l.l_orderkey, $sqlRevenue AS revenue,
+         |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, o.o_orderpriority
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+         |  AND l.l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+         |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+         |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+    "analytics_local_supplier_volume" ->
+      s"""SELECT n.n_name, $sqlRevenue AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin,
+    "analytics_discount_revenue" ->
+      """SELECT cast(sum(cast(l_extendedprice as decimal(12,2)) *
+        |    cast(l_discount as decimal(3,2))) as double) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.09
+        |  AND l_quantity < 24""".stripMargin,
+    "analytics_returned_items" ->
+      s"""SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         |  $sqlRevenue AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+         |  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    "analytics_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $sqlRevenue AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s.s_suppkey, s.s_name, r.total_revenue
+         |FROM rev r
+         |JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s.s_suppkey""".stripMargin
+  )
+}
