@@ -44,10 +44,15 @@ object Mix {
       val docs = Tables(s, dir, "documents")
       val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       val minN = stats.agg(min(col("n_docs")).as("n_min"))
+      // coalesce makes rate_e6 NON-NULLABLE (min() is a nullable aggregate,
+      // though never null here): otherwise the downstream `bucket < rate_e6`
+      // filter pushes an isnotnull(floor(…)) CONDITION onto this cross join,
+      // tripping the conditioned-BNLJ guard — a 1-row broadcast cross join
+      // must stay unconditioned
       val rates = stats.crossJoin(broadcast(minN))
         .withColumn("rate_e6",
-          floor(sqrt(col("n_min").cast("double") / col("n_docs").cast("double"))
-            * 1000000d).cast("long"))
+          coalesce(floor(sqrt(col("n_min").cast("double") /
+            col("n_docs").cast("double")) * 1000000d), lit(0L)).cast("long"))
         .select("lang", "n_docs", "rate_e6")
       // seeded LCG over the bounded key (split_train_test's overflow
       // contract); distinct multiplier/modulus from the split/shuffle

@@ -39,6 +39,23 @@ object Aggregates {
             col("exact_parts") <= 0.15).as("approx_ok"))
     },
 
+    // PER-GROUP HLL — the 100 TB shape for "distinct users per segment"
+    // dashboards: one pass, bounded per-group sketch state, map-side
+    // partials (countDistinct shuffles every distinct pair; the sketch
+    // shuffles |groups|×sketch_size). Same contract-oracle pattern as
+    // agg_approx_distinct: exact count + bounded-error boolean per group.
+    "agg_approx_distinct_by_group" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("exact_users"), col("n_events"),
+          (abs(col("approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.15).as("approx_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // sales by (nation), (nation, segment), () — Spark 4 native groupingSets
     "agg_grouping_sets" -> { (s, dir) =>
       val orders = Tables(s, dir, "orders")
@@ -101,6 +118,10 @@ object Aggregates {
     "agg_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
         |FROM lineitem""".stripMargin,
+    "agg_approx_distinct_by_group" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n_events, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_distinct" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_cust
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,

@@ -132,6 +132,44 @@ object Analytics {
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     },
 
+    // Q4: orders where at least one item shipped >90 days after ordering —
+    // EXISTS realized as a LEFT SEMI join whose condition mixes the equi
+    // key with a cross-table range predicate (the semi-join dedups
+    // multi-late-item orders for free; no count-distinct needed).
+    "analytics_order_priority_check" -> { (s, dir) =>
+      val ord = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1996-07-01"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Q18: large-volume orders — HAVING over a fact aggregate, joined BACK
+    // to the fact's parents. The quantity aggregate runs FIRST (one
+    // map-side-combined pass), so only the ~0.2% qualifying orderkeys
+    // reach the orders/customer joins.
+    "analytics_large_orders" -> { (s, dir) =>
+      val big = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 200)
+      big.join(Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey")).limit(20)
+    },
+
     // Q15: supplier(s) with the quarter's MAX revenue — agg-of-agg. The
     // 1-row max joins back via crossJoin(broadcast(...)), the same
     // scalar-stat shape every profile query uses (never a partition-less
@@ -199,6 +237,27 @@ object Analytics {
          |  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
          |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
          |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    "analytics_order_priority_check" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    "analytics_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${sqlDsum("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${sqlDsum("l_quantity")} > 200)
+         |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+         |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  o.o_totalprice, b.total_qty
+         |FROM big b
+         |JOIN orders o ON b.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |ORDER BY b.total_qty DESC, o.o_orderkey LIMIT 20""".stripMargin,
     "analytics_top_supplier" ->
       s"""WITH rev AS (
          |  SELECT l_suppkey, $sqlRevenue AS total_revenue

@@ -441,4 +441,40 @@ class PlanSpec extends SparkSuite {
         }
       }
   }
+
+  test("analytics top-N reports end in TakeOrderedAndProject, not a global sort") {
+    Seq("analytics_shipping_priority", "analytics_returned_items").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("analytics_local_supplier_volume broadcasts the region-nation reduction") {
+    val p = plan("analytics_local_supplier_volume")
+    // region→nation and nation→supplier are explicit broadcasts; the
+    // fact joins stay unhinted (AQE may still broadcast them at test SF)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("analytics_discount_revenue pushes every predicate into the parquet scan") {
+    val p = plan("analytics_discount_revenue")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"missing pushed filter on $c:\n$pushed")
+    }
+  }
+
+  test("pipeline_mix_temperature filters the corpus against a broadcast rate table") {
+    val p = plan("pipeline_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the corpus-side pass must not shuffle documents before the filter:
+    // the only hash exchanges are the tiny stats/kept aggregates
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("text_lm_unigram_score scores through a broadcast vocab join") {
+    val p = plan("text_lm_unigram_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
