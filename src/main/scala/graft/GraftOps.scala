@@ -159,6 +159,19 @@ object GraftOps {
       n: Int = 3): DataFrame =
     llm.Text.repetitionScored(df, idCol, textCol, n)
 
+  /** α-temperature corpus mixing (multilingual-sampling recipe):
+    * deterministically downsample so group sizes flatten toward n^α —
+    * keep-rate (n_min/n)^(1−α) per group, LCG-bucket assignment on
+    * `keyCol`, rate table broadcast (the corpus never shuffles). */
+  def mixTemperature(df: DataFrame, groupCol: String, keyCol: String,
+      alpha: Double = 0.5): DataFrame =
+    llm.Mix.mixTemperature(df, groupCol, keyCol, alpha)
+
+  /** per-document average unigram surprisal against a corpus-trained
+    * unigram LM (CCNet-style quality signal): (idCol, n_tok, avg_nll). */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    llm.Mix.unigramSurprisal(df, idCol, textCol)
+
   // ---- embedding similarity ----------------------------------------------
 
   /** attach a unit-normalized double vector column `v`. */

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft._
 import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus composition: temperature-weighted mixing + unigram-LM scoring.
@@ -9,13 +10,14 @@ import org.apache.spark.sql.functions._
   * - `pipeline_mix_temperature`: the α-temperature sampling recipe from
   *   the multilingual-pretraining literature (sample language l with
   *   probability ∝ n_l^α, α=0.5) realized as DETERMINISTIC down-sampling:
-  *   per-group keep-rate r_l = sqrt(n_min / n_l), normalized so the
+  *   per-group keep-rate r_l = (n_min / n_l)^(1−α), normalized so the
   *   SMALLEST group keeps everything (rates in (0,1], no up-sampling —
   *   the up-sampling lever is `pipeline_mix_epochs`). A row is kept iff
   *   an arithmetic LCG bucket of its key falls under floor(r_l·10⁶) —
   *   content-stable across engines, retries, and repartitioning, unlike
-  *   `sample(fraction)`. sqrt/divide are single IEEE ops (bit-identical
-  *   in both engines); thresholds are compared as integers.
+  *   `sample(fraction)`. At α=0.5 the rate is a single IEEE sqrt/divide
+  *   (bit-identical in both engines — the declared query pins α=0.5 for
+  *   exactly this reason); thresholds are compared as integers.
   *
   *   Scale shape: pass 1 is a column-pruned count per group (|groups|
   *   rows out); the 1-row min joins back via crossJoin(broadcast(…));
@@ -36,30 +38,80 @@ import org.apache.spark.sql.functions._
   *   (doc_id, decimal) shuffle. At 100 TB the vocab table for a real
   *   tokenizer is ≤ a few 100k rows — still broadcastable; training the
   *   LM is one map-side-combined count pass.
+  *
+  * Both declared queries run THROUGH the public kernels below
+  * ([[temperatureRates]]/[[mixTemperature]], [[unigramSurprisal]]), so
+  * the oracle gate exercises the API — the GraftOpsSpec pattern.
   */
 object Mix {
+
+  /** Keep-rate table for [[mixTemperature]]: one row per group —
+    * (groupCol, n_docs, rate_e6) with rate_e6 = floor((n_min/n)^(1−α)·10⁶).
+    * α=0.5 routes through sqrt (IEEE-exact, engine-portable); other α
+    * through pow (correct, but pow's last bit is libm-dependent — keep
+    * oracle-gated uses at 0.5).
+    *
+    * rate_e6 is built NON-NULLABLE (coalesce over the nullable min()):
+    * otherwise a downstream `bucket < rate_e6` filter pushes an
+    * isnotnull(floor(…)) CONDITION onto the 1-row broadcast cross join,
+    * turning it into a conditioned BNLJ (PlanSpec guard). */
+  def temperatureRates(df: DataFrame, groupCol: String, alpha: Double = 0.5)
+      : DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val stats = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val minN = stats.agg(min(col("n_docs")).as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_docs").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1d - alpha)
+    stats.crossJoin(broadcast(minN))
+      .withColumn("rate_e6",
+        coalesce(floor(rate * 1000000d), lit(0L)).cast("long"))
+      .select(col(groupCol), col("n_docs"), col("rate_e6"))
+  }
+
+  /** Deterministic LCG bucket in [0, 10⁶) over a bounded numeric key —
+    * split_train_test's overflow contract (key % 100003 keeps the int64
+    * product exact in any engine); multiplier distinct from the
+    * split/shuffle hashes so the three assignments don't correlate. */
+  def mixBucket(key: Column): Column = (key % 100003L) * 69069L % 1000000L
+
+  /** PUBLIC API: temperature-downsample `df` so group sizes flatten
+    * toward n^α — returns the kept rows (original columns). Pass a
+    * precomputed [[temperatureRates]] to avoid rebuilding the stats pass
+    * when the caller also reports on the rates. The corpus side never
+    * shuffles: the rate table joins in broadcast and the LCG filter is
+    * map-side. */
+  def mixTemperature(df: DataFrame, groupCol: String, keyCol: String,
+      alpha: Double = 0.5, rates: Option[DataFrame] = None): DataFrame = {
+    val r = rates.getOrElse(temperatureRates(df, groupCol, alpha))
+    df.join(broadcast(r.select(col(groupCol), col("rate_e6"))), Seq(groupCol))
+      .where(mixBucket(col(keyCol)) < col("rate_e6"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** PUBLIC API: per-document average unigram surprisal (self-trained
+    * corpus LM) — returns (idCol, n_tok, avg_nll), avg_nll = round-6 of
+    * Σ −ln p(w) / n_tok with decimal(18,12) per-token terms. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val probs = vocab
+      .crossJoin(broadcast(vocab.agg(sum(col("cnt")).as("total"))))
+      .select(col("word"),
+        (-log(col("cnt").cast("double") / col("total").cast("double")))
+          .cast("decimal(18,12)").as("nll"))
+    toks.join(broadcast(probs), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+  }
 
   val queries: Map[String, Q] = Map(
     "pipeline_mix_temperature" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      val minN = stats.agg(min(col("n_docs")).as("n_min"))
-      // coalesce makes rate_e6 NON-NULLABLE (min() is a nullable aggregate,
-      // though never null here): otherwise the downstream `bucket < rate_e6`
-      // filter pushes an isnotnull(floor(…)) CONDITION onto this cross join,
-      // tripping the conditioned-BNLJ guard — a 1-row broadcast cross join
-      // must stay unconditioned
-      val rates = stats.crossJoin(broadcast(minN))
-        .withColumn("rate_e6",
-          coalesce(floor(sqrt(col("n_min").cast("double") /
-            col("n_docs").cast("double")) * 1000000d), lit(0L)).cast("long"))
-        .select("lang", "n_docs", "rate_e6")
-      // seeded LCG over the bounded key (split_train_test's overflow
-      // contract); distinct multiplier/modulus from the split/shuffle
-      // hashes so the three assignments don't correlate
-      val bucket = (col("doc_id") % 100003L) * 69069L % 1000000L
-      val kept = docs.join(broadcast(rates), Seq("lang"))
-        .where(bucket < col("rate_e6"))
+      val rates = temperatureRates(docs, "lang")
+      val kept = mixTemperature(docs, "lang", "doc_id", rates = Some(rates))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars_kept"))
       rates.join(kept, Seq("lang"), "left")
@@ -70,18 +122,7 @@ object Mix {
     },
 
     "text_lm_unigram_score" -> { (s, dir) =>
-      val toks = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
-      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      val probs = vocab
-        .crossJoin(broadcast(vocab.agg(sum(col("cnt")).as("total"))))
-        .select(col("word"),
-          (-log(col("cnt").cast("double") / col("total").cast("double")))
-            .cast("decimal(18,12)").as("nll"))
-      toks.join(broadcast(probs), Seq("word"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"),
-          round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      unigramSurprisal(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }
   )

@@ -153,6 +153,59 @@ object Sources {
         .agg(count(lit(1)).as("n_events"),
           sum(col("event_id")).as("sum_ids"))
         .orderBy(col("user_id"), col("vb"))
+    },
+
+    // SCHEMA EVOLUTION read: a long-lived table accretes columns across
+    // generations; mergeSchema=true unions the footers into one schema
+    // (absent columns read as null) — the one sanctioned use of schema
+    // inference here, because reconciling generation schemas IS the
+    // operation (each footer read is O(metadata), not a data scan; at
+    // 100 TB the generation count, not the row count, is the cost).
+    // count(col) vs count(*) distinguishes rows that HAVE the late column,
+    // so the gate proves null-backfill, not just row survival.
+    "source_merge_schema" -> { (s, dir) =>
+      val path = s"${tmpRoot(dir)}/lineitem_evolving"
+      val li = Tables(s, dir, "lineitem")
+      li.where(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").parquet(s"$path/gen1")
+      li.where(col("l_orderkey") % 2 =!= 0)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+        .write.mode("overwrite").parquet(s"$path/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/gen1", s"$path/gen2")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(col("l_discount")).as("n_with_discount"),
+          dsum(coalesce(col("l_discount"), lit(0.0))).as("sum_disc"))
+    },
+
+    // SMALL-FILE COMPACTION: the chronic 100 TB maintenance op — a
+    // fragmented layout (here 64 shards of a small table) is rewritten
+    // into few right-sized files. coalesce(), NOT repartition(): it
+    // merges input splits map-side with zero shuffle, which is the
+    // correct primitive when the goal is fewer files, not a new
+    // distribution (a real job picks N from bytes/targetFileSize per
+    // partition dir). The declared result is the content checksum read
+    // back from the compacted layout — the gate proves losslessness;
+    // SourcesSpec asserts the file count actually dropped.
+    "layout_compact_small_files" -> { (s, dir) =>
+      val frag = s"${tmpRoot(dir)}/events_fragmented"
+      val compacted = s"${tmpRoot(dir)}/events_compacted"
+      val sel = Seq("event_id", "user_id", "value")
+      Tables(s, dir, "events").select(sel.map(col): _*)
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      s.read.schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .parquet(frag)
+        .coalesce(2)
+        .write.mode("overwrite").parquet(compacted)
+      s.read.schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .parquet(compacted)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("sum_ids"),
+          sum(col("user_id")).as("sum_users"),
+          dsum(col("value")).as("sum_value"))
     }
   )
 
@@ -189,6 +242,18 @@ object Sources {
         |      cast(least(floor(value / 10.0), 63.0) as bigint) AS vb
         |      FROM events)
         |WHERE user_id BETWEEN 1 AND 3 AND vb BETWEEN 2 AND 5
-        |GROUP BY user_id, vb ORDER BY user_id, vb""".stripMargin
+        |GROUP BY user_id, vb ORDER BY user_id, vb""".stripMargin,
+    "source_merge_schema" ->
+      s"""SELECT count(*) AS n_rows, ${sqlDsum("l_quantity")} AS sum_qty,
+         |count(CASE WHEN l_orderkey % 2 <> 0 THEN 1 END) AS n_with_discount,
+         |cast(sum(cast(CASE WHEN l_orderkey % 2 <> 0 THEN l_discount
+         |  ELSE 0 END as decimal(18,4))) as double) AS sum_disc
+         |FROM lineitem""".stripMargin,
+    "layout_compact_small_files" ->
+      s"""SELECT count(*) AS n_rows,
+         |cast(sum(event_id) as bigint) AS sum_ids,
+         |cast(sum(user_id) as bigint) AS sum_users,
+         |${sqlDsum("value")} AS sum_value
+         |FROM events""".stripMargin
   )
 }

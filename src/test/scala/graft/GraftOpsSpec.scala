@@ -324,4 +324,39 @@ class GraftOpsSpec extends SparkSuite {
     // blocking keeps both (the operator's documented recall trade)
     assert(out == Seq(1L, 3L, 4L, 6L))
   }
+
+  test("mixTemperature keeps exactly the model's LCG-selected subset per group") {
+    // groups: a=40 rows, b=10 rows (n_min=10) → rate_a = sqrt(10/40) = 0.5
+    // exactly (rate_e6 = 500000), rate_b = 1.0 (rate_e6 = 1000000, keeps all)
+    val rows = (1L to 40L).map(k => (k, "a")) ++ (101L to 110L).map(k => (k, "b"))
+    val df = rows.toDF("key", "grp")
+    val kept = GraftOps.mixTemperature(df, "grp", "key")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def bucket(k: Long) = k % 100003L * 69069L % 1000000L
+    val expected = rows.filter { case (k, g) =>
+      bucket(k) < (if (g == "a") 500000L else 1000000L)
+    }.toSet
+    assert(kept == expected)
+    assert(rows.filter(_._2 == "b").toSet.subsetOf(kept),
+      "smallest group must keep every row")
+    // deterministic: a second run selects the identical subset
+    val again = GraftOps.mixTemperature(df, "grp", "key")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == kept)
+  }
+
+  test("unigramSurprisal matches the in-memory unigram LM on a user corpus") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("id", "body")
+    val out = GraftOps.unigramSurprisal(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus tokens: x:2, y:2, z:1, total 5
+    def nll(c: Long) = BigDecimal(-math.log(c.toDouble / 5.0))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def avg(cs: Seq[Long]) = BigDecimal(
+      cs.map(nll).sum.toDouble / cs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3L && out(2L)._1 == 2L)
+    assert(out(1L)._2 == avg(Seq(2L, 2L, 2L)))
+    assert(out(2L)._2 == avg(Seq(2L, 1L)))
+  }
 }

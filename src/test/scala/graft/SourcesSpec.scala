@@ -188,4 +188,25 @@ class SourcesSpec extends SparkSuite {
     }
     assert(locks.forall(l => !Files.exists(l)), "healer leaked its lock")
   }
+
+  test("layout_compact_small_files actually compacts 64 shards into 2 files") {
+    // run the declared query (it writes both layouts as a side effect),
+    // then count the parquet parts each layout holds
+    SparkEntry.queries("layout_compact_small_files")(spark, sf).collect()
+    val root = Paths.get(Tables.scratchDir("sources", sf))
+    def parts(d: String) = listDir(root.resolve(d))
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(parts("events_fragmented") == 64,
+      "fragmented layout should have 64 shards")
+    assert(parts("events_compacted") == 2,
+      "compaction should produce exactly 2 files")
+  }
+
+  test("source_merge_schema backfills the late column with nulls, not failures") {
+    val row = SparkEntry.queries("source_merge_schema")(spark, sf).head()
+    val nRows = row.getAs[Long]("n_rows")
+    val nWith = row.getAs[Long]("n_with_discount")
+    assert(nRows > 0 && nWith > 0 && nWith < nRows,
+      s"expected a mix of pre- and post-evolution rows, got n=$nRows with=$nWith")
+  }
 }
