@@ -58,7 +58,14 @@ object Mix {
   def temperatureRates(df: DataFrame, groupCol: String, alpha: Double = 0.5)
       : DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    // |groups| rows, lazily materialized: BOTH consumers (the 1-row min
+    // aggregate and the crossJoin left side) read the checkpoint instead
+    // of re-scanning the input per branch — column pruning breaks the
+    // subtree equality exchange-reuse needs (the ScanAudit trap), so
+    // without this the stats pass runs twice. Blocks are reclaimed by
+    // ContextCleaner once the relation is unreferenced.
     val stats = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(false)
     val minN = stats.agg(min(col("n_docs")).as("n_min"))
     val ratio = col("n_min").cast("double") / col("n_docs").cast("double")
     val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1d - alpha)
@@ -95,7 +102,12 @@ object Mix {
       : DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("word"))
+    // |vocab| rows, lazily materialized: the total aggregate and the
+    // probs projection both consume vocab with different prunings — the
+    // checkpoint keeps the corpus at exactly TWO tokenization passes
+    // (LM training + scoring) instead of three (ScanAudit census)
     val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val probs = vocab
       .crossJoin(broadcast(vocab.agg(sum(col("cnt")).as("total"))))
       .select(col("word"),
@@ -111,13 +123,19 @@ object Mix {
     "pipeline_mix_temperature" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val rates = temperatureRates(docs, "lang")
-      val kept = mixTemperature(docs, "lang", "doc_id", rates = Some(rates))
+      // ONE corpus scan: the keep decision rides CONDITIONAL aggregates
+      // over the broadcast-joined rates — a filtered-subset aggregate
+      // plus a rates join-back would consume `rates` twice with
+      // divergent prunings and re-run its stats pass (ScanAudit trap).
+      // Every group appears (unfiltered join), so zero-kept groups
+      // surface as 0 rows kept, exactly the oracle's left-join+coalesce.
+      val keep = mixBucket(col("doc_id")) < col("rate_e6")
+      docs.join(broadcast(rates), Seq("lang"))
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars_kept"))
-      rates.join(kept, Seq("lang"), "left")
-        .select(col("lang"), col("n_docs"), col("rate_e6"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("sum_chars_kept"), lit(0L)).as("sum_chars_kept"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("rate_e6")).as("rate_e6"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("n_chars")).otherwise(0L)).as("sum_chars_kept"))
         .orderBy(col("lang"))
     },
 
