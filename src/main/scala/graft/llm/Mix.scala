@@ -78,21 +78,31 @@ object Mix {
   /** Deterministic LCG bucket in [0, 10⁶) over a bounded numeric key —
     * split_train_test's overflow contract (key % 100003 keeps the int64
     * product exact in any engine); multiplier distinct from the
-    * split/shuffle hashes so the three assignments don't correlate. */
-  def mixBucket(key: Column): Column = (key % 100003L) * 69069L % 1000000L
+    * split/shuffle hashes so the three assignments don't correlate.
+    * pmod, not %: a signed remainder on a negative key would be negative
+    * and thus below EVERY rate threshold — negative-key rows would
+    * bypass downsampling entirely. (The declared oracle mirrors with %
+    * under its doc_id ≥ 0 fixture contract, where the two agree.) */
+  def mixBucket(key: Column): Column =
+    pmod((key % 100003L) * 69069L, lit(1000000L))
 
   /** PUBLIC API: temperature-downsample `df` so group sizes flatten
     * toward n^α — returns the kept rows (original columns). Pass a
     * precomputed [[temperatureRates]] to avoid rebuilding the stats pass
     * when the caller also reports on the rates. The corpus side never
     * shuffles: the rate table joins in broadcast and the LCG filter is
-    * map-side. */
+    * map-side. Group keys compare NULL-SAFE — a null group is a group
+    * (it counts toward n_min and keeps its own rate), matching groupBy,
+    * never silently dropped. */
   def mixTemperature(df: DataFrame, groupCol: String, keyCol: String,
       alpha: Double = 0.5, rates: Option[DataFrame] = None): DataFrame = {
+    require(!df.columns.contains("rate_e6") && !df.columns.contains("n_docs"),
+      "mixTemperature reserves the column names rate_e6, n_docs")
     val r = rates.getOrElse(temperatureRates(df, groupCol, alpha))
-    df.join(broadcast(r.select(col(groupCol), col("rate_e6"))), Seq(groupCol))
-      .where(mixBucket(col(keyCol)) < col("rate_e6"))
-      .select(df.columns.map(col).toIndexedSeq: _*)
+      .select(col(groupCol), col("rate_e6"))
+    df.join(broadcast(r), df(groupCol) <=> r(groupCol))
+      .where(mixBucket(col(keyCol)) < r("rate_e6"))
+      .select(df.columns.map(df(_)).toIndexedSeq: _*)
   }
 
   /** PUBLIC API: per-document average unigram surprisal (self-trained

@@ -345,6 +345,30 @@ class GraftOpsSpec extends SparkSuite {
     assert(again == kept)
   }
 
+  test("mixTemperature downsamples negative keys and keeps the null group") {
+    // 40 negative-key rows in group a, 10 rows in the NULL group: the null
+    // group is a group (n_min = 10, rate 1.0 keeps all of it) and negative
+    // keys land in [0, 1e6) via pmod — a signed % would put them below
+    // every threshold and keep all 40
+    val rows = (1L to 40L).map(k => (-k, Option("a"))) ++
+      (101L to 110L).map(k => (k, Option.empty[String]))
+    val df = rows.toDF("key", "grp")
+    val kept = GraftOps.mixTemperature(df, "grp", "key")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    def bucket(k: Long) = {
+      val m = k % 100003L * 69069L % 1000000L
+      if (m < 0) m + 1000000L else m
+    }
+    val expected = rows.filter { case (k, g) =>
+      bucket(k) < (if (g.contains("a")) 500000L else 1000000L)
+    }.toSet
+    assert(kept == expected)
+    assert(rows.filter(_._2.isEmpty).toSet.subsetOf(kept),
+      "null group must survive with its own rate")
+    assert(kept.count(_._2.contains("a")) < 40,
+      "negative keys must actually be downsampled")
+  }
+
   test("unigramSurprisal matches the in-memory unigram LM on a user corpus") {
     val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("id", "body")
     val out = GraftOps.unigramSurprisal(docs, "id", "body")

@@ -460,8 +460,13 @@ class PlanSpec extends SparkSuite {
   test("analytics_discount_revenue pushes every predicate into the parquet scan") {
     val p = plan("analytics_discount_revenue")
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
-    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
-      assert(pushed.contains(c), s"missing pushed filter on $c:\n$pushed")
+    // assert the COMPARISON forms, not bare column names — IsNotNull
+    // entries alone would satisfy a name check while the range pushdown
+    // silently regressed
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"missing pushed range filter $c:\n$pushed")
     }
   }
 
