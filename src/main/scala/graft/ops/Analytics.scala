@@ -170,6 +170,24 @@ object Analytics {
         .orderBy(col("total_qty").desc, col("o_orderkey")).limit(20)
     },
 
+    // Q13: how many customers placed 0, 1, 2… orders — LEFT OUTER join
+    // preserving order-less customers, per-customer count (count(col)
+    // ignores the outer join's nulls), then the tiny histogram aggregate.
+    // The outer join and the first aggregate share c_custkey
+    // partitioning, so the count piggybacks on the join shuffle; the
+    // histogram input is |customers| narrow rows and its output ≤
+    // max-order-count rows.
+    "analytics_customer_distribution" -> { (s, dir) =>
+      val perCust = Tables(s, dir, "customer").select("c_custkey")
+        .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
     // Q15: supplier(s) with the quarter's MAX revenue — agg-of-agg. The
     // 1-row max joins back via crossJoin(broadcast(...)), the same
     // scalar-stat shape every profile query uses (never a partition-less
@@ -258,6 +276,12 @@ object Analytics {
          |JOIN orders o ON b.l_orderkey = o.o_orderkey
          |JOIN customer c ON o.o_custkey = c.c_custkey
          |ORDER BY b.total_qty DESC, o.o_orderkey LIMIT 20""".stripMargin,
+    "analytics_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "analytics_top_supplier" ->
       s"""WITH rev AS (
          |  SELECT l_suppkey, $sqlRevenue AS total_revenue
