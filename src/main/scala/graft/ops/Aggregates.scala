@@ -56,6 +56,33 @@ object Aggregates {
         .orderBy(col("event_type"))
     },
 
+    // MERGEABLE sketch rollup — the pattern behind every 100 TB distinct
+    // dashboard: sketch ONCE at fine grain ((event_type, day) HLL of
+    // user_id via DataSketches hll_sketch_agg), store the binary sketch
+    // column, then RE-AGGREGATE to any coarser grain with hll_union_agg —
+    // no return trip to the raw data. Distinct from
+    // agg_approx_distinct_by_group (a direct one-shot HLL): this gate
+    // proves the sketch SURVIVES an intermediate aggregate and unions
+    // correctly. Contract oracle: exact count + bounded-error boolean
+    // (HLL_4 lgK=12 rsd ≈ 1.6%; the 15% bound is the family's 3σ+
+    // convention).
+    "profile_distinct_sketch_mergeable" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      val daily = e.groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
+          count(lit(1)).as("n_days"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"), col("n_days"),
+          (abs(col("approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.15).as("approx_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // sales by (nation), (nation, segment), () — Spark 4 native groupingSets
     "agg_grouping_sets" -> { (s, dir) =>
       val orders = Tables(s, dir, "orders")
@@ -121,6 +148,11 @@ object Aggregates {
     "agg_approx_distinct_by_group" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  count(*) AS n_events, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "profile_distinct_sketch_mergeable" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  count(DISTINCT cast(cast(ts as timestamp) as date)) AS n_days,
+        |  true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_distinct" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_cust
