@@ -206,6 +206,88 @@ object Analytics {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy(col("s_suppkey"))
+    },
+
+    // Q14: promo revenue share in one month — conditional aggregation over
+    // a fact⋈dim join. The promo indicator multiplies the exact-decimal
+    // revenue term (CASE-as-0/1-factor keeps the sum in decimal; a
+    // null-skipping conditional sum would go null on a promo-free slice).
+    "analytics_promo_revenue" -> { (s, dir) =>
+      val one = lit(1).cast("decimal(3,2)")
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(3,2)")
+      val rev = price * (one - disc)
+      val promo = when(col("p_type") === "PROMO", lit(1)).otherwise(lit(0))
+        .cast("decimal(1,0)")
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1996-03-01") &&
+          col("l_shipdate") < ts("1996-04-01"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(Tables(s, dir, "part").select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(rev * promo).cast("double").as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(col("promo_revenue") * 100d / col("total_revenue"), 6)
+            .as("promo_pct"))
+    },
+
+    // Q17: revenue lost to small-quantity orders — a per-part aggregate
+    // (half the part's average quantity) joined back against the SAME
+    // fact as a filter threshold. The threshold side is |parts| rows;
+    // at 100 TB both sides co-partition on partkey.
+    "analytics_small_qty_revenue" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val brandParts = Tables(s, dir, "part")
+        .where(col("p_brand") === "Brand#1").select("p_partkey")
+      val branded = li.join(brandParts, col("l_partkey") === col("p_partkey"))
+      val thr = branded.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((davg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+      branded.join(thr, col("l_partkey") === col("t_partkey"))
+        .where(col("l_quantity") < col("half_avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+    },
+
+    // Q19: disjunctive brand/size/quantity eligibility — an OR of
+    // conjunct groups that cannot fully push below the join; the
+    // optimizer can still push the extracted common bounds and must
+    // evaluate the residual OR post-join without degrading to a
+    // nested loop (equi key stays conjunctive).
+    "analytics_special_revenue" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = Tables(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val eligible =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .where(eligible)
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
+    },
+
+    // Q22: lapsed high-balance customers — the 1-row scalar average
+    // returns via crossJoin(broadcast(…)), the no-recent-orders test is
+    // a LEFT ANTI join against the date-filtered orders, and the report
+    // groups by nation. positive-balance avg over customers, like the
+    // original's country-code shape adapted to the available columns.
+    "analytics_lapsed_customers" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val avgBal = cust.where(col("c_acctbal") > 0)
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+      val recent = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= ts("2000-01-01"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
     }
   )
 
@@ -276,6 +358,52 @@ object Analytics {
          |JOIN orders o ON b.l_orderkey = o.o_orderkey
          |JOIN customer c ON o.o_custkey = c.c_custkey
          |ORDER BY b.total_qty DESC, o.o_orderkey LIMIT 20""".stripMargin,
+    "analytics_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT cast(l_extendedprice as decimal(12,2)) *
+        |      (cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2))) *
+        |      (CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS promo_rev,
+        |    cast(l_extendedprice as decimal(12,2)) *
+        |      (cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT cast(sum(promo_rev) as double) AS promo_revenue,
+        |  cast(sum(rev) as double) AS total_revenue,
+        |  round(cast(sum(promo_rev) as double) * 100 /
+        |    cast(sum(rev) as double), 6) AS promo_pct
+        |FROM j""".stripMargin,
+    "analytics_small_qty_revenue" ->
+      s"""WITH branded AS (
+         |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |  WHERE p.p_brand = 'Brand#1'),
+         |thr AS (
+         |  SELECT l_partkey, ${sqlDavg("l_quantity")} * 0.5 AS half_avg_qty
+         |  FROM branded GROUP BY l_partkey)
+         |SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
+         |  count(*) AS n_small
+         |FROM branded b JOIN thr t ON b.l_partkey = t.l_partkey
+         |WHERE b.l_quantity < t.half_avg_qty""".stripMargin,
+    "analytics_special_revenue" ->
+      s"""SELECT $sqlRevenue AS revenue, count(*) AS n_lines
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+         |       AND l.l_quantity BETWEEN 1 AND 20)
+         |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+         |       AND l.l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    "analytics_lapsed_customers" ->
+      s"""WITH avg_bal AS (
+         |  SELECT ${sqlDavg("c_acctbal")} AS avg_bal
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c.c_nationkey, count(*) AS numcust,
+         |  ${sqlDsum("c_acctbal")} AS totacctbal
+         |FROM customer c, avg_bal a
+         |WHERE c.c_acctbal > a.avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c.c_custkey
+         |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
     "analytics_customer_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
