@@ -269,11 +269,15 @@ object Analytics {
         .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
     },
 
-    // Q22: lapsed high-balance customers — the 1-row scalar average
-    // returns via crossJoin(broadcast(…)), the no-recent-orders test is
-    // a LEFT ANTI join against the date-filtered orders, and the report
-    // groups by nation. positive-balance avg over customers, like the
-    // original's country-code shape adapted to the available columns.
+    // Q22: lapsed high-balance customers — the no-recent-orders test is
+    // a LEFT ANTI join against the date-filtered orders; the 1-row scalar
+    // average returns via crossJoin(broadcast(…)) with the balance
+    // comparison living in CONDITIONAL AGGREGATES, not a filter (a
+    // filter referencing both cross-join sides would push into the join
+    // and turn it into a conditioned BNLJ — the outlier_remove pattern;
+    // the post-aggregate numcust > 0 restores the oracle's qualifying-
+    // nations-only output). positive-balance avg over customers, like
+    // the original's country-code shape adapted to available columns.
     "analytics_lapsed_customers" -> { (s, dir) =>
       val cust = Tables(s, dir, "customer")
         .select("c_custkey", "c_nationkey", "c_acctbal")
@@ -282,11 +286,13 @@ object Analytics {
       val recent = Tables(s, dir, "orders")
         .where(col("o_orderdate") >= ts("2000-01-01"))
         .select(col("o_custkey"))
-      cust.crossJoin(broadcast(avgBal))
-        .where(col("c_acctbal") > col("avg_bal"))
-        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      val high = col("c_acctbal") > col("avg_bal")
+      cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
         .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("numcust"),
+          dsum(when(high, col("c_acctbal"))).as("totacctbal"))
+        .where(col("numcust") > 0)
         .orderBy(col("c_nationkey"))
     }
   )

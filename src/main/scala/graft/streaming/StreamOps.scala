@@ -45,6 +45,24 @@ object StreamOps {
       .select(col("user_id"), col("w.start").as("start"), col("w.end").as("end"),
         col("n_events"))
 
+  /** 1-hour tumbling DISTINCT-user estimates per event_type — the
+    * streaming face of the distinct-count dashboard family
+    * (agg_approx_distinct_by_group / profile_distinct_sketch_mergeable).
+    * approx_count_distinct keeps O(sketch) state per (window, type) —
+    * exact countDistinct is unsupported in streaming aggregations
+    * precisely because its state is unbounded; the sketch is the ONLY
+    * scale-safe shape, batch or stream. The same definition runs on a
+    * batch frame (StreamingSpec pins batch parity within the sketch's
+    * error bound) and on MemoryStream input. */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"),
+        col("approx_users"), col("n"))
+
   /** Drop duplicate event_ids within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events
