@@ -73,7 +73,10 @@ object Aggregates {
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
       val merged = daily.groupBy(col("event_type"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
-          count(lit(1)).as("n_days"))
+          // count(day), not count(*): a null-ts generation would form a
+          // null-day group here, but the oracle's count(DISTINCT day)
+          // skips nulls — keep the two sides symmetric
+          count(col("day")).as("n_days"))
       val exact = e.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
       exact.join(merged, Seq("event_type"))

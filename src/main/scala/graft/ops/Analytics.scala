@@ -34,13 +34,18 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  // shared exact-decimal revenue term: Σ price·(1−discount)
-  private def revenue: org.apache.spark.sql.Column = {
+  // shared exact-decimal revenue term: price·(1−discount) — ONE copy of
+  // the decimal-discipline recipe (decimal(12,2)·decimal(3,2), ≤38
+  // digits); every consumer sums this term so the bit-parity contract
+  // has a single point of truth
+  private def revTerm: org.apache.spark.sql.Column = {
     val one = lit(1).cast("decimal(3,2)")
     val price = col("l_extendedprice").cast("decimal(12,2)")
     val disc = col("l_discount").cast("decimal(3,2)")
-    sum(price * (one - disc)).cast("double")
+    price * (one - disc)
   }
+  private def revenue: org.apache.spark.sql.Column =
+    sum(revTerm).cast("double")
   private val sqlRevenue =
     "cast(sum(cast(l_extendedprice as decimal(12,2)) * " +
       "(cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2)))) as double)"
@@ -213,10 +218,7 @@ object Analytics {
     // revenue term (CASE-as-0/1-factor keeps the sum in decimal; a
     // null-skipping conditional sum would go null on a promo-free slice).
     "analytics_promo_revenue" -> { (s, dir) =>
-      val one = lit(1).cast("decimal(3,2)")
-      val price = col("l_extendedprice").cast("decimal(12,2)")
-      val disc = col("l_discount").cast("decimal(3,2)")
-      val rev = price * (one - disc)
+      val rev = revTerm
       val promo = when(col("p_type") === "PROMO", lit(1)).otherwise(lit(0))
         .cast("decimal(1,0)")
       Tables(s, dir, "lineitem")

@@ -80,6 +80,31 @@ object StreamQueries {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1).drop("rn")
         .orderBy(col("event_id"))
+    },
+
+    // batch form of StreamOps.distinctUsers (1 h tumbling approx-distinct
+    // per type) under the contract-oracle pattern: exact distinct count +
+    // bounded-error boolean (DuckDB can't reproduce the sketch value, and
+    // exact countDistinct is the very thing the streaming form exists to
+    // avoid — unbounded state). The MemoryStream cross-batch semantics
+    // live in StreamingSpec.
+    "stream_distinct_users" -> { (s, dir) =>
+      // hour-grain groups hold only a handful of distinct users, where a
+      // pure RELATIVE bound is the wrong contract: one register collision
+      // (linear-counting undercount by 1) is >15% of exact=4. rsd 0.01
+      // (2^14 registers) makes collisions rare and the bound allows
+      // |err| ≤ max(1, 15%) — the absolute-or-relative form every
+      // small-cardinality sketch contract needs.
+      Tables(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("ws"),
+          col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"))
+        .select(col("ws"), col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx") - col("exact_users")).cast("double") <=
+            greatest(lit(1.0), col("exact_users") * 0.15)).as("approx_ok"))
+        .orderBy(col("ws"), col("event_type"))
     }
   )
 
@@ -126,6 +151,11 @@ object StreamQueries {
         |SELECT event_id, user_id, event_type FROM (
         |  SELECT *, row_number() OVER (PARTITION BY event_id
         |    ORDER BY user_id, event_type) AS rn FROM u)
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "stream_distinct_users" ->
+      """SELECT cast(epoch(date_trunc('hour', cast(ts as timestamp))) as bigint) AS ws,
+        |event_type, count(DISTINCT user_id) AS exact_users, count(*) AS n,
+        |true AS approx_ok
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
   )
 }
