@@ -271,6 +271,50 @@ object Analytics {
         .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
     },
 
+    // Q8: national market share — the deepest join graph in the suite
+    // (lineitem, orders, customer, part, supplier, nation×2, region):
+    // what share of AMERICA's STANDARD-part revenue was supplied by one
+    // nation, per year. Dim reductions happen FIRST and broadcast
+    // (region→customer-nations; nation names onto suppliers); the share
+    // is a conditional-decimal numerator over the same exact-decimal
+    // denominator (Q14's CASE-as-factor), so a nation-free year reads
+    // 0.0, never null.
+    "analytics_market_share" -> { (s, dir) =>
+      val custNations = Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")
+          .where(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val suppNation = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val isTarget = when(col("supp_nation") === "NATION_3", lit(1))
+        .otherwise(lit(0)).cast("decimal(1,0)")
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(Tables(s, dir, "orders")
+          .where(col("o_orderdate") >= ts("1996-01-01") &&
+            col("o_orderdate") < ts("1998-01-01"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
+        .join(Tables(s, dir, "part")
+          .where(col("p_type") === "STANDARD").select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("mkt_year"))
+        .agg(sum(revTerm * isTarget).cast("double").as("nation_revenue"),
+          sum(revTerm).cast("double").as("total_revenue"))
+        .select(col("mkt_year"), col("nation_revenue"), col("total_revenue"),
+          round(col("nation_revenue") / col("total_revenue"), 6).as("mkt_share"))
+        .orderBy(col("mkt_year"))
+    },
+
     // Q22: lapsed high-balance customers — the no-recent-orders test is
     // a LEFT ANTI join against the date-filtered orders; the 1-row scalar
     // average returns via crossJoin(broadcast(…)) with the balance
@@ -400,6 +444,29 @@ object Analytics {
          |       AND l.l_quantity BETWEEN 1 AND 20)
          |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
          |       AND l.l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    "analytics_market_share" ->
+      """WITH j AS (
+        |  SELECT year(o.o_orderdate) AS mkt_year,
+        |    cast(l.l_extendedprice as decimal(12,2)) *
+        |      (cast(1 as decimal(3,2)) - cast(l.l_discount as decimal(3,2))) AS rev,
+        |    CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_target
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT mkt_year,
+        |  cast(sum(rev * is_target) as double) AS nation_revenue,
+        |  cast(sum(rev) as double) AS total_revenue,
+        |  round(cast(sum(rev * is_target) as double) /
+        |    cast(sum(rev) as double), 6) AS mkt_share
+        |FROM j GROUP BY mkt_year ORDER BY mkt_year""".stripMargin,
     "analytics_lapsed_customers" ->
       s"""WITH avg_bal AS (
          |  SELECT ${sqlDavg("c_acctbal")} AS avg_bal
