@@ -76,6 +76,15 @@ object GraftOps {
       threshold: Double, n: Int = 3, persistArrays: Boolean = true): DataFrame =
     llm.Dedup.dedupCorpus(df, idCol, textCol, threshold, n, persistArrays)
 
+  /** C4-style line-level exact dedup: split (doc_id, text) documents into
+    * fixed `blockWords`-word blocks, keep only each block's corpus-wide
+    * first occurrence (min (doc_id, block index)), reassemble survivors in
+    * original order → (doc_id, clean_text, n_blocks, n_kept). Removes
+    * repeated boilerplate FROM WITHIN otherwise-unique documents — the
+    * complement of document-level dedup. See [[llm.LineDedup.lineDedup]]. */
+  def lineDedup(docs: DataFrame, blockWords: Int): DataFrame =
+    llm.LineDedup.lineDedup(docs, blockWords)
+
   /** reclaim every relation the dedup stack persisted for `session` (the
     * memoized shingle arrays and band-sig/simhash caches) — call between
     * corpora in a long-lived session; returns how many were unpersisted. */
@@ -208,6 +217,14 @@ object GraftOps {
     * clusters kept as zero rows) — the corpus-diversity dashboard. */
   def ivfClusterStats(vectors: DataFrame, centroids: DataFrame): DataFrame =
     llm.Similarity.ivfClusterStats(vectors, centroids)
+
+  /** one distributed Lloyd iteration: assign (vec_id, v) unit vectors to
+    * their nearest (cid, cv) centroid, return element-wise member means
+    * as (cid, pos, n_members, c_val) — empty clusters absent (callers
+    * keep the previous centroid). Broadcast-centroid assignment +
+    * narrow (cid, pos, x) aggregate; see [[llm.Similarity.kmeansUpdate]]. */
+  def kmeansUpdate(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    llm.Similarity.kmeansUpdate(vectors, centroids)
 
   /** pairs within a blocking column whose cosine ≥ threshold. */
   def cosineThresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame =

@@ -24,9 +24,12 @@ object SparkEntry {
     (ops.Extras3.queries, ops.Extras3.oracle),
     (ops.Extras4.queries, ops.Extras4.oracle),
     (ops.Extras5.queries, ops.Extras5.oracle),
+    (ops.Extras6.queries, ops.Extras6.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
+    (ops.Analytics2.queries, ops.Analytics2.oracle),
     (llm.Mix.queries, llm.Mix.oracle),
     (llm.Dedup2.queries, llm.Dedup2.oracle),
+    (llm.LineDedup.queries, llm.LineDedup.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
     (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),
     (clean.Missing.queries, clean.Missing.oracle),

@@ -208,6 +208,37 @@ object Similarity {
         col("mean_cos"), col("min_cos"), col("max_cos"))
   }
 
+  /** PUBLIC API: one Lloyd iteration of distributed k-means — the
+    * centroid-refinement step an embedding-curation pipeline runs to
+    * TRAIN the IVF/SemDeDup centroid set it later queries with
+    * ([[annIvf]], [[Curation.semanticDedup]]): assign every vector to its
+    * nearest centroid ([[argmaxCentroid]] — the one shared tie-break),
+    * then recompute each centroid as the element-wise mean of its
+    * members.
+    *
+    * Scale shape: assignment is a broadcast-centroid map-side argmax
+    * (only (vec_id, v, cid) rows exist, the corpus never shuffles on
+    * cluster id); the element-wise mean POSEXPLODES the assigned vectors
+    * into narrow (cid, pos, x) rows that partial-aggregate map-side, so
+    * the shuffle carries at most |centroids|·dims rows per map
+    * partition and the result is |centroids|·dims rows total — the
+    * classic mini-batch-free distributed Lloyd step. The mean follows
+    * the davg discipline (decimal(18,12) term sum → one IEEE divide) so
+    * partition order can't move a bit.
+    *
+    * Empty clusters are ABSENT from the output (a Lloyd step has no
+    * members to average); callers keep the previous centroid by joining
+    * the update back over the old set. In: `vectors` (vec_id, v) unit
+    * vectors, `centroids` (cid, cv); out: one row per (cid, pos) with
+    * n_members and the updated component c_val (round 6). */
+  def kmeansUpdate(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(vectors, centroids)
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("x").cast("decimal(18,12)")).cast("double") /
+          count(lit(1)), 6).as("c_val"))
+
   /** PUBLIC API: all pairs within `blockCol` whose cosine ≥ threshold;
     * inputs carry unit vectors as (vec_id, <blockCol>, v). */
   def thresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame = {
@@ -301,6 +332,18 @@ object Similarity {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // one Lloyd iteration over the same pinned centroid set as
+    // sim_ann_ivf — assignment is the shared argmax, the element-wise
+    // mean is a narrow (cid, pos, x) aggregate (|centroids|·dims output
+    // rows); empty clusters are absent by the Lloyd contract.
+    "sim_kmeans_update" -> { (s, dir) =>
+      val all = vecs(s, dir)
+      val cents = all.where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      kmeansUpdate(all.select(col("vec_id"), col("v")), cents)
+        .orderBy(col("cid"), col("pos"))
+    },
+
     // SemDeDup end-to-end over vectors ∪ planted near-dup copies (the
     // dedup_embedding_threshold copies trick — the base table has no
     // cos ≥ 0.95 pairs), centroids pinned to the BASE %97 set for oracle
@@ -380,6 +423,25 @@ object Similarity {
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
          |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    // same %97 centroid set and arn=1 assignment as sim_ann_ivf, then the
+    // element-wise mean via lateral unnest-with-index (DuckDB's 1-based
+    // lambda index → pos = i − 1) under the decimal(18,12) davg discipline
+    "sim_kmeans_update" ->
+      s"""WITH e AS ($sqlVecs),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |assigned AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS arn
+         |  FROM e CROSS JOIN cents c) WHERE arn = 1),
+         |long AS (SELECT a.cid, u.el.i - 1 AS pos, u.el.s AS x
+         |  FROM assigned a,
+         |    unnest(list_transform(a.v, (s0, i) -> struct_pack(s := s0, i := i)))
+         |      AS u(el))
+         |SELECT cid, pos, count(*) AS n_members,
+         |  round(cast(sum(cast(x as decimal(18,12))) as double) / count(*), 6)
+         |    AS c_val
+         |FROM long GROUP BY cid, pos ORDER BY cid, pos""".stripMargin,
     // mirrors the engine stage-for-stage: same %97 base centroid set,
     // arn=1 assignment (max rounded cos, min cid — the argmaxCentroid
     // tie-break), within-cluster rounded-cos pairs, recursive-CTE

@@ -37,20 +37,20 @@ object Analytics {
   // shared exact-decimal revenue term: price·(1−discount) — ONE copy of
   // the decimal-discipline recipe (decimal(12,2)·decimal(3,2), ≤38
   // digits); every consumer sums this term so the bit-parity contract
-  // has a single point of truth
-  private def revTerm: org.apache.spark.sql.Column = {
+  // has a single point of truth (shared with Analytics2's composites)
+  private[ops] def revTerm: org.apache.spark.sql.Column = {
     val one = lit(1).cast("decimal(3,2)")
     val price = col("l_extendedprice").cast("decimal(12,2)")
     val disc = col("l_discount").cast("decimal(3,2)")
     price * (one - disc)
   }
-  private def revenue: org.apache.spark.sql.Column =
+  private[ops] def revenue: org.apache.spark.sql.Column =
     sum(revTerm).cast("double")
-  private val sqlRevenue =
+  private[ops] val sqlRevenue =
     "cast(sum(cast(l_extendedprice as decimal(12,2)) * " +
       "(cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2)))) as double)"
 
-  private def ts(lit0: String) = lit(lit0 + " 00:00:00").cast("timestamp")
+  private[ops] def ts(lit0: String) = lit(lit0 + " 00:00:00").cast("timestamp")
 
   val queries: Map[String, Q] = Map(
     // Q3: unshipped-order value by segment — 3-way join, grouped revenue,

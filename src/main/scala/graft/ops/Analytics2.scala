@@ -1,0 +1,237 @@
+package graft.ops
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Composite analytics, part 2 — the remaining TPC-H-derived report
+  * shapes the testdata columns can express (Q7/Q9/Q12/Q16/Q21), adapted
+  * where the canonical query needs columns this schema lacks
+  * (partsupp.ps_supplycost, l_commitdate/l_receiptdate, l_shipmode):
+  * lateness is re-derived as "shipped > 60 days after the order date"
+  * (a cross-table range predicate, same plan shape as Q4's EXISTS), and
+  * supply cost as a fixed fraction of p_retailprice.
+  *
+  * Scale notes (same regime as [[Analytics]], PLANS.md-verified):
+  *  - nation (25 rows, fixed cardinality at any SF) is always reduced
+  *    FIRST and broadcast; fact-fact joins stay unhinted for AQE.
+  *  - Q7 reduces supplier/customer to the two treaty nations BEFORE the
+  *    fact joins — only ~2/25 of each side survives into the shuffle;
+  *    the disjunctive nation-pair predicate collapses to the residual
+  *    `supp_nation <> cust_nation` because each side is already in the
+  *    pair set (the oracle keeps the canonical two-conjunct OR).
+  *  - Q21's double-correlated EXISTS / NOT EXISTS become one left-semi
+  *    and one left-anti self-join on the SAME l_orderkey equi key with
+  *    non-equi residuals (suppkey ≠, shipdate range) — three scans of
+  *    lineitem co-partition on l_orderkey; no row explosion survives
+  *    the semi/anti dedup semantics.
+  *  - Q16's "count suppliers offering a config" is a distinct aggregate
+  *    AFTER the fact join, with the bad-supplier exclusion as a
+  *    broadcast anti join (complaint suppliers are a vanishing fraction;
+  *    at 100 TB the anti side is still only |suppliers with negative
+  *    balance| keys).
+  */
+object Analytics2 {
+  import Analytics.{revTerm, revenue, sqlRevenue, ts}
+
+  val queries: Map[String, Q] = Map(
+    // Q7: bilateral trade volume — revenue shipped between two treaty
+    // nations, by direction and ship year. Both dim chains reduce to the
+    // 2-nation pair before touching a fact table.
+    "analytics_volume_shipping" -> { (s, dir) =>
+      val pair = Tables(s, dir, "nation")
+        .where(col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+      val supp = Tables(s, dir, "supplier")
+        .join(broadcast(pair.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables(s, dir, "customer")
+        .join(broadcast(pair.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .select("c_custkey", "cust_nation")
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+        .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // Q9: product-line profit by supplier nation and order year. Profit
+    // = revenue − 0.6·retailprice·quantity, all in exact decimal; the
+    // part filter (name contains 'widget') prunes the fact join first.
+    "analytics_product_profit" -> { (s, dir) =>
+      val parts = Tables(s, dir, "part")
+        .where(col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+      val supp = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      val cost = (col("l_quantity").cast("decimal(12,2)") *
+        col("p_retailprice").cast("decimal(12,2)")) * lit(0.6).cast("decimal(2,1)")
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(revTerm - cost).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // Q12: late-shipment counts by return flag, split by order priority —
+    // the conditional two-counter aggregate over a fact⋈fact join whose
+    // residual is a cross-table range predicate (ship > order + 60 days).
+    "analytics_late_lines_priority" -> { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(Tables(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Q16: how many distinct suppliers ship each (brand, type, size)
+    // config — distinct aggregate after the fact⋈part join, excluding
+    // negative-balance suppliers via a broadcast LEFT ANTI join.
+    "analytics_supplier_part_types" -> { (s, dir) =>
+      val cfg = Tables(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = Tables(s, dir, "supplier")
+        .where(col("s_acctbal") < 0).select("s_suppkey")
+      Tables(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(cfg, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(20)
+    },
+
+    // Q21: suppliers who alone held up a multi-supplier order — one
+    // left-semi (some OTHER supplier contributed) and one left-anti (no
+    // OTHER supplier was also late) self-join on the l_orderkey equi key
+    // with suppkey/date residuals; finished orders only.
+    "analytics_waiting_suppliers" -> { (s, dir) =>
+      val ord = Tables(s, dir, "orders")
+        .where(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey",
+        "l_shipdate")
+      val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val others = li.select(col("l_orderkey").as("x_orderkey"),
+        col("l_suppkey").as("x_suppkey"), col("l_shipdate").as("x_shipdate"))
+      late
+        .join(others, col("l_orderkey") === col("x_orderkey") &&
+          col("x_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(others, col("l_orderkey") === col("x_orderkey") &&
+          col("x_suppkey") =!= col("l_suppkey") &&
+          col("x_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_anti")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        .join(Tables(s, dir, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(10)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "analytics_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  year(l.l_shipdate) AS l_year, $sqlRevenue AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "analytics_product_profit" ->
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+        |  cast(sum(
+        |    cast(l.l_extendedprice as decimal(12,2)) *
+        |      (cast(1 as decimal(3,2)) - cast(l.l_discount as decimal(3,2)))
+        |    - (cast(l.l_quantity as decimal(12,2)) *
+        |       cast(p.p_retailprice as decimal(12,2))) *
+        |      cast(0.6 as decimal(2,1))
+        |  ) as double) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "analytics_late_lines_priority" ->
+      """SELECT l.l_returnflag,
+        |  cast(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+        |  cast(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 0 ELSE 1 END) as bigint) AS low_line_count
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+    "analytics_supplier_part_types" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND p.p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        |LIMIT 20""".stripMargin,
+    "analytics_waiting_suppliers" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.functions.{BloomFunctions, BloomKernels}
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: Bloom-filter runtime reduction, the k-means Lloyd
+  * step, line-level (block) dedup, and the new composite-analytics plan
+  * shapes. */
+class Round8Spec extends SparkSuite {
+  import BloomFunctions._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  // ---- Bloom kernels --------------------------------------------------
+
+  test("bloom filter has NO false negatives over a key set") {
+    val words = new Array[Long](1024 / 64)
+    val keys = (0L until 500L).map(_ * 7919L)
+    keys.foreach(BloomKernels.setBits(words, 7, 1024, _))
+    val bytes = BloomKernels.toBytes(words, 7)
+    assert(keys.forall(BloomKernels.mightContain(bytes, _)))
+  }
+
+  test("bloom filter false-positive rate is sane at ~10 bits/key") {
+    val nBits = 1 << 14
+    val words = new Array[Long](nBits / 64)
+    (0L until 1600L).foreach(k => BloomKernels.setBits(words, 7, nBits, k))
+    val bytes = BloomKernels.toBytes(words, 7)
+    val fps = (1000000L until 1010000L).count(BloomKernels.mightContain(bytes, _))
+    assert(fps < 500, s"$fps false positives in 10000 probes") // ~1% expected
+  }
+
+  test("bloomBuild is partition-order-invariant (bit-OR merge)") {
+    import spark.implicits._
+    val keys = (1L to 1000L).toDF("k")
+    val a = keys.repartition(1).agg(bloomBuild(col("k"), 4096)).head.getAs[Array[Byte]](0)
+    val b = keys.repartition(7).agg(bloomBuild(col("k"), 4096)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("bloomMightContain as a DataFrame prefilter never drops a joining row") {
+    import spark.implicits._
+    val dim = (1L to 50L).map(_ * 3L).toDF("k")
+    val fact = (1L to 150L).toDF("fk")
+    val bloom = dim.agg(bloomBuild(col("k"), 1024).as("bf"))
+    val reduced = fact.crossJoin(broadcast(bloom))
+      .where(bloomMightContain(col("bf"), col("fk")))
+      .join(dim, col("fk") === col("k"))
+      .select("fk").as[Long].collect().toSet
+    val plain = fact.join(dim, col("fk") === col("k"))
+      .select("fk").as[Long].collect().toSet
+    assert(reduced == plain)
+  }
+
+  test("join_bloom_reduced plan probes the filter via bloom_might_contain") {
+    val p = plan("join_bloom_reduced")
+    assert(p.contains("bloom_might_contain"), p.take(3000))
+    assert(p.contains("bloom_build"), p.take(3000))
+  }
+
+  // ---- k-means Lloyd step --------------------------------------------
+
+  test("kmeansUpdate computes per-cluster element-wise means") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(0.6, 0.8)),
+      (3L, Array(0.0, 1.0))).toDF("vec_id", "v")
+    val cents = Seq(
+      (10L, Array(1.0, 0.0)),
+      (20L, Array(0.0, 1.0))).toDF("cid", "cv")
+    val got = llm.Similarity.kmeansUpdate(vecs, cents)
+      .orderBy("cid", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // v2 (cos 0.6 vs 0.8) joins c20; means: c10 = (1,0) n=1, c20 = (.3,.9) n=2
+    assert(got.toSeq == Seq(
+      (10L, 0, 1L, 1.0), (10L, 1, 1L, 0.0),
+      (20L, 0, 2L, 0.3), (20L, 1, 2L, 0.9)))
+  }
+
+  test("kmeansUpdate omits empty clusters (Lloyd contract)") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "v")
+    val cents = Seq(
+      (10L, Array(1.0, 0.0)),
+      (99L, Array(0.0, 1.0))).toDF("cid", "cv")
+    val cids = llm.Similarity.kmeansUpdate(vecs, cents)
+      .select("cid").distinct().as[Long].collect().toSet
+    assert(cids == Set(10L))
+  }
+
+  test("sim_kmeans_update plan assigns via broadcast centroids, no shuffle of v on cid") {
+    val p = plan("sim_kmeans_update")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  // ---- line-level dedup ----------------------------------------------
+
+  test("lineDedup keeps first occurrence corpus-wide and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z w"),
+      (2L, "x y q r"),
+      (3L, "x y z w") // exact copy of doc 1 — loses every block
+    ).toDF("doc_id", "text")
+    val got = llm.LineDedup.lineDedup(docs, 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "x y z w", 2L, 2L),
+      (2L, "q r", 2L, 1L),
+      (3L, "", 2L, 0L)))
+  }
+
+  test("lineDedup: trailing partial block is its own line") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = llm.LineDedup.lineDedup(docs, 2).collect()(0)
+    assert(got.getString(1) == "a b c" && got.getLong(2) == 2L)
+  }
+
+  // ---- composite analytics plan shapes -------------------------------
+
+  test("analytics_waiting_suppliers realizes EXISTS/NOT EXISTS as semi + anti joins") {
+    val p = plan("analytics_waiting_suppliers")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+  }
+
+  test("analytics_volume_shipping broadcasts both treaty-nation dims") {
+    val p = plan("analytics_volume_shipping")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("analytics_supplier_part_types keeps the bad-supplier exclusion a broadcast anti join") {
+    val p = plan("analytics_supplier_part_types")
+    assert(p.contains("LeftAnti"), p.take(3000))
+  }
+}
