@@ -14,21 +14,39 @@ import org.apache.spark.sql.functions._
   * (ordered by (doc_id, block index)), and reassemble the surviving blocks
   * per document in their original order.
   *
-  * Scale shape (100 TB): the split/explode is map-side; blocks aggregate
-  * on the (doc_id, blk) composite key (one shuffle, partial-agg'd); the
-  * first-occurrence winner per distinct block text is a min-STRUCT
-  * aggregate keyed on the block hash (never a window over the corpus);
-  * the keep/drop verdict is an equi-join back on that text; reassembly is
-  * one more (doc_id) aggregate using the deterministic
-  * sort_array(collect_list(struct…)) ordered-collect idiom. Every stage is
-  * a hash shuffle on a bounded-width key — no windows, no skew funnels
-  * (block texts are near-unique by construction; a pathological corpus of
-  * one repeated block lands that ONE text's rows on one reducer, the same
-  * bound as any groupBy on the duplicate content itself).
+  * Scale shape (100 TB): block construction is PURE MAP-SIDE — the word
+  * array is sliced into blocks per row ([[blockize]]), no explode-then-
+  * regroup shuffle; the first-occurrence winner per distinct block text
+  * is a min-STRUCT aggregate keyed on the block hash (never a window
+  * over the corpus); the keep/drop verdict is an equi-join back on that
+  * text; reassembly is one (doc_id) aggregate using the deterministic
+  * sort_array(collect_list(struct…)) ordered-collect idiom. Every stage
+  * is a hash shuffle on a bounded-width key — no windows, no skew
+  * funnels (block texts are near-unique by construction; a pathological
+  * corpus of one repeated block lands that ONE text's rows on one
+  * reducer, the same bound as any groupBy on the duplicate content
+  * itself, and the min-struct partial aggregation absorbs it map-side
+  * first).
   */
 object LineDedup {
 
   private def keyStruct: Column = struct(col("doc_id"), col("blk"))
+
+  /** Map-side block split: (blk, btext) rows from a space-separated text
+    * column — slice the word array into consecutive `blockWords`-word
+    * groups (last block may be partial) without any shuffle. Shared by
+    * the batch operator and the streaming twin
+    * ([[graft.streaming.StreamOps.lineDedupBlocks]]). */
+  private[graft] def blockized(docs: DataFrame, textCol: String,
+      blockWords: Int): DataFrame = {
+    require(blockWords >= 1, s"blockWords must be >= 1, got $blockWords")
+    val words = split(col(textCol), " ")
+    val nBlocks = ((size(words) + lit(blockWords - 1)) / lit(blockWords)).cast("int")
+    val blocks = transform(sequence(lit(0), nBlocks - 1),
+      i => array_join(slice(words, i * blockWords + 1, lit(blockWords)), " "))
+    docs.select((docs.columns.filter(_ != textCol).map(col).toSeq :+
+      posexplode(blocks).as(Seq("blk", "btext"))): _*)
+  }
 
   /** PUBLIC API: corpus-wide first-occurrence block dedup. In: documents
     * as (doc_id, text) with single-space-separated words; out: one row
@@ -37,12 +55,7 @@ object LineDedup {
     * (empty string when every block of the document occurred earlier
     * elsewhere — the fully-boilerplate page). */
   def lineDedup(docs: DataFrame, blockWords: Int): DataFrame = {
-    require(blockWords >= 1, s"blockWords must be >= 1, got $blockWords")
-    val blocks = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .groupBy(col("doc_id"), expr(s"pos DIV $blockWords").as("blk"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-        x => x("w")), " ").as("btext"))
+    val blocks = blockized(docs.select(col("doc_id"), col("text")), "text", blockWords)
     val firstOcc = blocks.groupBy(col("btext"))
       .agg(min(keyStruct).as("fo"))
     blocks.join(firstOcc, "btext")

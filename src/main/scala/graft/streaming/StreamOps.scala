@@ -69,6 +69,24 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** CONTINUOUS line-level dedup — the streaming twin of
+    * [[graft.llm.LineDedup.lineDedup]] for an ingestion feed: split each
+    * arriving (ts, doc_id, text) document into `blockWords`-word blocks
+    * MAP-SIDE (the shared [[graft.llm.LineDedup.blockized]] kernel — no
+    * aggregation, so the stream stays in append mode) and emit only each
+    * block text's FIRST occurrence within the watermark horizon. Emits
+    * surviving (ts, doc_id, blk, btext) rows; reassembly is the
+    * downstream batch step (a cross-micro-batch ordered re-collect would
+    * need unbounded per-doc state — a stream cannot hold documents open
+    * forever, so the survivor-block stream IS the operator's contract).
+    * State = one entry per distinct block seen, EVICTED past the
+    * watermark (dropDuplicatesWithinWatermark) — the bounded-state form;
+    * corpus-lifetime exactness belongs to the batch operator. */
+  def lineDedupBlocks(docs: DataFrame, blockWords: Int): DataFrame =
+    graft.llm.LineDedup.blockized(docs, "text", blockWords)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("btext")
+
   /** BATCH sessionization: add a per-key `session_id` (1-based, in time
     * order) closing sessions after `gapSeconds` of inactivity — the
     * gaps-and-islands form of [[sessions]] parameterized over caller

@@ -115,6 +115,25 @@ class StreamingSpec extends SparkSuite {
     assert(rows == Seq((1L, t(0).getTime * 1000L, t(5).getTime * 1000L)))
   }
 
+  case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
+  test("lineDedupBlocks emits only first block occurrences across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    sinkId += 1
+    val name = s"sink_$sinkId"
+    val q = StreamOps.lineDedupBlocks(mem.toDF(), 2).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    mem.addData(Doc(t(0), 1L, "a b c d")) // blocks: "a b", "c d"
+    q.processAllAvailable()
+    mem.addData(Doc(t(1), 2L, "c d e f")) // "c d" already seen → only "e f"
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).select("doc_id", "blk", "btext").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 0, "a b"), (1L, 1, "c d"), (2L, 1, "e f")))
+  }
+
   test("streaming and batch tumbling forms agree on the events table") {
     val batch = StreamOps.tumbling(Tables(spark, sf, "events"))
     val viaQuery = SparkEntry.queries("stream_tumbling_agg")(spark, sf)
