@@ -35,6 +35,31 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Consecutive `n`-word blocks of a token array (last may be partial),
+  * each joined by single spaces — the map-side splitter of the
+  * line-level dedup family ([[graft.llm.LineDedup]]). Replaces the
+  * interpreted transform(sequence(…), i → array_join(slice(…))) HOF
+  * chain (three lambdas per block) with one flat codegen'd loop
+  * ([[TextKernels.wordBlocks]]); at 100 TB of documents the block
+  * builder is the operator's entire map-side budget. Output is
+  * byte-identical to the HOF form (Round8Spec pins it). */
+case class WordBlocks(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"WordBlocks needs n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordBlocks(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.wordBlocks($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-document term frequencies in one pass: token array →
   * array<struct<word, cnt>> with first-occurrence order (deterministic).
   *

@@ -45,6 +45,35 @@ object TextKernels {
     }
   }
 
+  /** consecutive `n`-word blocks of a token array (last block may be
+    * partial), each joined by single spaces — the line-dedup block
+    * splitter ([[graft.llm.LineDedup]]). Null tokens are skipped within
+    * their block, mirroring `array_join`'s null-skip in the HOF form
+    * this replaces (tokens from `split()` are never null in practice). */
+  def wordBlocks(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    val nb = (total + n - 1) / n
+    val res = new Array[Any](nb)
+    val window = new Array[UTF8String](n)
+    var b = 0
+    while (b < nb) {
+      val start = b * n
+      val len = math.min(n, total - start)
+      var k = 0
+      var kept = 0
+      while (k < len) {
+        if (!toks.isNullAt(start + k)) {
+          window(kept) = toks.getUTF8String(start + k)
+          kept += 1
+        }
+        k += 1
+      }
+      res(b) = UTF8String.concatWs(sep, window.toIndexedSeq.take(kept): _*)
+      b += 1
+    }
+    new GenericArrayData(res)
+  }
+
   /** per-document term frequencies, first-occurrence order; null tokens
     * are absent (matching the exploded form's null-drop). */
   def tokenCounts(arr: ArrayData): ArrayData = {

@@ -33,17 +33,17 @@ object LineDedup {
   private def keyStruct: Column = struct(col("doc_id"), col("blk"))
 
   /** Map-side block split: (blk, btext) rows from a space-separated text
-    * column — slice the word array into consecutive `blockWords`-word
-    * groups (last block may be partial) without any shuffle. Shared by
-    * the batch operator and the streaming twin
+    * column — the native codegen [[graft.functions.WordBlocks]] slices
+    * the word array into consecutive `blockWords`-word groups (last
+    * block may be partial) in one flat loop, no shuffle, no interpreted
+    * HOF lambdas. Shared by the batch operator and the streaming twin
     * ([[graft.streaming.StreamOps.lineDedupBlocks]]). */
   private[graft] def blockized(docs: DataFrame, textCol: String,
       blockWords: Int): DataFrame = {
     require(blockWords >= 1, s"blockWords must be >= 1, got $blockWords")
-    val words = split(col(textCol), " ")
-    val nBlocks = ((size(words) + lit(blockWords - 1)) / lit(blockWords)).cast("int")
-    val blocks = transform(sequence(lit(0), nBlocks - 1),
-      i => array_join(slice(words, i * blockWords + 1, lit(blockWords)), " "))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val blocks = ColumnBridge.column(graft.functions.WordBlocks(
+      ColumnBridge.expression(split(col(textCol), " ")), blockWords))
     docs.select((docs.columns.filter(_ != textCol).map(col).toSeq :+
       posexplode(blocks).as(Seq("blk", "btext"))): _*)
   }

@@ -114,6 +114,20 @@ class Round8Spec extends SparkSuite {
       (3L, "", 2L, 0L)))
   }
 
+  test("WordBlocks is byte-identical to the transform/slice/array_join HOF chain") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val words = split(col("text"), " ")
+    val native = ColumnBridge.column(
+      graft.functions.WordBlocks(ColumnBridge.expression(words), 8))
+    val nBlocks = ((size(words) + lit(7)) / lit(8)).cast("int")
+    val hof = transform(sequence(lit(0), nBlocks - 1),
+      i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+    val diff = Tables(spark, sf, "documents")
+      .select(native.as("a"), hof.as("b"))
+      .where(not(col("a") === col("b"))).count()
+    assert(diff == 0L)
+  }
+
   test("lineDedup: trailing partial block is its own line") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
