@@ -61,17 +61,23 @@ object BloomKernels {
   }
 
   /** Probe a serialized filter (layout: [int numHashes][long words…], big
-    * endian). Shared by interpreted eval and generated code. */
+    * endian). Shared by interpreted eval and generated code — runs once
+    * per FACT ROW inside the codegen'd scan filter, so it reads the raw
+    * byte array directly (no ByteBuffer view, zero allocations): for bit
+    * p of word w, the big-endian byte is `7 − p/8` within w's 8 bytes
+    * and the in-byte mask is `1 << (p % 8)` — one byte load per hash. */
   def mightContain(bloom: Array[Byte], key: Long): Boolean = {
-    val bb = ByteBuffer.wrap(bloom).order(ByteOrder.BIG_ENDIAN)
-    val numHashes = bb.getInt()
+    val numHashes = ((bloom(0) & 0xFF) << 24) | ((bloom(1) & 0xFF) << 16) |
+      ((bloom(2) & 0xFF) << 8) | (bloom(3) & 0xFF)
     val numBits = (bloom.length - 4) * 8
     val h1 = mix(key)
     val h2 = mix(key ^ 0xC2B2AE3D27D4EB4FL) | 1L
     var j = 0
     while (j < numHashes) {
-      val b = (((h1 + j.toLong * h2) & Long.MaxValue) % numBits).toInt
-      if ((bb.getLong(4 + (b >>> 6) * 8) & (1L << (b & 63))) == 0L) return false
+      val b = bitIndex(h1, h2, j, numBits)
+      val p = b & 63
+      val byteAt = 4 + (b >>> 6) * 8 + (7 - (p >>> 3))
+      if ((bloom(byteAt) & (1 << (p & 7))) == 0) return false
       j += 1
     }
     true
@@ -176,9 +182,21 @@ case class BloomMightContain(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Column-level entry points. */
+/** Column-level entry points.
+  *
+  * PROBE-SHAPE TRAP: feeding [[bloomMightContain]] a bloom column from
+  * `crossJoin(broadcast(1-row agg))` makes the probe a filter that
+  * references BOTH cross-join sides — the optimizer pushes it into the
+  * join and the plan becomes a CONDITIONED BroadcastNestedLoopJoin,
+  * whose condition is evaluated interpreted row-at-a-time (the
+  * outlier_remove lesson, ~10×). The scale-correct shape is Spark's own
+  * runtime-filter one: the filter value arrives as a SCALAR SUBQUERY
+  * (one tiny job, result inlined as a literal), so the probe stays a
+  * codegen'd `Filter` fused into the fact scan — [[register]] exposes
+  * both expressions to SQL for exactly that form (see the declared
+  * `join_bloom_reduced` query). */
 object BloomFunctions {
-  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.{Column, SparkSession}
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Aggregate a long key column into a serialized Bloom filter.
@@ -190,8 +208,25 @@ object BloomFunctions {
       BloomBuild(ColumnBridge.expression(key), numBits, numHashes)
         .toAggregateExpression())
 
-  /** Membership probe against a [[bloomBuild]] filter column. */
+  /** Membership probe against a [[bloomBuild]] filter column (see the
+    * probe-shape note above: hand it a scalar-subquery/literal bloom,
+    * not a cross-joined column). */
   def bloomMightContain(bloom: Column, key: Column): Column =
     ColumnBridge.column(BloomMightContain(
       ColumnBridge.expression(bloom), ColumnBridge.expression(key)))
+
+  /** Idempotently register the SQL forms `graft_bloom_build(key, numBits,
+    * numHashes)` / `graft_bloom_might_contain(bloom, key)` — the analyzer
+    * wraps the bare aggregate in an AggregateExpression on resolution,
+    * and a scalar subquery over `graft_bloom_build` is the codegen-safe
+    * probe feed. Sizing arguments must be integer literals. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_build", exprs => BloomBuild(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
+  }
 }

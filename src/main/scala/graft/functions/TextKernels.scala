@@ -68,7 +68,8 @@ object TextKernels {
         }
         k += 1
       }
-      res(b) = UTF8String.concatWs(sep, window.toIndexedSeq.take(kept): _*)
+      res(b) = UTF8String.concatWs(sep, scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(java.util.Arrays.copyOfRange(window, 0, kept)): _*)
       b += 1
     }
     new GenericArrayData(res)

@@ -2,7 +2,7 @@ package graft.llm
 
 import graft._
 import graft.Tables._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Line-level exact dedup — the C4/CCNet corpus-cleaning step that removes
@@ -14,23 +14,21 @@ import org.apache.spark.sql.functions._
   * (ordered by (doc_id, block index)), and reassemble the surviving blocks
   * per document in their original order.
   *
-  * Scale shape (100 TB): block construction is PURE MAP-SIDE — the word
-  * array is sliced into blocks per row ([[blockize]]), no explode-then-
-  * regroup shuffle; the first-occurrence winner per distinct block text
-  * is a min-STRUCT aggregate keyed on the block hash (never a window
-  * over the corpus); the keep/drop verdict is an equi-join back on that
-  * text; reassembly is one (doc_id) aggregate using the deterministic
-  * sort_array(collect_list(struct…)) ordered-collect idiom. Every stage
-  * is a hash shuffle on a bounded-width key — no windows, no skew
-  * funnels (block texts are near-unique by construction; a pathological
-  * corpus of one repeated block lands that ONE text's rows on one
-  * reducer, the same bound as any groupBy on the duplicate content
-  * itself, and the min-struct partial aggregation absorbs it map-side
-  * first).
+  * Scale shape (100 TB): block construction is PURE MAP-SIDE — the
+  * native codegen WordBlocks expression slices each document ONCE, and
+  * the corpus is scanned ONCE (an earlier draft aggregated first
+  * occurrences separately and self-joined back — two full block builds;
+  * the keep/drop verdict is instead a row_number window PARTITIONED BY
+  * the block text, whose partitions are the duplicate groups themselves:
+  * typically 1-2 rows, bounded by the duplication factor, never a
+  * corpus-wide partition). Reassembly is one (doc_id) aggregate using
+  * the deterministic sort_array(collect_list(struct…)) ordered-collect
+  * idiom. Both shuffles key on bounded-width hashes; the pathological
+  * corpus of ONE block text repeated everywhere lands that text's rows
+  * on one reducer — the same bound as any groupBy over the duplicated
+  * content itself.
   */
 object LineDedup {
-
-  private def keyStruct: Column = struct(col("doc_id"), col("blk"))
 
   /** Map-side block split: (blk, btext) rows from a space-separated text
     * column — the native codegen [[graft.functions.WordBlocks]] slices
@@ -56,10 +54,12 @@ object LineDedup {
     * elsewhere — the fully-boilerplate page). */
   def lineDedup(docs: DataFrame, blockWords: Int): DataFrame = {
     val blocks = blockized(docs.select(col("doc_id"), col("text")), "text", blockWords)
-    val firstOcc = blocks.groupBy(col("btext"))
-      .agg(min(keyStruct).as("fo"))
-    blocks.join(firstOcc, "btext")
-      .withColumn("keep", col("fo") === keyStruct)
+    // first occurrence = rank 1 in (doc_id, blk) order WITHIN each block
+    // text — the same total order as a min-struct argmin, but in one scan
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("btext")).orderBy(col("doc_id"), col("blk"))
+    blocks
+      .withColumn("keep", row_number().over(w) === 1)
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(array_sort(collect_list(

@@ -40,7 +40,7 @@ object Analytics2 {
     // 2-nation pair before touching a fact table.
     "analytics_volume_shipping" -> { (s, dir) =>
       val pair = Tables(s, dir, "nation")
-        .where(col("n_name").isin("NATION_1", "NATION_2"))
+        .where(col("n_name").isin("NATION_10", "NATION_12"))
         .select("n_nationkey", "n_name")
       val supp = Tables(s, dir, "supplier")
         .join(broadcast(pair.select(col("n_nationkey").as("snk"),
@@ -170,8 +170,8 @@ object Analytics2 {
          |JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
          |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-         |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-         |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         |WHERE ((sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_12')
+         |    OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_10'))
          |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)

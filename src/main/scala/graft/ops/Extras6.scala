@@ -1,8 +1,9 @@
 package graft.ops
 
+import java.util.concurrent.atomic.AtomicLong
+
 import graft._
 import graft.Tables._
-import graft.functions.BloomFunctions.{bloomBuild, bloomMightContain}
 import org.apache.spark.sql.functions._
 
 /** Round-8 join additions: explicit Bloom-filter runtime reduction.
@@ -12,37 +13,62 @@ import org.apache.spark.sql.functions._
   * to broadcast as an exact build but its KEY SET compresses into a few
   * MB of bits: aggregate the dim keys into a native Bloom filter
   * ([[graft.functions.BloomBuild]] — bit-OR mergeable, so the build is
-  * one map-side-combined pass), broadcast the single filter row, and
-  * drop fact rows in the scan stage via the codegen'd
-  * [[graft.functions.BloomMightContain]] probe BEFORE the fact pays the
-  * join shuffle. The real equi-join afterwards restores exactness (no
-  * false negatives; false positives just ride through), which is why the
-  * oracle is simply the same query WITHOUT the prefilter.
+  * one map-side-combined pass), and drop fact rows in the scan stage via
+  * the codegen'd [[graft.functions.BloomMightContain]] probe BEFORE the
+  * fact pays the join shuffle. The real equi-join afterwards restores
+  * exactness (no false negatives; false positives just ride through),
+  * which is why the oracle is simply the same query WITHOUT the
+  * prefilter.
   *
-  * Spark's InjectRuntimeFilter does this opportunistically under conf
-  * heuristics; declaring it explicitly makes the reduction a stable,
-  * PlanSpec-assertable part of the plan. Sizing: numBits ≈ 10× the
-  * expected dim keys (~1% false positives at 7 hashes) — 2¹⁷ bits =
+  * The filter value reaches the probe as a SCALAR SUBQUERY — Spark's own
+  * InjectRuntimeFilter shape: the subquery runs as one tiny job, its
+  * result is inlined, and the probe stays a codegen'd `Filter` fused
+  * into the fact scan. The tempting DataFrame form —
+  * `crossJoin(broadcast(1-row agg)).where(probe)` — is the scalar-
+  * broadcast trap: the probe references both cross-join sides, pushes
+  * into the join, and becomes a CONDITIONED BroadcastNestedLoopJoin
+  * evaluated interpreted row-at-a-time (the outlier_remove 10× lesson;
+  * the full-suite PlanSpec guard rejects it).
+  *
+  * Spark's InjectRuntimeFilter does all this opportunistically under
+  * conf heuristics; declaring it explicitly makes the reduction a
+  * stable, PlanSpec-assertable part of the plan. Sizing: numBits ≈ 10×
+  * the expected dim keys (~1% false positives at 7 hashes) — 2¹⁷ bits =
   * 16 KB covers the filtered customer segment at every test SF; at
   * 100 TB the filter grows with |dim keys|/8 bytes, still broadcastable
   * orders of magnitude past where an exact set stops being.
   */
 object Extras6 {
 
+  private val bloomSeq = new AtomicLong(0)
+
   val queries: Map[String, Q] = Map(
+    // view names carry a per-invocation unique suffix and are dropped
+    // once the plan is analyzed (the join_lateral_topn concurrency
+    // discipline: two builders sharing one JVM never race the views)
     "join_bloom_reduced" -> { (s, dir) =>
-      val dim = Tables(s, dir, "customer")
+      graft.functions.BloomFunctions.register(s)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + bloomSeq.incrementAndGet()
+      val (ov, cv) = (s"graft_bloom_orders_$tag", s"graft_bloom_dim_$tag")
+      Tables(s, dir, "orders").createOrReplaceTempView(ov)
+      Tables(s, dir, "customer")
         .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000)
         .select("c_custkey")
-      val bloom = dim.agg(bloomBuild(col("c_custkey"), 1 << 17).as("bf"))
-      Tables(s, dir, "orders")
-        .select("o_custkey", "o_orderpriority", "o_totalprice")
-        .crossJoin(broadcast(bloom))
-        .where(bloomMightContain(col("bf"), col("o_custkey")))
-        .join(dim, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
-        .orderBy(col("o_orderpriority"))
+        .createOrReplaceTempView(cv)
+      val df = s.sql(s"""
+        SELECT o.o_orderpriority, count(*) AS n_orders,
+          cast(sum(cast(o.o_totalprice as decimal(18,4))) as double) AS total_price
+        FROM (SELECT o_custkey, o_orderpriority, o_totalprice FROM $ov
+              WHERE graft_bloom_might_contain(
+                (SELECT graft_bloom_build(c_custkey, ${1 << 17}, 7) FROM $cv),
+                o_custkey)) o
+        JOIN $cv c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority""")
+      s.catalog.dropTempView(ov)
+      s.catalog.dropTempView(cv)
+      df
     }
   )
 

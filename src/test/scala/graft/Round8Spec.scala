@@ -53,10 +53,15 @@ class Round8Spec extends SparkSuite {
     assert(reduced == plain)
   }
 
-  test("join_bloom_reduced plan probes the filter via bloom_might_contain") {
+  test("join_bloom_reduced probes via a codegen Filter fed by a scalar subquery, never a conditioned BNLJ") {
     val p = plan("join_bloom_reduced")
     assert(p.contains("bloom_might_contain"), p.take(3000))
-    assert(p.contains("bloom_build"), p.take(3000))
+    // the probe is a Filter over the fact scan (scalar-subquery feed) —
+    // NOT a cross-join condition (the interpreted-BNLJ trap the
+    // full-suite PlanSpec guard rejects)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("bloom_might_contain")), p.take(3000))
   }
 
   // ---- k-means Lloyd step --------------------------------------------
