@@ -226,6 +226,14 @@ object GraftOps {
   def kmeansUpdate(vectors: DataFrame, centroids: DataFrame): DataFrame =
     llm.Similarity.kmeansUpdate(vectors, centroids)
 
+  /** `iters` Lloyd steps from an initial (cid, cv) set (see
+    * [[ivfCentroids]] for the seed): per-round mean fold-back with
+    * unit re-normalization, emptied clusters keep their previous
+    * centroid, lineage truncated per round. Returns the trained
+    * (cid, cv) set for [[annIvf]]/[[semanticDedup]]. */
+  def kmeansTrain(vectors: DataFrame, initial: DataFrame, iters: Int): DataFrame =
+    llm.Similarity.kmeansTrain(vectors, initial, iters)
+
   /** pairs within a blocking column whose cosine ≥ threshold. */
   def cosineThresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame =
     llm.Similarity.thresholdPairs(df, blockCol, threshold)

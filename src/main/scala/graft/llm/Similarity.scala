@@ -239,6 +239,44 @@ object Similarity {
         round(sum(col("x").cast("decimal(18,12)")).cast("double") /
           count(lit(1)), 6).as("c_val"))
 
+  /** PUBLIC API: full k-means training — `iters` Lloyd steps from an
+    * initial centroid set (pick one with [[ivfCentroids]]): each round is
+    * one [[kmeansUpdate]] job whose long-format means are folded back
+    * into (cid, cv) centroid rows (ordered-collect per cid — ≤
+    * |centroids| rows, driver never sees the data), unit-normalized so
+    * the next round's cosine assignment stays a plain dot, with clusters
+    * that emptied keeping their previous centroid (the standard Lloyd
+    * fallback). `localCheckpoint` truncates the per-round lineage (the
+    * connectedComponents lesson: an iterated self-referential plan
+    * otherwise doubles per round and OOMs the driver); the checkpoint
+    * materializes only the tiny centroid relation. Returns the final
+    * (cid, cv) set, ready for [[annIvf]] / [[semanticDedup]] /
+    * [[ivfClusterStats]]. */
+  def kmeansTrain(vectors: DataFrame, initial: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var cents = initial.select(col("cid"), col("cv"))
+    var i = 0
+    while (i < iters) {
+      val upd = kmeansUpdate(vectors, cents)
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c_val")))),
+          x => x("c_val")).as("mean_v"))
+      cents = cents.join(upd, Seq("cid"), "left_outer")
+        .select(col("cid"), when(col("mean_v").isNull, col("cv"))
+          .otherwise(unit(col("mean_v"))).as("cv"))
+        .localCheckpoint()
+      i += 1
+    }
+    cents
+  }
+
+  /** unit-normalize through the shared native expression (the same
+    * kernel [[withUnit]] applies to raw embeddings). */
+  private def unit(raw: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.UnitVector(ColumnBridge.expression(raw)))
+  }
+
   /** PUBLIC API: all pairs within `blockCol` whose cosine ≥ threshold;
     * inputs carry unit vectors as (vec_id, <blockCol>, v). */
   def thresholdPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame = {

@@ -95,6 +95,34 @@ class Round8Spec extends SparkSuite {
     assert(cids == Set(10L))
   }
 
+  test("kmeansTrain folds means back as unit centroids and converges on separated groups") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(0.6, 0.8)),
+      (3L, Array(0.0, 1.0))).toDF("vec_id", "v")
+    val init = Seq(
+      (10L, Array(1.0, 0.0)),
+      (20L, Array(0.0, 1.0))).toDF("cid", "cv")
+    val out = llm.Similarity.kmeansTrain(vecs, init, 2).orderBy("cid").collect()
+    val c1 = out(0).getSeq[Double](1)
+    val c2 = out(1).getSeq[Double](1)
+    // c10 keeps (1,0); c20 = unit mean of {v2, v3} = (0.3, 0.9)/|(0.3, 0.9)|
+    assert(c1 == Seq(1.0, 0.0))
+    assert(math.abs(c2(0) - 0.31622776601683794) < 1e-9 &&
+      math.abs(c2(1) - 0.9486832980505138) < 1e-9, c2)
+  }
+
+  test("kmeansTrain keeps the previous centroid for a cluster that empties") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "v")
+    val init = Seq(
+      (10L, Array(1.0, 0.0)),
+      (99L, Array(0.0, 1.0))).toDF("cid", "cv")
+    val out = llm.Similarity.kmeansTrain(vecs, init, 1).orderBy("cid").collect()
+    assert(out.length == 2 && out(1).getSeq[Double](1) == Seq(0.0, 1.0))
+  }
+
   test("sim_kmeans_update plan assigns via broadcast centroids, no shuffle of v on cid") {
     val p = plan("sim_kmeans_update")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
