@@ -108,6 +108,43 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  private val debloomSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** PUBLIC API: Bloom-filter decontamination — the join-free form of
+    * [[decontaminate]]: build ONE bit-set over the eval-set n-gram hashes
+    * (no distinct pass — Bloom insertion is idempotent, unlike the
+    * broadcast join which must dedup to keep its build small) and probe
+    * every corpus gram MAP-SIDE through a scalar-subquery-fed codegen
+    * filter ([[graft.functions.BloomMightContain]]; the crossJoin probe
+    * form is the conditioned-BNLJ trap — see join_bloom_reduced). NO
+    * FALSE NEGATIVES: every truly-overlapping doc is flagged. Hash/bit
+    * collisions can over-flag (the SAFE direction for decontamination —
+    * scrubbing an extra doc costs a little data, missing a leak poisons
+    * the eval), at a rate set by the numBits/|eval grams| budget. The
+    * declared `text_decontaminate_bloom` pins both properties as a
+    * contract oracle. Returns (`idCol`, n_flagged_grams) with
+    * n_flagged_grams ≥ the doc's true overlap count. */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, numBits: Int = 1 << 23): DataFrame = {
+    val s = corpus.sparkSession
+    graft.functions.BloomFunctions.register(s)
+    val tag = debloomSeq.incrementAndGet()
+    val (gv, ev) = (s"graft_debloom_corpus_$tag", s"graft_debloom_eval_$tag")
+    Dedup.shingleSet(corpus, idCol, textCol, n)
+      .withColumn("bgh", xxhash64(col("bg"))).createOrReplaceTempView(gv)
+    Dedup.shingleSet(evalSet, idCol, textCol, n)
+      .select(xxhash64(col("bg")).as("bgh")).createOrReplaceTempView(ev)
+    val df = s.sql(s"""
+      SELECT doc_id AS $idCol, count(*) AS n_flagged_grams
+      FROM $gv
+      WHERE graft_bloom_might_contain(
+        (SELECT graft_bloom_build(bgh, $numBits, 7) FROM $ev), bgh)
+      GROUP BY doc_id""")
+    s.catalog.dropTempView(gv)
+    s.catalog.dropTempView(ev)
+    df
+  }
+
   /** PUBLIC API: attach per-vector int8 scalar-quantization columns to
     * unit vectors (vec_id, v): `s` = max‖v‖∞/127 (dequantization scale),
     * `q` = round(v/s) as integer-valued doubles (exact under the native
@@ -229,6 +266,35 @@ object Curation {
       decontaminate(docs.where(col("doc_id") % 5 =!= 0),
           docs.where(col("doc_id") % 5 === 0), "doc_id", "text", 8)
         .orderBy(col("doc_id"))
+    },
+
+    // the Bloom form under its CONTRACT oracle: exact-flagged docs ⊆
+    // bloom-flagged docs (no false negatives — mathematically guaranteed,
+    // so a red gate means a broken kernel/serialization), and the
+    // over-flag tax stays under 10% of the corpus (generous vs the ~1%
+    // the 2²³-bit budget predicts at sf0.1). The comparisons live in
+    // SELECT over unconditioned 1-row cross joins (the scalar-stat
+    // shape), never in a filter spanning them.
+    "text_decontaminate_bloom" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val evalSet = docs.where(col("doc_id") % 5 === 0)
+      val bl = decontaminateBloom(corpus, evalSet, "doc_id", "text", 8)
+        .select(col("doc_id"))
+      val ex = decontaminate(corpus, evalSet, "doc_id", "text", 8)
+        .select(col("doc_id"))
+      val missed = ex.join(bl, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val fp = bl.join(ex, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_fp"))
+      val nc = corpus.agg(count(lit(1)).as("n_corpus"))
+      ex.agg(count(lit(1)).as("n_exact_docs"))
+        .crossJoin(broadcast(missed))
+        .crossJoin(broadcast(fp))
+        .crossJoin(broadcast(nc))
+        .select(col("n_exact_docs"),
+          (col("n_missed") === 0L).as("no_false_negatives"),
+          (col("n_fp").cast("double") <= col("n_corpus") * 0.10).as("fp_bounded"))
     },
 
     // mixture by replication: high-quality sources get 3 epochs, mid 2,
@@ -365,6 +431,13 @@ object Curation {
          |SELECT doc_id, count(*) AS n_shared FROM g
          |WHERE doc_id % 5 <> 0 AND bg IN (SELECT bg FROM ev)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_decontaminate_bloom" ->
+      s"""WITH ${sqlNgrams(8, "documents")},
+         |ev AS (SELECT DISTINCT bg FROM g WHERE doc_id % 5 = 0),
+         |flagged AS (SELECT DISTINCT doc_id FROM g
+         |  WHERE doc_id % 5 <> 0 AND bg IN (SELECT bg FROM ev))
+         |SELECT count(*) AS n_exact_docs, true AS no_false_negatives,
+         |  true AS fp_bounded FROM flagged""".stripMargin,
     "pipeline_mix_epochs" ->
       """WITH d AS (SELECT source, doc_id, n_chars,
         |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3

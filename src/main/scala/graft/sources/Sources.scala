@@ -97,6 +97,43 @@ object Sources {
         .orderBy(col("lang"))
     },
 
+    // DYNAMIC partition pruning: the static prune above needs the
+    // predicate to name partition values up front; a real star query
+    // filters a DIM and lets the join imply which fact partitions matter.
+    // Spark's PartitionPruning rule turns the broadcast dim into a
+    // DynamicPruningSubquery on the fact scan's partition column — the
+    // fact directories for non-qualifying langs are never even listed
+    // into tasks (PlanSpec asserts dynamicpruning in PartitionFilters).
+    // At 100 TB: the dim filter decides at RUNTIME which shards the fact
+    // scan touches; without DPP the join would read every shard and
+    // discard rows post-scan.
+    "join_partition_pruned_dynamic" -> { (s, dir) =>
+      val path = s"${tmpRoot(dir)}/documents_by_lang_dpp"
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      // the dim must be a REAL scan for the PartitionPruning rule to see
+      // its selective predicate — an inline Seq constant-folds into a
+      // LocalRelation (ConvertToLocalRelation eats the filter before the
+      // rule runs) and DPP silently never fires
+      val dimPath = s"${tmpRoot(dir)}/lang_dim_dpp"
+      import s.implicits._
+      Seq(("en", "target"), ("fr", "target"), ("zh", "other"),
+        ("de", "other"), ("es", "other")).toDF("d_lang", "bucket")
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.schema("d_lang STRING, bucket STRING").parquet(dimPath)
+      s.read
+        .schema("doc_id BIGINT, n_chars BIGINT, lang STRING")
+        .parquet(path)
+        .join(broadcast(dim.where(col("bucket") === "target")),
+          col("lang") === col("d_lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    },
+
     // Range-clustered layout + min/max skipping: repartitionByRange puts
     // each user_id range in ONE file and sortWithinPartitions makes the
     // parquet rowgroup min/max stats tight, so the pushed filter (PlanSpec
@@ -229,6 +266,16 @@ object Sources {
         |cast(sum(doc_id) as bigint) AS sum_ids
         |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "join_partition_pruned_dynamic" ->
+      """WITH dim(d_lang, bucket) AS (VALUES
+        |  ('en','target'), ('fr','target'), ('zh','other'),
+        |  ('de','other'), ('es','other'))
+        |SELECT d.lang, count(*) AS n_docs,
+        |cast(sum(d.n_chars) as bigint) AS sum_chars,
+        |cast(sum(d.doc_id) as bigint) AS sum_ids
+        |FROM documents d JOIN dim ON d.lang = dim.d_lang
+        |WHERE dim.bucket = 'target'
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "layout_sorted_skipping" ->
       s"""SELECT user_id, count(*) AS n_events,
          |${sqlDsum("value")} AS sum_value,

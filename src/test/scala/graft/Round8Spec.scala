@@ -64,6 +64,22 @@ class Round8Spec extends SparkSuite {
       l.contains("Filter") && l.contains("bloom_might_contain")), p.take(3000))
   }
 
+  test("text_decontaminate_bloom probes map-side via a subquery-fed codegen filter") {
+    val p = plan("text_decontaminate_bloom")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("bloom_might_contain")), p.take(3000))
+    // the 1-row contract aggregates ride UNconditioned broadcast cross
+    // joins (scalar-stat shape); the probe itself must not condition one
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(!l.contains("bloom_might_contain"), l)
+    }
+  }
+
+  test("join_partition_pruned_dynamic gets a dynamicpruning PartitionFilter on the fact scan") {
+    val p = plan("join_partition_pruned_dynamic")
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(4000))
+  }
+
   // ---- k-means Lloyd step --------------------------------------------
 
   test("kmeansUpdate computes per-cluster element-wise means") {
