@@ -34,7 +34,91 @@ import org.apache.spark.sql.functions._
 object Analytics2 {
   import Analytics.{revTerm, revenue, sqlRevenue, ts}
 
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   val queries: Map[String, Q] = Map(
+    // Q2 (partsupp-free): per part of one size, the supplier with the
+    // MINIMUM average unit price — the correlated-min shape realized as a
+    // two-level aggregate (per-(part, supp) exact-decimal unit cost →
+    // min-STRUCT argmin per part, tie-break min suppkey), never a
+    // per-row subquery. Both aggregates share the l_partkey-prefixed
+    // shuffle; the supplier name join is on the ≤|parts| argmin rows.
+    "analytics_min_cost_supplier" -> { (s, dir) =>
+      val sized = Tables(s, dir, "part")
+        .where(col("p_size") === 10).select("p_partkey")
+      val ps = Tables(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(sized, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((dsum(col("l_extendedprice")) / dsum(col("l_quantity")))
+          .as("unit_cost"))
+      ps.groupBy(col("l_partkey"))
+        .agg(min(struct(col("unit_cost"), col("l_suppkey"))).as("b"))
+        .select(col("l_partkey"), col("b.unit_cost").as("unit_cost"),
+          col("b.l_suppkey").as("l_suppkey"))
+        .join(Tables(s, dir, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), col("s_name"), col("unit_cost"))
+        .orderBy(col("l_partkey")).limit(20)
+    },
+
+    // Q11 (partsupp-free): parts whose shipped value exceeds a fraction
+    // of TOTAL shipped value — the scalar threshold reaches the filter
+    // as a SCALAR SUBQUERY (the codegen-safe scalar-comparison shape the
+    // bloom probe pinned; a crossJoin+filter would condition a BNLJ).
+    // Both branches reuse the same per-part aggregate CTE; the compare
+    // is double-vs-double (one IEEE multiply each side — decimal×decimal
+    // at these precisions would overflow 38 digits and round divergently).
+    "analytics_important_parts" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + viewSeq.incrementAndGet()
+      val lv = s"graft_q11_lineitem_$tag"
+      Tables(s, dir, "lineitem").createOrReplaceTempView(lv)
+      val df = s.sql(s"""
+        WITH pv AS (
+          SELECT l_partkey,
+            sum(cast(l_extendedprice as decimal(12,2)) *
+                cast(l_quantity as decimal(12,2))) AS value_dec
+          FROM $lv GROUP BY l_partkey)
+        SELECT l_partkey, cast(value_dec as double) AS part_value
+        FROM pv
+        WHERE cast(value_dec as double) >
+          (SELECT cast(sum(value_dec) as double) * 0.0001 FROM pv)
+        ORDER BY part_value DESC, l_partkey LIMIT 25""")
+      s.catalog.dropTempView(lv)
+      df
+    },
+
+    // Q20 (partsupp-free): suppliers who DOMINATE a part's supply (>50%
+    // of its shipped quantity in a window) — the nested-aggregate semi
+    // shape: the per-(part, supp) aggregate REAGGREGATES to the per-part
+    // total (one scan, two-level agg sharing the partkey shuffle
+    // prefix), the dominance test is a residual on the equi join of the
+    // two (hash join residuals stay codegen'd), and supplier/nation
+    // attach to the ≤|dominant pairs| survivors.
+    "analytics_dominant_suppliers" -> { (s, dir) =>
+      val perPS = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty_ps"))
+      val perP = perPS.groupBy(col("l_partkey"))
+        .agg(sum(col("qty_ps")).as("qty_total"))
+      perPS.join(perP, "l_partkey")
+        .where(col("qty_ps").cast("double") >
+          col("qty_total").cast("double") * 0.5)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dominant_parts"))
+        .join(Tables(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"), col("n_dominant_parts"))
+        .orderBy(col("s_name"))
+    },
     // Q7: bilateral trade volume — revenue shipped between two treaty
     // nations, by direction and ship year. Both dim chains reduce to the
     // 2-nation pair before touching a fact table.
@@ -161,6 +245,52 @@ object Analytics2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "analytics_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    cast(sum(cast(l.l_extendedprice as decimal(18,4))) as double) /
+        |    cast(sum(cast(l.l_quantity as decimal(18,4))) as double)
+        |      AS unit_cost
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_size = 10
+        |  GROUP BY l.l_partkey, l.l_suppkey),
+        |best AS (
+        |  SELECT l_partkey, unit_cost, l_suppkey,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY unit_cost, l_suppkey) AS rn
+        |  FROM ps)
+        |SELECT b.l_partkey, s.s_name, b.unit_cost
+        |FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        |WHERE b.rn = 1 ORDER BY b.l_partkey LIMIT 20""".stripMargin,
+    "analytics_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    sum(cast(l_extendedprice as decimal(12,2)) *
+        |        cast(l_quantity as decimal(12,2))) AS value_dec
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, cast(value_dec as double) AS part_value
+        |FROM pv
+        |WHERE cast(value_dec as double) >
+        |  (SELECT cast(sum(value_dec) as double) * 0.0001 FROM pv)
+        |ORDER BY part_value DESC, l_partkey LIMIT 25""".stripMargin,
+    "analytics_dominant_suppliers" ->
+      """WITH per_ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(cast(l_quantity as decimal(18,4))) AS qty_ps
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey),
+        |per_p AS (
+        |  SELECT l_partkey, sum(qty_ps) AS qty_total
+        |  FROM per_ps GROUP BY l_partkey)
+        |SELECT s.s_name, n.n_name, count(*) AS n_dominant_parts
+        |FROM per_ps a
+        |JOIN per_p t ON a.l_partkey = t.l_partkey
+        |JOIN supplier s ON a.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE cast(a.qty_ps as double) > cast(t.qty_total as double) * 0.5
+        |GROUP BY s.s_name, n.n_name ORDER BY s.s_name""".stripMargin,
     "analytics_volume_shipping" ->
       s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          |  year(l.l_shipdate) AS l_year, $sqlRevenue AS revenue
