@@ -42,6 +42,30 @@ object Extras6 {
 
   private val bloomSeq = new AtomicLong(0)
 
+  /** PUBLIC API: SCD Type-2 history build — turn a change stream
+    * (`keyCol`, `tsCol`, attributes) into versioned validity intervals:
+    * each change row becomes a version valid from its own timestamp
+    * until the key's NEXT change (`valid_to` null = current version).
+    * The complement of `upsertLatestWins` (which keeps only the final
+    * state): SCD2 keeps every state with its interval, the shape a
+    * warehouse dimension keeps history in. One shuffle on the key; the
+    * lead() window partitions by key (bounded by a key's change count,
+    * never a global partition); `tieCols` break same-timestamp ties
+    * deterministically. */
+  def scd2History(changes: org.apache.spark.sql.DataFrame, keyCol: String,
+      tsCol: String, tieCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("valid_from", "valid_to", "is_current")
+    require(!changes.columns.exists(reserved.contains),
+      s"scd2History reserves the column names ${reserved.mkString(", ")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   val queries: Map[String, Q] = Map(
     // view names carry a per-invocation unique suffix and are dropped
     // once the plan is analyzed (the join_lateral_topn concurrency
@@ -69,6 +93,25 @@ object Extras6 {
       s.catalog.dropTempView(ov)
       s.catalog.dropTempView(cv)
       df
+    },
+
+    // SCD2 over the events stream as a per-user attribute-change feed:
+    // every event versions the user's `value`, intervals in epoch
+    // seconds (the cross-engine timestamp convention), is_current marks
+    // each user's last version. Ordering ties break on event_id — and
+    // BOTH engines order by the µs-truncated timestamp (events.ts is
+    // stored at ns; ns-order could disagree with µs-order on sub-µs
+    // neighbors).
+    "upsert_scd2_history" -> { (s, dir) =>
+      scd2History(
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          epochS(col("valid_from")).as("valid_from_s"),
+          epochS(col("valid_to")).as("valid_to_s"),
+          col("value"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from_s"), col("event_id"))
     }
   )
 
@@ -81,6 +124,19 @@ object Extras6 {
          |FROM orders o
          |JOIN customer c ON o.o_custkey = c.c_custkey
          |WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 5000
-         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    "upsert_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, cast(ts as timestamp) AS tsu, value
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  cast(epoch(date_trunc('second', tsu)) as bigint) AS valid_from_s,
+        |  cast(epoch(date_trunc('second', lead(tsu, 1) OVER w)) as bigint)
+        |    AS valid_to_s,
+        |  value,
+        |  lead(tsu, 1) OVER w IS NULL AS is_current
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |ORDER BY user_id, valid_from_s, event_id""".stripMargin
   )
 }

@@ -184,6 +184,39 @@ class Round8Spec extends SparkSuite {
     assert(got.getString(1) == "a b c" && got.getLong(2) == 2L)
   }
 
+  test("decontaminateBloom flags a superset of the exact overlap on user data") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h extra words here now"),
+      (2L, "totally different words with no overlap at all ok"),
+      (3L, "x y z a b c d e f g h tail")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val bloom = llm.Curation.decontaminateBloom(corpus, evalSet, "doc_id", "text", 8, 4096)
+      .select("doc_id").as[Long].collect().toSet
+    val exact = llm.Curation.decontaminate(corpus, evalSet, "doc_id", "text", 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 3L))
+    assert(exact.subsetOf(bloom), s"bloom=$bloom exact=$exact")
+  }
+
+  test("scd2History closes each version at the key's next change") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 02:00:00")
+    val changes = Seq((1L, t0, "a"), (1L, t1, "b"), (1L, t2, "c"), (2L, t0, "z"))
+      .toDF("k", "ts", "attr")
+    val got = ops.Extras6.scd2History(changes, "k", "ts", Nil)
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        Option(r.getTimestamp(4)).map(_.toString), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, "a", Some("2024-01-01 01:00:00.0"), false),
+      (1L, "b", Some("2024-01-01 02:00:00.0"), false),
+      (1L, "c", None, true),
+      (2L, "z", None, true)))
+  }
+
   // ---- composite analytics plan shapes -------------------------------
 
   test("analytics_waiting_suppliers realizes EXISTS/NOT EXISTS as semi + anti joins") {
