@@ -125,6 +125,57 @@ object Stateful {
         OutputMode.Append())
   }
 
+  case class Scd2Change(key: String, ts: Timestamp, attr: String)
+  case class Scd2Cur(ts: Timestamp, attr: String)
+  case class Scd2Closed(key: String, attr: String,
+      valid_from: Timestamp, valid_to: Timestamp)
+
+  /** v2 processor behind [[scd2Stream]]: one (ts, attr) of state per key
+    * — the OPEN version. Each arriving change closes it (emit) and
+    * becomes the new open version. In-batch rows are sorted by ts before
+    * folding (a micro-batch delivers its rows in shuffle order); ACROSS
+    * batches arrival order stands in for event order, the same contract
+    * as [[quotaPerGroupStream]] — a stream cannot reopen an interval it
+    * already emitted. */
+  private class Scd2Processor
+      extends StatefulProcessor[String, Scd2Change, Scd2Closed] {
+    @transient private var current: ValueState[Scd2Cur] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      current = getHandle.getValueState[Scd2Cur]("current",
+        Encoders.product[Scd2Cur], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Scd2Change],
+        timers: TimerValues): Iterator[Scd2Closed] = {
+      val sorted = rows.toIndexedSeq.sortBy(_.ts.getTime)
+      var cur = if (current.exists()) Option(current.get()) else None
+      val out = scala.collection.mutable.ListBuffer.empty[Scd2Closed]
+      sorted.foreach { r =>
+        cur.foreach(c => out += Scd2Closed(key, c.attr, c.ts, r.ts))
+        cur = Some(Scd2Cur(r.ts, r.attr))
+      }
+      cur.foreach(current.update)
+      out.iterator
+    }
+  }
+
+  /** PUBLIC API: CONTINUOUS SCD Type-2 — the streaming twin of
+    * `GraftOps.scd2History` for a CDC ingestion feed: each change CLOSES
+    * the key's open version (emitted with its validity interval, append
+    * mode) and becomes the new open version, which lives in ONE
+    * (ts, attr) of RocksDB ValueState per key until the next change.
+    * The open/current versions are exactly the state store's content —
+    * a stream can never emit them (their valid_to hasn't happened);
+    * batch scd2History over the full history reproduces closed + open
+    * rows together (StatefulSpec pins closed-row parity). */
+  def scd2Stream(changes: Dataset[Scd2Change]): Dataset[Scd2Closed] = {
+    implicit val encC = Encoders.product[Scd2Closed]
+    changes
+      .groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new Scd2Processor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   case class GroupValue(group: String, value: String)
   case class TopValue(group: String, item: String, est: Long, rank: Int)
 

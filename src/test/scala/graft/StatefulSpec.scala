@@ -194,4 +194,46 @@ class StatefulSpec extends SparkSuite {
     assert(hotLast._4 == 1 && hotLast._3 >= 8 && hotLast._3 <= 11,
       s"cross-batch MG estimate broken: $hotLast")
   }
+
+  test("scd2Stream closes versions across micro-batches and matches batch scd2History") {
+    import graft.streaming.Stateful.Scd2Change
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      val b1 = Seq(Scd2Change("k1", t(0), "a"))
+      val b2 = Seq(Scd2Change("k1", t(2), "c"), Scd2Change("k1", t(1), "b"),
+        Scd2Change("k2", t(1), "z"))
+      val mem = MemoryStream[Scd2Change]
+      val q = Stateful.scd2Stream(mem.toDS())
+        .writeStream.format("memory").queryName("scd2")
+        .outputMode("append").start()
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable() // in-batch sort orders b before c
+      q.stop()
+      val closed = spark.table("scd2").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3)))
+        .sortBy(x => (x._1, x._3.getTime))
+      assert(closed.toSeq == Seq(
+        ("k1", "a", t(0), t(1)), ("k1", "b", t(1), t(2))))
+      // batch parity on the SAME history: closed streaming rows ==
+      // batch scd2History rows whose interval is closed
+      import spark.implicits._
+      val batch = graft.ops.Extras6.scd2History(
+        (b1 ++ b2).toDF("key", "ts", "attr"), "key", "ts", Nil)
+        .where(org.apache.spark.sql.functions.col("valid_to").isNotNull)
+        .select("key", "attr", "valid_from", "valid_to")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3)))
+        .sortBy(x => (x._1, x._3.getTime))
+      assert(batch.toSeq == closed.toSeq)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
