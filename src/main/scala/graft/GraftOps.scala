@@ -332,8 +332,6 @@ object GraftOps {
     llm.Dedup.connectedComponents(pairs, aCol, bCol, maxRounds, checkpointDir,
       algorithm)
 
-  /** apply a change feed over a base table, highest version wins per key —
-    * one hash aggregate, no window. */
   /** SCD Type-2 history: version a change stream into validity intervals
     * (valid_from/valid_to/is_current per key, next-change-closes-interval)
     * — the keep-history complement of [[upsertLatestWins]]. */
@@ -341,6 +339,8 @@ object GraftOps {
       tieCols: Seq[String] = Nil): DataFrame =
     ops.Extras6.scd2History(changes, keyCol, tsCol, tieCols)
 
+  /** apply a change feed over a base table, highest version wins per key —
+    * one hash aggregate, no window. */
   def upsertLatestWins(base: DataFrame, changes: DataFrame,
       keyCol: String, versionCol: String): DataFrame =
     ops.Extras4.upsertLatestWins(base, changes, keyCol, versionCol)

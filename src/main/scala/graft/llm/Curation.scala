@@ -134,15 +134,18 @@ object Curation {
       .withColumn("bgh", xxhash64(col("bg"))).createOrReplaceTempView(gv)
     Dedup.shingleSet(evalSet, idCol, textCol, n)
       .select(xxhash64(col("bg")).as("bgh")).createOrReplaceTempView(ev)
-    val df = s.sql(s"""
+    // finally: an analysis failure must not leak the views (each pins
+    // its shingle plan in the session catalog for the JVM's life)
+    try s.sql(s"""
       SELECT doc_id AS $idCol, count(*) AS n_flagged_grams
       FROM $gv
       WHERE graft_bloom_might_contain(
         (SELECT graft_bloom_build(bgh, $numBits, 7) FROM $ev), bgh)
       GROUP BY doc_id""")
-    s.catalog.dropTempView(gv)
-    s.catalog.dropTempView(ev)
-    df
+    finally {
+      s.catalog.dropTempView(gv)
+      s.catalog.dropTempView(ev)
+    }
   }
 
   /** PUBLIC API: attach per-vector int8 scalar-quantization columns to
@@ -280,21 +283,25 @@ object Curation {
       val corpus = docs.where(col("doc_id") % 5 =!= 0)
       val evalSet = docs.where(col("doc_id") % 5 === 0)
       val bl = decontaminateBloom(corpus, evalSet, "doc_id", "text", 8)
-        .select(col("doc_id"))
+        .select(col("doc_id"), lit(1).as("b"))
       val ex = decontaminate(corpus, evalSet, "doc_id", "text", 8)
-        .select(col("doc_id"))
-      val missed = ex.join(bl, Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_missed"))
-      val fp = bl.join(ex, Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_fp"))
+        .select(col("doc_id"), lit(1).as("e"))
+      // ONE full-outer compare evaluates each pipeline once (the
+      // anti-join-per-count draft re-ran the exact pass 3× and the
+      // bloom pass 2× — a review-pass catch); the three counters fall
+      // out of one aggregate over the compared sets.
+      val cmp = ex.join(bl, Seq("doc_id"), "full_outer")
+        .agg(sum(col("e")).as("n_exact_docs"),
+          sum(when(col("e").isNotNull && col("b").isNull, 1L)
+            .otherwise(0L)).as("n_missed"),
+          sum(when(col("b").isNotNull && col("e").isNull, 1L)
+            .otherwise(0L)).as("n_fp"))
       val nc = corpus.agg(count(lit(1)).as("n_corpus"))
-      ex.agg(count(lit(1)).as("n_exact_docs"))
-        .crossJoin(broadcast(missed))
-        .crossJoin(broadcast(fp))
-        .crossJoin(broadcast(nc))
-        .select(col("n_exact_docs"),
-          (col("n_missed") === 0L).as("no_false_negatives"),
-          (col("n_fp").cast("double") <= col("n_corpus") * 0.10).as("fp_bounded"))
+      cmp.crossJoin(broadcast(nc))
+        .select(coalesce(col("n_exact_docs"), lit(0L)).as("n_exact_docs"),
+          (coalesce(col("n_missed"), lit(0L)) === 0L).as("no_false_negatives"),
+          (coalesce(col("n_fp"), lit(0L)).cast("double") <=
+            col("n_corpus") * 0.10).as("fp_bounded"))
     },
 
     // mixture by replication: high-quality sources get 3 epochs, mid 2,

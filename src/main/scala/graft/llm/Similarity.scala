@@ -28,15 +28,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** unit-normalize through the shared native codegen expression — ONE
+    * wrapping site for [[graft.functions.UnitVector]] ([[withUnit]] and
+    * [[kmeansTrain]]'s mean fold-back both ride it). */
+  private def unit(raw: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.UnitVector(ColumnBridge.expression(raw)))
+  }
+
   /** PUBLIC API: attach unit-normalized double vector `v` computed from
     * `raw` — one native codegen pass per row ([[graft.functions.UnitVector]];
     * same cast → ascending Σx² → divide order as the HOF chain it replaced,
     * so doubles are bit-identical; ExpressionsSpec asserts it). */
-  def withUnit(df: DataFrame, raw: Column): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    df.withColumn("v", ColumnBridge.column(
-      graft.functions.UnitVector(ColumnBridge.expression(raw))))
-  }
+  def withUnit(df: DataFrame, raw: Column): DataFrame =
+    df.withColumn("v", unit(raw))
 
   /** embeddings as double unit vectors. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
@@ -261,20 +266,22 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c_val")))),
           x => x("c_val")).as("mean_v"))
+      // keep-previous covers BOTH failure modes: a cluster with no
+      // members (mean_v null) AND a cluster whose members cancel to a
+      // zero mean — unit([0,…,0]) divides by norm 0 and would poison
+      // every later round with a NaN centroid
       cents = cents.join(upd, Seq("cid"), "left_outer")
-        .select(col("cid"), when(col("mean_v").isNull, col("cv"))
-          .otherwise(unit(col("mean_v"))).as("cv"))
+        .select(col("cid"),
+          when(col("mean_v").isNull, col("cv"))
+            .otherwise(unit(col("mean_v"))).as("ucv"),
+          col("cv"))
+        .select(col("cid"),
+          when(exists(col("ucv"), x => isnan(x)), col("cv"))
+            .otherwise(col("ucv")).as("cv"))
         .localCheckpoint()
       i += 1
     }
     cents
-  }
-
-  /** unit-normalize through the shared native expression (the same
-    * kernel [[withUnit]] applies to raw embeddings). */
-  private def unit(raw: Column): Column = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(graft.functions.UnitVector(ColumnBridge.expression(raw)))
   }
 
   /** PUBLIC API: all pairs within `blockCol` whose cosine ≥ threshold;

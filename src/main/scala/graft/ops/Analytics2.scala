@@ -74,7 +74,7 @@ object Analytics2 {
         "_" + viewSeq.incrementAndGet()
       val lv = s"graft_q11_lineitem_$tag"
       Tables(s, dir, "lineitem").createOrReplaceTempView(lv)
-      val df = s.sql(s"""
+      try s.sql(s"""
         WITH pv AS (
           SELECT l_partkey,
             sum(cast(l_extendedprice as decimal(12,2)) *
@@ -85,8 +85,7 @@ object Analytics2 {
         WHERE cast(value_dec as double) >
           (SELECT cast(sum(value_dec) as double) * 0.0001 FROM pv)
         ORDER BY part_value DESC, l_partkey LIMIT 25""")
-      s.catalog.dropTempView(lv)
-      df
+      finally s.catalog.dropTempView(lv)
     },
 
     // Q20 (partsupp-free): suppliers who DOMINATE a part's supply (>50%

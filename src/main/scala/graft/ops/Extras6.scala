@@ -55,7 +55,10 @@ object Extras6 {
   def scd2History(changes: org.apache.spark.sql.DataFrame, keyCol: String,
       tsCol: String, tieCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     val reserved = Seq("valid_from", "valid_to", "is_current")
-    require(!changes.columns.exists(reserved.contains),
+    // case-insensitive: withColumn resolves case-insensitively under the
+    // default spark.sql.caseSensitive=false, so "Valid_To" would slip the
+    // exact-match guard and then be silently overwritten
+    require(!changes.columns.map(_.toLowerCase).exists(reserved.contains),
       s"scd2History reserves the column names ${reserved.mkString(", ")}")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
@@ -80,7 +83,7 @@ object Extras6 {
         .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000)
         .select("c_custkey")
         .createOrReplaceTempView(cv)
-      val df = s.sql(s"""
+      try s.sql(s"""
         SELECT o.o_orderpriority, count(*) AS n_orders,
           cast(sum(cast(o.o_totalprice as decimal(18,4))) as double) AS total_price
         FROM (SELECT o_custkey, o_orderpriority, o_totalprice FROM $ov
@@ -90,9 +93,10 @@ object Extras6 {
         JOIN $cv c ON o.o_custkey = c.c_custkey
         GROUP BY o.o_orderpriority
         ORDER BY o.o_orderpriority""")
-      s.catalog.dropTempView(ov)
-      s.catalog.dropTempView(cv)
-      df
+      finally {
+        s.catalog.dropTempView(ov)
+        s.catalog.dropTempView(cv)
+      }
     },
 
     // SCD2 over the events stream as a per-user attribute-change feed:

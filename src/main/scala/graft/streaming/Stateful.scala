@@ -147,7 +147,9 @@ object Stateful {
 
     override def handleInputRows(key: String, rows: Iterator[Scd2Change],
         timers: TimerValues): Iterator[Scd2Closed] = {
-      val sorted = rows.toIndexedSeq.sortBy(_.ts.getTime)
+      // getTime alone is millisecond-grained — sub-ms neighbors would
+      // fold in arrival order and could emit an inverted interval
+      val sorted = rows.toIndexedSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos))
       var cur = if (current.exists()) Option(current.get()) else None
       val out = scala.collection.mutable.ListBuffer.empty[Scd2Closed]
       sorted.foreach { r =>

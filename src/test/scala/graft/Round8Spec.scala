@@ -129,6 +129,20 @@ class Round8Spec extends SparkSuite {
       math.abs(c2(1) - 0.9486832980505138) < 1e-9, c2)
   }
 
+  test("kmeansTrain keeps the previous centroid when members cancel to a zero mean") {
+    import spark.implicits._
+    // with a single centroid both vectors must land on it, and their
+    // mean is exactly (0,0) — unit() would emit NaN without the
+    // keep-previous guard, poisoning every later round
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(-1.0, 0.0))).toDF("vec_id", "v")
+    val init = Seq((10L, Array(1.0, 0.0))).toDF("cid", "cv")
+    val out = llm.Similarity.kmeansTrain(vecs, init, 2).orderBy("cid").collect()
+    val c10 = out(0).getSeq[Double](1)
+    assert(!c10.exists(_.isNaN) && c10 == Seq(1.0, 0.0), c10)
+  }
+
   test("kmeansTrain keeps the previous centroid for a cluster that empties") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "v")
