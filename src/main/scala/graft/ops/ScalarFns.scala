@@ -80,6 +80,24 @@ object ScalarFns {
       ).orderBy(col("event_id"))
     },
 
+    // Spark 4 VariantType over the events.props JSON column: parse ONCE
+    // into the binary variant encoding, then typed extraction
+    // (variant_get with a target type) and missing-path null semantics —
+    // the semi-structured scan shape that replaces per-access JSON
+    // re-parsing (get_json_object re-tokenizes the string per call; a
+    // variant column parses once and every later access is a binary
+    // probe — at 100 TB of event payloads that's the whole scan budget).
+    // The oracle mirrors with DuckDB's JSON extraction.
+    "fn_variant_suite" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_long"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("variant_get(v, '$.missing')").isNull.as("missing_null"))
+        .orderBy(col("event_id"))
+    },
+
     // parse_url over deterministic URLs built from the corpus columns
     // (all alphanumeric — no encoding divergence); the oracle mirrors
     // each part with an anchored regexp
@@ -154,6 +172,12 @@ object ScalarFns {
       """SELECT event_id,
         |cast(json_extract_string(props, '$.k') as int) AS k_val,
         |cast(len(json_keys(props)) as int) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_variant_suite" ->
+      """SELECT event_id,
+        |cast(json_extract_string(props, '$.k') as bigint) AS k_long,
+        |json_extract_string(props, '$.k') AS k_str,
+        |json_extract(props, '$.missing') IS NULL AS missing_null
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_url_suite" ->
       """WITH u AS (SELECT doc_id,
