@@ -95,6 +95,16 @@ object GraftOps {
     * dictionary state; mirrored exactly by the DuckDB-side list_reduce). */
   def stringId(c: Column): Column = llm.Dedup.shingleId(c)
 
+  /** native codegen Jaro-Winkler similarity (DuckDB-parity variant: empty
+    * side → 0.0, prefix bonus only above the 0.7 boost threshold) — the
+    * short-string fuzzy-key matcher Spark lacks; pair with a blocking key
+    * to bound the candidate pair count at scale. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   // ---- corpus maintenance --------------------------------------------------
 
   /** dedup a NEW batch against an EXISTING corpus: per-increment cost ∝
@@ -335,6 +345,13 @@ object GraftOps {
   /** SCD Type-2 history: version a change stream into validity intervals
     * (valid_from/valid_to/is_current per key, next-change-closes-interval)
     * — the keep-history complement of [[upsertLatestWins]]. */
+  /** distributed ntile(k) over a UNIQUE orderCols composite — SQL-ntile
+    * positional semantics via the two-level prefix sum, never a
+    * single-partition window (see [[ops.Extras7.distributedNtile]]). */
+  def distributedNtile(df: DataFrame, orderCols: Seq[String], k: Int,
+      outCol: String): DataFrame =
+    ops.Extras7.distributedNtile(df, orderCols, k, outCol)
+
   def scd2History(changes: DataFrame, keyCol: String, tsCol: String,
       tieCols: Seq[String] = Nil): DataFrame =
     ops.Extras6.scd2History(changes, keyCol, tsCol, tieCols)

@@ -1,0 +1,148 @@
+package graft.clean
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Round-8 profiling additions: statistical data-quality checks beyond the
+  * §2.8 per-column summaries — association between categorical columns
+  * (chi-square contingency), candidate-key discovery (uniqueness
+  * profiling), and first-digit law conformance (Benford fraud check).
+  *
+  * Float discipline (SURVEY §5): every double these queries emit is the
+  * result of a FIXED per-row IEEE expression tree over exactly-representable
+  * integers (counts < 2⁵³) or of hardcoded literals shared verbatim by both
+  * engines — never an order-dependent double aggregate, so the bit-exact
+  * hash gate holds without rounding.
+  */
+object Profile2 {
+
+  // Benford expected first-digit probabilities log10(1+1/d), hardcoded to
+  // 6 dp as SHARED literals (computing log10 in each engine would expose
+  // last-ulp libm differences; the constants ARE the specification).
+  private val benfordP = Seq(
+    1 -> "0.301030", 2 -> "0.176091", 3 -> "0.124939", 4 -> "0.096910",
+    5 -> "0.079181", 6 -> "0.066947", 7 -> "0.057992", 8 -> "0.051153",
+    9 -> "0.045757")
+
+  val queries: Map[String, Q] = Map(
+    // chi-square contingency over documents lang × source: observed cell
+    // counts vs independence expectation e = r·c/n, per-cell contribution
+    // (o−e)²/e. The cell/margin aggregates are map-side-combined counts;
+    // the joins attach two TINY margin tables (|lang| and |source| rows)
+    // to the cell table — at 100 TB the only full-data pass is the one
+    // groupBy(lang, source), everything downstream is dimension-sized.
+    "profile_crosstab_chi2" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowT = docs.groupBy("lang").agg(count(lit(1)).as("r"))
+      val colT = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val e = (col("r").cast(DoubleType) * col("c").cast(DoubleType)) /
+        col("n").cast(DoubleType)
+      val dev = col("o").cast(DoubleType) - col("expected")
+      cells
+        .join(broadcast(rowT), "lang")
+        .join(broadcast(colT), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("expected", e)
+        .withColumn("chi2_cell", dev * dev / col("expected"))
+        .select("lang", "source", "o", "expected", "chi2_cell")
+        .orderBy("lang", "source")
+    },
+
+    // candidate-key discovery on orders: per column, exact cardinality +
+    // null count + uniqueness ratio + is-key verdict. One pass; the
+    // multi-column count_distinct expands rows ×4 map-side (Expand), each
+    // branch partial-aggregates before the single-row shuffle — the
+    // standard distinct-profiling shape. At 100 TB swap count_distinct
+    // for approx_count_distinct per §2.8's approx twin; the verdict
+    // column is then a screen, not a proof.
+    "profile_candidate_keys" -> { (s, dir) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val o = Tables(s, dir, "orders")
+      val agg = o.agg(
+        count(lit(1)).as("n"),
+        cols.flatMap(c => Seq(
+          count_distinct(col(c)).as(s"d_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"z_$c"))): _*)
+      val perCol = cols.map(c => agg.select(
+        lit(c).as("column_name"), col("n"),
+        col(s"d_$c").as("n_distinct"), col(s"z_$c").as("n_nulls"),
+        (col(s"d_$c").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("uniq_ratio"),
+        (col(s"d_$c") === col("n") && col(s"z_$c") === 0L).as("is_key")))
+      perCol.reduce(_ unionAll _).orderBy("column_name")
+    },
+
+    // Benford first-digit conformance of o_totalprice: observed digit
+    // shares vs log10(1+1/d). Digit extraction is integral (floor →
+    // bigint → leading character) — no log10 on data, no double→string
+    // format dependence. One map-side-combined 9-group aggregate; the
+    // expected column is a broadcast 9-row literal table in BOTH engines.
+    "profile_benford" -> { (s, dir) =>
+      // floor, not a bigint cast: Spark's double→bigint cast truncates but
+      // DuckDB's ROUNDS half-away (999.95 → digit 9 vs 1); floor is the
+      // same function in both engines
+      val o = Tables(s, dir, "orders")
+        .withColumn("digit",
+          substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+            .cast("int"))
+      val obs = o.groupBy("digit").agg(count(lit(1)).as("observed"))
+      val tot = o.agg(count(lit(1)).as("n"))
+      val expected = benfordP.foldLeft(lit(null).cast(DoubleType)) {
+        case (acc, (d, p)) => when(col("digit") === d, lit(p.toDouble)).otherwise(acc)
+      }
+      obs.crossJoin(broadcast(tot))
+        .withColumn("observed_p",
+          col("observed").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("expected_p", expected)
+        .withColumn("deviation", col("observed_p") - col("expected_p"))
+        .select("digit", "observed", "observed_p", "expected_p", "deviation")
+        .orderBy("digit")
+    }
+  )
+
+  private val benfordCase = benfordP
+    .map { case (d, p) => s"WHEN digit = $d THEN $p" }
+    .mkString("CASE ", " ", " ELSE NULL END")
+
+  val oracle: Map[String, String] = Map(
+    "profile_crosstab_chi2" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+        |ct AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |j AS (SELECT cells.lang, cells.source, o,
+        |        (cast(r as double) * cast(c as double)) / cast(n as double) AS expected
+        |      FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot)
+        |SELECT lang, source, o, expected,
+        |  (cast(o as double) - expected) * (cast(o as double) - expected) / expected
+        |    AS chi2_cell
+        |FROM j ORDER BY lang, source""".stripMargin,
+    "profile_candidate_keys" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |  count(DISTINCT o_orderkey) AS d1, cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) AS z1,
+        |  count(DISTINCT o_custkey) AS d2, cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) as bigint) AS z2,
+        |  count(DISTINCT o_orderstatus) AS d3, cast(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) as bigint) AS z3,
+        |  count(DISTINCT o_orderpriority) AS d4, cast(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) as bigint) AS z4
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS column_name, n, d1 AS n_distinct, z1 AS n_nulls,
+        |  cast(d1 as double) / cast(n as double) AS uniq_ratio, d1 = n AND z1 = 0 AS is_key FROM s
+        |UNION ALL SELECT 'o_custkey', n, d2, z2, cast(d2 as double) / cast(n as double), d2 = n AND z2 = 0 FROM s
+        |UNION ALL SELECT 'o_orderstatus', n, d3, z3, cast(d3 as double) / cast(n as double), d3 = n AND z3 = 0 FROM s
+        |UNION ALL SELECT 'o_orderpriority', n, d4, z4, cast(d4 as double) / cast(n as double), d4 = n AND z4 = 0 FROM s
+        |ORDER BY column_name""".stripMargin,
+    "profile_benford" ->
+      s"""WITH d AS (SELECT cast(substring(cast(cast(floor(o_totalprice) as bigint) as varchar), 1, 1) as int) AS digit
+         |           FROM orders),
+         |obs AS (SELECT digit, count(*) AS observed FROM d GROUP BY 1),
+         |tot AS (SELECT count(*) AS n FROM d)
+         |SELECT digit, observed,
+         |  cast(observed as double) / cast(n as double) AS observed_p,
+         |  $benfordCase AS expected_p,
+         |  cast(observed as double) / cast(n as double) - ($benfordCase) AS deviation
+         |FROM obs CROSS JOIN tot ORDER BY digit""".stripMargin
+  )
+}

@@ -51,6 +51,30 @@ object StringClean {
         .orderBy(col("orig"), col("canonical"))
     },
 
+    // blocked Jaro-Winkler pairs: the transposition-tolerant fuzzy-key
+    // matcher (native codegen JaroWinkler expression — Spark has no
+    // built-in; DuckDB's jaro_winkler_similarity is the oracle, bit-equal
+    // by construction of the kernel). Same first-letter blocking as the
+    // edit-distance form: the block key bounds the O(block²) pair count,
+    // which is the only scale lever that matters here.
+    "fuzzy_cluster_jaro_winkler" -> { (s, dir) =>
+      val names = Tables(s, dir, "part")
+        .withColumn("val",
+          when(col("p_partkey") % 5 === 0,
+            col("p_name").substr(lit(1), length(col("p_name")) - 1))
+            .otherwise(col("p_name")))
+        .select(col("val")).distinct()
+      val a = names.select(col("val").as("val_a"))
+        .withColumn("blk", substring(col("val_a"), 1, 1))
+      val b = names.select(col("val").as("val_b"))
+        .withColumn("blk", substring(col("val_b"), 1, 1))
+      val sim = graft.GraftOps.jaroWinkler(col("val_a"), col("val_b"))
+      a.join(b, Seq("blk"))
+        .where(col("val_a") < col("val_b") && sim >= 0.9)
+        .select(col("val_a"), col("val_b"), sim.as("sim"))
+        .orderBy(col("val_a"), col("val_b"))
+    },
+
     // blocked edit-distance pairs: same first letter, levenshtein ≤ 2
     "fuzzy_cluster_edit_distance" -> { (s, dir) =>
       val names = Tables(s, dir, "part")
@@ -87,6 +111,16 @@ object StringClean {
          |SELECT DISTINCT m.val AS orig, canon.canonical
          |FROM m JOIN canon ON ${sqlFp.format("m.val")} = canon.fp
          |ORDER BY orig, canonical""".stripMargin,
+    "fuzzy_cluster_jaro_winkler" ->
+      """WITH names AS (SELECT DISTINCT
+        |  CASE WHEN p_partkey % 5 = 0 THEN substring(p_name, 1, length(p_name) - 1)
+        |       ELSE p_name END AS val FROM part)
+        |SELECT a.val AS val_a, b.val AS val_b,
+        |  jaro_winkler_similarity(a.val, b.val) AS sim
+        |FROM names a JOIN names b
+        |  ON substring(a.val, 1, 1) = substring(b.val, 1, 1)
+        | AND a.val < b.val AND jaro_winkler_similarity(a.val, b.val) >= 0.9
+        |ORDER BY val_a, val_b""".stripMargin,
     "fuzzy_cluster_edit_distance" ->
       """WITH names AS (SELECT DISTINCT
         |  CASE WHEN p_partkey % 5 = 0 THEN substring(p_name, 1, length(p_name) - 1)

@@ -1,0 +1,271 @@
+package graft.ops
+
+import graft._
+import graft.Tables._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Round-8 third-session additions: behavioral analytics (Markov
+  * transitions, RFM segmentation, YoY growth), exact-arithmetic EWMA
+  * smoothing, and deterministic per-group reservoir sampling.
+  *
+  * Scale discipline shared by all five: the only full-data passes are
+  * map-side-combinable aggregates or per-key windows whose partition is a
+  * single user/group's rows (bounded state); everything after the first
+  * aggregate is dimension-sized and broadcast. No double is ever summed
+  * across rows — money flows through DECIMAL(18,4) (associative, exact)
+  * and the EWMA weights are exact binary-fraction decimal literals, so
+  * the bit-exact oracle gate holds at any partitioning.
+  */
+object Extras7 {
+
+  /** PUBLIC API: distributed ntile — `ntile(k).over(orderBy(orderCols))`
+    * without the single-partition window a global ORDER plans (THE
+    * scale-killer PlanSpec rejects). Global row positions come from the
+    * two-level distributed prefix sum ([[graft.llm.Chunking
+    * .distributedRunningSum]]: range-shard split, per-shard window,
+    * broadcast shard offsets), and the SQL-ntile bucket rule
+    * (first n mod k buckets one row larger) is applied arithmetically to
+    * the position. `orderCols` must be a UNIQUE composite (append a key
+    * column as tiebreak, exactly as a deterministic ntile window would) —
+    * positional semantics are then identical to SQL ntile, row for row.
+    * Parallelism is the shard count, never one task. */
+  def distributedNtile(df: org.apache.spark.sql.DataFrame, orderCols: Seq[String],
+      k: Int, outCol: String): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"distributedNtile needs k >= 1, got $k")
+    require(orderCols.nonEmpty, "distributedNtile needs at least one order column")
+    val reserved = Seq("__np", "__nk", "__nv", "__nrank", "__nn", "__nq", "__nr")
+    require(!df.columns.exists(reserved.contains) && !df.columns.contains(outCol),
+      s"distributedNtile reserves ${reserved.mkString(", ")} and output '$outCol'")
+    // pre-projected to exactly (part, order, value): the kernel's
+    // single-exchange structural-reuse contract (Chunking.scala)
+    val lite = df.select(lit(0).as("__np"),
+      struct(orderCols.map(col): _*).as("__nk"), lit(1L).as("__nv"))
+    val ranked = graft.llm.Chunking
+      .distributedRunningSum(lite, "__np", "__nk", "__nv", "__nrank")
+    val assigned = ranked
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__nn"))))
+      .withColumn("__nq", expr(s"__nn DIV $k"))
+      .withColumn("__nr", expr(s"__nn % $k"))
+      // SQL ntile: buckets 1..r have q+1 rows, buckets r+1..k have q rows
+      .withColumn(outCol,
+        when(col("__nrank") <= (col("__nq") + 1) * col("__nr"),
+          expr("(__nrank - 1) DIV (__nq + 1) + 1"))
+          .otherwise(expr("__nr + (__nrank - (__nq + 1) * __nr - 1) DIV __nq + 1"))
+          .cast("int"))
+      .select(col("__nk"), col(outCol))
+    df.join(assigned, struct(orderCols.map(col): _*) === col("__nk"))
+      .drop("__nk")
+  }
+
+  /** PUBLIC API: truncated exponentially-weighted moving average with
+    * exact decimal arithmetic. λ = 1/2, horizon = 8 lags: weights
+    * 2⁻¹ … 2⁻⁸ are exact decimal literals, each term is an exact
+    * decimal(18,4)×decimal(_,8) product, the 8-term sum is exact, and
+    * only the FINAL value is cast to double — so the result is
+    * bit-identical regardless of partitioning or engine. Missing lags
+    * (series head) contribute 0; weights deliberately sum to 255/256
+    * (the truncation tail) rather than being renormalized, keeping every
+    * term an exact binary fraction. */
+  def ewmaTruncated(dx: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val zero = lit(BigDecimal(0)).cast(DecimalType(18, 4))
+    val terms = (0 until 8).map { j =>
+      val weight = lit(BigDecimal(0.5).pow(j + 1))
+      coalesce(lag(dx, j).over(w), zero) * weight
+    }
+    terms.reduce(_ + _).cast(DoubleType)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // first-order Markov transition matrix of user event sequences:
+    // P(next event type | current). The lag window partitions by user
+    // (state bounded by one user's history, never a global sort); the
+    // (prev, curr) cells and per-prev margins are |types|²-sized, so
+    // everything after the per-user pass is broadcast territory. The
+    // probability is one bigint→double division per cell — no double
+    // aggregation. Ties on ts break on event_id, and BOTH engines order
+    // by the µs-truncated timestamp (the scd2 convention).
+    "events_transition_matrix" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n_trans"))
+      val totals = trans.groupBy("prev_type").agg(sum("n_trans").as("n_from"))
+      trans.join(broadcast(totals), "prev_type")
+        .withColumn("p_trans",
+          col("n_trans").cast(DoubleType) / col("n_from").cast(DoubleType))
+        .select("prev_type", "event_type", "n_trans", "p_trans")
+        .orderBy("prev_type", "event_type")
+    },
+
+    // exact-decimal EWMA over each user's daily value series (λ = 1/2,
+    // 8-lag truncation — see ewmaTruncated). The daily rollup is one
+    // map-side-combined aggregate; the smoothing window is per-user
+    // (bounded partitions). The conventional recursive EWMA is
+    // order-SEQUENTIAL per key; truncating at 8 lags (weight tail
+    // 1/256) turns it into a bounded window expression both engines
+    // evaluate identically — the declarative form that scales.
+    "timeseries_ewma" -> { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).cast(DecimalType(18, 4)).as("dx"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      daily
+        .withColumn("ewma", ewmaTruncated(col("dx"), w))
+        .select(col("user_id"), col("day"),
+          col("dx").cast(DoubleType).as("day_value"), col("ewma"))
+        .orderBy("user_id", "day")
+    },
+
+    // year-over-year revenue growth per nation: yearly exact-decimal
+    // rollup, lag window per nation (25-row partitions after the
+    // aggregate), growth = (rev − prev)/prev with the subtraction still
+    // EXACT in decimal and only one double division at the end. The
+    // fact pass is a single groupBy(nation, year); dims broadcast.
+    "analytics_yoy_growth" -> { (s, dir) =>
+      val yearly = Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 4)).as("rev"))
+      val w = Window.partitionBy("n_name").orderBy("o_year")
+      val prev = lag(col("rev"), 1).over(w)
+      yearly
+        .withColumn("growth",
+          (col("rev") - prev).cast(DoubleType) / prev.cast(DoubleType))
+        .select(col("n_name"), col("o_year"),
+          col("rev").cast(DoubleType).as("revenue"), col("growth"))
+        .orderBy("n_name", "o_year")
+    },
+
+    // RFM segmentation: per customer recency/frequency/monetary, quartile
+    // each (deterministic total order: metric then custkey), segment code
+    // r·100 + f·10 + m, report segment occupancy. The per-customer rollup
+    // is the only fact pass; each quartile is a [[distributedNtile]] —
+    // positional SQL-ntile semantics WITHOUT the single-partition global
+    // window (ranks come from the two-level prefix sum, parallelism =
+    // shard count at any customer cardinality).
+    "analytics_rfm_segments" -> { (s, dir) =>
+      // the customer-grain rollup feeds SIX plan branches (3 ntile rank
+      // passes + their count aggregates + the final joins) — checkpoint
+      // it once instead of replaying the fact aggregate per branch
+      // (lazy localCheckpoint, the connectedComponents lineage
+      // discipline; chained ntiles measured 3.2 s -> this shape)
+      val rfm = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max(epochS(col("o_orderdate"))).as("r_ts"),
+          count(lit(1)).as("f_cnt"),
+          sum(dec(col("o_totalprice"))).cast(DecimalType(18, 4)).as("m_dec"))
+        .localCheckpoint(false)
+      val quartiles = Seq(("r_ts", "r_q"), ("f_cnt", "f_q"), ("m_dec", "m_q"))
+        .map { case (metric, out) =>
+          distributedNtile(rfm.select("o_custkey", metric),
+            Seq(metric, "o_custkey"), 4, out)
+            .select("o_custkey", out)
+        }
+      quartiles.foldLeft(rfm.select("o_custkey", "f_cnt"))(_.join(_, "o_custkey"))
+        .withColumn("segment",
+          col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"), sum("f_cnt").as("n_orders"))
+        .orderBy("segment")
+    },
+
+    // deterministic k-per-group reservoir: rank orders within each
+    // priority class by an arithmetic hash of the key (the
+    // pipeline_shuffle_deterministic LCG — no rand(), reproducible
+    // across runs/engines) and keep the first 5. The per-group window
+    // is the grouped top-k shape: bounded heap state per group under
+    // partial windowed aggregation, one shuffle on the group key.
+    "sample_reservoir_per_group" -> { (s, dir) =>
+      val hash = (col("o_orderkey") * lit(2654435761L)) % lit(2147483647L)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(hash.asc, col("o_orderkey").asc)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_orderpriority", "rn")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_transition_matrix" ->
+      """WITH e AS (SELECT user_id, cast(ts as timestamp) AS tsu, event_id, event_type
+        |           FROM events),
+        |seq AS (SELECT event_type,
+        |          lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |            AS prev_type
+        |        FROM e),
+        |trans AS (SELECT prev_type, event_type, count(*) AS n_trans
+        |          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, sum(n_trans) AS n_from FROM trans GROUP BY 1)
+        |SELECT trans.prev_type, event_type, n_trans,
+        |  cast(n_trans as double) / cast(n_from as double) AS p_trans
+        |FROM trans JOIN tot USING (prev_type)
+        |ORDER BY prev_type, event_type""".stripMargin,
+    "timeseries_ewma" ->
+      """WITH daily AS (
+        |  SELECT user_id, cast(cast(ts as timestamp) as date) AS day,
+        |    cast(sum(cast(value as decimal(18,4))) as decimal(18,4)) AS dx
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, cast(dx as double) AS day_value,
+        |  cast(
+        |    coalesce(lag(dx, 0) OVER w, cast(0 as decimal(18,4))) * 0.5
+        |  + coalesce(lag(dx, 1) OVER w, cast(0 as decimal(18,4))) * 0.25
+        |  + coalesce(lag(dx, 2) OVER w, cast(0 as decimal(18,4))) * 0.125
+        |  + coalesce(lag(dx, 3) OVER w, cast(0 as decimal(18,4))) * 0.0625
+        |  + coalesce(lag(dx, 4) OVER w, cast(0 as decimal(18,4))) * 0.03125
+        |  + coalesce(lag(dx, 5) OVER w, cast(0 as decimal(18,4))) * 0.015625
+        |  + coalesce(lag(dx, 6) OVER w, cast(0 as decimal(18,4))) * 0.0078125
+        |  + coalesce(lag(dx, 7) OVER w, cast(0 as decimal(18,4))) * 0.00390625
+        |  as double) AS ewma
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |ORDER BY user_id, day""".stripMargin,
+    "analytics_yoy_growth" ->
+      """WITH yearly AS (
+        |  SELECT n_name, cast(year(o_orderdate) as int) AS o_year,
+        |    cast(sum(cast(o_totalprice as decimal(18,4))) as decimal(18,4)) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, o_year, cast(rev as double) AS revenue,
+        |  cast(rev - lag(rev, 1) OVER w as double)
+        |    / cast(lag(rev, 1) OVER w as double) AS growth
+        |FROM yearly
+        |WINDOW w AS (PARTITION BY n_name ORDER BY o_year)
+        |ORDER BY n_name, o_year""".stripMargin,
+    "analytics_rfm_segments" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey,
+        |    max(cast(epoch(date_trunc('second', o_orderdate)) as bigint)) AS r_ts,
+        |    count(*) AS f_cnt,
+        |    cast(sum(cast(o_totalprice as decimal(18,4))) as decimal(18,4)) AS m_dec
+        |  FROM orders GROUP BY 1),
+        |coded AS (
+        |  SELECT ntile(4) OVER (ORDER BY r_ts, o_custkey) * 100
+        |       + ntile(4) OVER (ORDER BY f_cnt, o_custkey) * 10
+        |       + ntile(4) OVER (ORDER BY m_dec, o_custkey) AS segment, f_cnt
+        |  FROM rfm)
+        |SELECT segment, count(*) AS n_customers, cast(sum(f_cnt) as bigint) AS n_orders
+        |FROM coded GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_reservoir_per_group" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY (o_orderkey * 2654435761) % 2147483647, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, MathContext}
+
+import graft.functions.{JaroWinkler, StringSimKernels}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-8 third-session kernels: Jaro-Winkler (DuckDB-parity variant),
+  * distributed ntile, exact-decimal EWMA. */
+class Round8cSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    StringSimKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("JaroWinkler kernel pins the DuckDB variant") {
+    // classic textbook pairs (above the boost threshold → prefix bonus)
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    // below the 0.7 boost threshold the PLAIN jaro comes back — even with
+    // a 4-char common prefix (the variant divergence that separates
+    // DuckDB/RapidFuzz from the textbook formula)
+    assert(jw("red anvil", "red rod") == 0.671957671957672)
+    // DuckDB edge semantics: any empty side → 0.0, including empty==empty
+    assert(jw("", "") == 0.0)
+    assert(jw("a", "") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    // no common characters at all
+    assert(jw("abc", "xyz") == 0.0)
+  }
+
+  test("JaroWinkler expression: codegen result equals the kernel, null-intolerant") {
+    val df = Tables(spark, sf, "part")
+      .select(col("p_name"), reverse(col("p_name")).as("r"))
+      .withColumn("sim", GraftOps.jaroWinkler(col("p_name"), col("r")))
+    val rows = df.limit(200).collect()
+    rows.foreach { row =>
+      assert(row.getDouble(2) == jw(row.getString(0), row.getString(1)))
+    }
+    val n = Seq(("x", null: String)).toDF("a", "b")
+      .select(GraftOps.jaroWinkler(col("a"), col("b")).as("s"))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("distributedNtile equals the single-partition SQL ntile row-for-row") {
+    val cust = Tables(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    for (k <- Seq(3, 4, 7)) {
+      val expected = cust.withColumn("q",
+        ntile(k).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))))
+      val actual = GraftOps.distributedNtile(
+        cust, Seq("c_acctbal", "c_custkey"), k, "q")
+      assert(expected.join(actual, Seq("c_custkey"))
+        .where(expected("q") =!= actual("q")).count() == 0, s"k=$k diverged")
+      // bucket sizes follow the SQL rule: first n%k buckets one larger
+      val sizes = actual.groupBy("q").count()
+        .orderBy("q").collect().map(_.getLong(1))
+      val nRows = sizes.sum
+      sizes.zipWithIndex.foreach { case (sz, i) =>
+        val want = nRows / k + (if (i < nRows % k) 1L else 0L)
+        assert(sz == want, s"k=$k bucket ${i + 1}: $sz != $want")
+      }
+    }
+  }
+
+  test("ewmaTruncated matches an in-memory exact-decimal reference") {
+    val out = SparkEntry.queries("timeseries_ewma")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val byUser = out.groupBy(_._1).values
+    byUser.foreach { series =>
+      val sorted = series.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, _, _, ewma), i) =>
+        var acc = JBigDecimal.ZERO
+        var j = 0
+        while (j < 8 && j <= i) {
+          // day_value is the decimal(18,4) rollup surfaced as double —
+          // recover the exact decimal, weight by the exact binary fraction
+          val dx = new JBigDecimal(sorted(i - j)._3, MathContext.UNLIMITED)
+            .setScale(4, java.math.RoundingMode.HALF_UP)
+          val w = new JBigDecimal(1).divide(new JBigDecimal(2).pow(j + 1))
+          acc = acc.add(dx.multiply(w))
+          j += 1
+        }
+        assert(acc.doubleValue == ewma,
+          s"user series mismatch at row $i: ${acc.doubleValue} != $ewma")
+      }
+    }
+  }
+
+  test("reservoir sample is invariant to input partitioning") {
+    val base = SparkEntry.queries("sample_reservoir_per_group")(spark, sf)
+      .collect().toSeq
+    val shuffled = Tables(spark, sf, "orders").repartition(13)
+    val hash = (col("o_orderkey") * lit(2654435761L)) % lit(2147483647L)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(hash.asc, col("o_orderkey").asc)
+    val again = shuffled
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rn")
+      .collect().toSeq
+    assert(base == again)
+  }
+}
