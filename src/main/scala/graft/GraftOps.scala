@@ -352,6 +352,18 @@ object GraftOps {
       outCol: String): DataFrame =
     ops.Extras7.distributedNtile(df, orderCols, k, outCol)
 
+  /** weighted item-item co-occurrence edges from (group, item) facts —
+    * pair expansion bounded by group size, `minWeight` prunes one-off
+    * noise (see [[ops.Graph.coOccurrenceEdges]]). */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      minWeight: Long): DataFrame =
+    ops.Graph.coOccurrenceEdges(df, groupCol, itemCol, minWeight)
+
+  /** one-row nodes/edges/wedges/triangles/clustering statistics of an
+    * undirected (pa < pb) edge table ([[ops.Graph.triangleStats]]). */
+  def triangleStats(edges: DataFrame): DataFrame =
+    ops.Graph.triangleStats(edges)
+
   def scd2History(changes: DataFrame, keyCol: String, tsCol: String,
       tieCols: Seq[String] = Nil): DataFrame =
     ops.Extras6.scd2History(changes, keyCol, tsCol, tieCols)

@@ -26,6 +26,7 @@ object SparkEntry {
     (ops.Extras5.queries, ops.Extras5.oracle),
     (ops.Extras6.queries, ops.Extras6.oracle),
     (ops.Extras7.queries, ops.Extras7.oracle),
+    (ops.Graph.queries, ops.Graph.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

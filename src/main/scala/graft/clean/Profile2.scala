@@ -76,6 +76,22 @@ object Profile2 {
       perCol.reduce(_ unionAll _).orderBy("column_name")
     },
 
+    // equi-depth (quantile) histogram: 10 equal-count buckets of
+    // o_totalprice with their boundaries — the histogram form whose bar
+    // heights stay informative under any value skew (the fixed-width
+    // profile_histogram twin). Bucketing via the DISTRIBUTED ntile
+    // (two-level prefix sum — parallelism = shard count, never a global
+    // single-partition sort); the rollup after it is 10 rows.
+    "profile_histogram_equidepth" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      graft.ops.Extras7.distributedNtile(
+          o, Seq("o_totalprice", "o_orderkey"), 10, "bucket")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .orderBy("bucket")
+    },
+
     // Benford first-digit conformance of o_totalprice: observed digit
     // shares vs log10(1+1/d). Digit extraction is integral (floor →
     // bigint → leading character) — no log10 on data, no double→string
@@ -134,6 +150,13 @@ object Profile2 {
         |UNION ALL SELECT 'o_orderstatus', n, d3, z3, cast(d3 as double) / cast(n as double), d3 = n AND z3 = 0 FROM s
         |UNION ALL SELECT 'o_orderpriority', n, d4, z4, cast(d4 as double) / cast(n as double), d4 = n AND z4 = 0 FROM s
         |ORDER BY column_name""".stripMargin,
+    "profile_histogram_equidepth" ->
+      """WITH b AS (SELECT o_totalprice,
+        |  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n, min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "profile_benford" ->
       s"""WITH d AS (SELECT cast(substring(cast(cast(floor(o_totalprice) as bigint) as varchar), 1, 1) as int) AS digit
          |           FROM orders),

@@ -243,6 +243,51 @@ object Stateful {
       }
   }
 
+  case class DayValue(user_id: Long, day: String, value: Double)
+  case class EwmaPoint(user_id: Long, day: String, ewma: Double)
+
+  /** v2 processor behind [[ewmaStream]]: ONE double of state per key —
+    * the current smoothed level. λ = 1/2: yₜ = (yₜ₋₁ + xₜ)/2, which is
+    * exactly the infinite-horizon limit of the batch query's truncated
+    * weights 2⁻¹…2⁻⁸ (y₀ = 0). In-batch rows are sorted by day before
+    * folding (micro-batches deliver in shuffle order); across batches
+    * arrival order stands in for day order, the scd2Stream contract. */
+  private class EwmaProcessor
+      extends StatefulProcessor[Long, DayValue, EwmaPoint] {
+    @transient private var level: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      level = getHandle.getValueState[Double]("level",
+        Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DayValue],
+        timers: TimerValues): Iterator[EwmaPoint] = {
+      var y = if (level.exists()) level.get() else 0.0
+      val out = rows.toIndexedSeq.sortBy(_.day).map { r =>
+        y = (y + r.value) / 2.0
+        EwmaPoint(key, r.day, y)
+      }
+      level.update(y)
+      out.iterator
+    }
+  }
+
+  /** PUBLIC API: CONTINUOUS per-key EWMA — the streaming twin of the
+    * declared `timeseries_ewma`. The batch form must truncate the
+    * recursion at 8 lags to stay a declarative (and exact-decimal)
+    * window expression; a stream holds the TRUE recursion as one double
+    * of RocksDB ValueState per key, so each arriving day costs O(1) and
+    * no history is re-read. The two agree within the truncation tail:
+    * |stream − batch| ≤ max|x|/256 once 8 lags exist (StatefulSpec pins
+    * the bound against the declared query's output). */
+  def ewmaStream(rows: Dataset[DayValue]): Dataset[EwmaPoint] = {
+    implicit val encOut = Encoders.product[EwmaPoint]
+    rows
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new EwmaProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   def approxTopValuesStream(rows: Dataset[GroupValue], capacity: Int,
       k: Int): Dataset[TopValue] = {
     require(capacity >= 1 && k >= 1, "need capacity >= 1 and k >= 1")

@@ -92,6 +92,30 @@ class Round8cSpec extends SparkSuite {
     }
   }
 
+  test("triangleStats on a known toy graph") {
+    // K4 minus edge (1,4): triangles (1,2,3) and (2,3,4); degrees
+    // 2,3,3,2 → wedges 1+3+3+1 = 8; clustering = 3·2/8
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("pa", "pb")
+    val r = GraftOps.triangleStats(edges).collect().head
+    assert(r.getLong(0) == 4L)  // nodes
+    assert(r.getLong(1) == 5L)  // edges
+    assert(r.getLong(2) == 8L)  // wedges
+    assert(r.getLong(3) == 2L)  // triangles
+    assert(r.getDouble(4) == 0.75)
+  }
+
+  test("coOccurrenceEdges bounds pairs to shared groups and minWeight") {
+    val facts = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),   // basket 10: pairs (1,2)(1,3)(2,3)
+      (11L, 1L), (11L, 2L),              // basket 11: (1,2) again
+      (12L, 2L), (12L, 3L)               // basket 12: (2,3) again
+    ).toDF("g", "item")
+    val e = GraftOps.coOccurrenceEdges(facts, "g", "item", 2L)
+      .orderBy("pa", "pb").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e.toSeq == Seq((1L, 2L, 2L), (2L, 3L, 2L)))
+  }
+
   test("reservoir sample is invariant to input partitioning") {
     val base = SparkEntry.queries("sample_reservoir_per_group")(spark, sf)
       .collect().toSeq

@@ -236,4 +236,49 @@ class StatefulSpec extends SparkSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("ewmaStream: exact recursion across micro-batches, within truncation tail of batch") {
+    import graft.streaming.Stateful.DayValue
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the declared query's own daily series (user, day, day_value, ewma)
+      val batchOut = SparkEntry.queries("timeseries_ewma")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3)))
+      val rows = batchOut.map(x => DayValue(x._1, x._2, x._3)).sortBy(_.day)
+      val days = rows.map(_.day).distinct.sorted
+      val (b1, b2) = rows.partition(_.day < days(days.length / 2))
+      val mem = MemoryStream[DayValue]
+      val q = Stateful.ewmaStream(mem.toDS())
+        .writeStream.format("memory").queryName("ewma_s")
+        .outputMode("append").start()
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("ewma_s").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      // 1) EXACTLY the sequential recursion y = (y + x)/2 per user
+      val ref = rows.groupBy(_.user_id).toSeq.flatMap { case (u, rs) =>
+        var y = 0.0
+        rs.sortBy(_.day).toSeq.map { r => y = (y + r.value) / 2.0; (u, r.day) -> y }
+      }.toMap
+      assert(ref.size == got.size)
+      ref.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} != $v") }
+      // 2) within the truncation tail of the DECLARED batch query:
+      //    |recursive - 8-lag truncated| <= max|x| / 256 (+ tiny decimal
+      //    vs double arithmetic noise on the shared prefix terms)
+      val maxAbs = rows.map(r => math.abs(r.value)).max
+      val tol = maxAbs / 256.0 + 1e-9
+      batchOut.foreach { case (u, day, _, ewmaBatch) =>
+        assert(math.abs(got((u, day)) - ewmaBatch) <= tol,
+          s"($u,$day): stream ${got((u, day))} vs batch $ewmaBatch tol $tol")
+      }
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
