@@ -352,6 +352,21 @@ object GraftOps {
       outCol: String): DataFrame =
     ops.Extras7.distributedNtile(df, orderCols, k, outCol)
 
+  /** sorted-neighborhood record-linkage candidates: pairs within
+    * `window` global sort positions, ranked via the distributed prefix
+    * sum and joined by band — never a single-partition sort
+    * ([[clean.StringClean.sortedNeighborhoodPairs]]). */
+  def sortedNeighborhoodPairs(names: DataFrame, valCol: String,
+      window: Int): DataFrame =
+    clean.StringClean.sortedNeighborhoodPairs(names, valCol, window)
+
+  /** per-document interpolated bigram surprisal (self-trained corpus LM,
+    * [[llm.Mix.bigramSurprisal]]) — the order-sensitive quality signal
+    * over [[unigramSurprisal]]. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.9): DataFrame =
+    llm.Mix.bigramSurprisal(df, idCol, textCol, lambda)
+
   /** weighted item-item co-occurrence edges from (group, item) facts —
     * pair expansion bounded by group size, `minWeight` prunes one-off
     * noise (see [[ops.Graph.coOccurrenceEdges]]). */

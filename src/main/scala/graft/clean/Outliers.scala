@@ -26,6 +26,30 @@ object Outliers {
         (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
 
   val queries: Map[String, Q] = Map(
+    // per-KEY robust anomaly detection — the grouped twin of
+    // outlier_mad_flag: each user gets its own median/MAD fences, so a
+    // user whose normal level is another user's outlier is judged
+    // against ITS OWN distribution. Two grouped exact-percentile passes
+    // (med, then MAD of deviations), each a per-user aggregate (bounded
+    // partitions, map-side partials); bounds round-4 per the house MAD
+    // rule so a last-bit interpolation diff can't flip a boundary row.
+    "outlier_mad_per_group" -> { (s, dir) =>
+      val e = Tables(s, dir, "events").select(col("user_id"), col("value"))
+      val med = e.groupBy("user_id")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val withMed = e.join(med, "user_id")
+      val mad = withMed.groupBy("user_id")
+        .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+      val dev = abs(col("value") - col("med"))
+      withMed.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_vals"),
+          sum(when(dev > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_out"),
+          min("med").as("med"), min("mad").as("mad"))
+        .orderBy("user_id")
+    },
+
     // IQR fence counts on l_extendedprice
     "outlier_iqr_flag" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
@@ -108,6 +132,20 @@ object Outliers {
       |round(quantile_cont(l_extendedprice, 0.75), 4) AS q3 FROM lineitem""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "outlier_mad_per_group" ->
+      """WITH m AS (SELECT user_id, round(quantile_cont(value, 0.5), 4) AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT e.user_id, e.value, m.med
+        |      FROM events e JOIN m USING (user_id)),
+        |md AS (SELECT user_id, round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.user_id, count(*) AS n_vals,
+        |  cast(sum(CASE WHEN abs(d.value - d.med) > 3.0 * 1.4826 * md.mad
+        |    THEN 1 ELSE 0 END) as bigint) AS n_out,
+        |  min(d.med) AS med, min(md.mad) AS mad
+        |FROM d JOIN md USING (user_id)
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
     "outlier_iqr_flag" ->
       s"""WITH qs AS ($iqrBounds),
          |b AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM qs)

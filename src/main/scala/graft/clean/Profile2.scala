@@ -76,6 +76,32 @@ object Profile2 {
       perCol.reduce(_ unionAll _).orderBy("column_name")
     },
 
+    // functional-dependency check over the denormalized orders⋈customer
+    // view: for each candidate det→dep pair, how many determinant values
+    // map to MORE than one dependent value (violations). The discovery
+    // shape behind normalization/consistency repair: each pair is one
+    // groupBy(det) count_distinct — map-side partial-agg'd — and the
+    // verdict aggregate is determinant-cardinality-sized. FDs that hold
+    // here by construction (o_custkey→c_name) and fail (c_nationkey→
+    // c_mktsegment) both appear, so the gate proves the verdict column
+    // discriminates.
+    "profile_fd_check" -> { (s, dir) =>
+      val oc = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .localCheckpoint(false)
+      val cand = Seq(
+        ("o_custkey", "c_name"), ("o_custkey", "c_mktsegment"),
+        ("c_nationkey", "c_mktsegment"), ("o_orderpriority", "o_orderstatus"))
+      cand.map { case (det, dep) =>
+        oc.groupBy(det).agg(count_distinct(col(dep)).as("nd"))
+          .agg(count(lit(1)).as("n_det_values"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+            col("n_det_values"), col("n_violations"),
+            (col("n_violations") === 0L).as("fd_holds"))
+      }.reduce(_ unionAll _).orderBy("determinant", "dependent")
+    },
+
     // equi-depth (quantile) histogram: 10 equal-count buckets of
     // o_totalprice with their boundaries — the histogram form whose bar
     // heights stay informative under any value skew (the fixed-width
@@ -150,6 +176,22 @@ object Profile2 {
         |UNION ALL SELECT 'o_orderstatus', n, d3, z3, cast(d3 as double) / cast(n as double), d3 = n AND z3 = 0 FROM s
         |UNION ALL SELECT 'o_orderpriority', n, d4, z4, cast(d4 as double) / cast(n as double), d4 = n AND z4 = 0 FROM s
         |ORDER BY column_name""".stripMargin,
+    "profile_fd_check" ->
+      """WITH oc AS (SELECT * FROM orders JOIN customer ON o_custkey = c_custkey),
+        |f1 AS (SELECT count(*) AS n, cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint) AS v
+        |       FROM (SELECT o_custkey, count(DISTINCT c_name) AS nd FROM oc GROUP BY 1)),
+        |f2 AS (SELECT count(*) AS n, cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint) AS v
+        |       FROM (SELECT o_custkey, count(DISTINCT c_mktsegment) AS nd FROM oc GROUP BY 1)),
+        |f3 AS (SELECT count(*) AS n, cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint) AS v
+        |       FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd FROM oc GROUP BY 1)),
+        |f4 AS (SELECT count(*) AS n, cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint) AS v
+        |       FROM (SELECT o_orderpriority, count(DISTINCT o_orderstatus) AS nd FROM oc GROUP BY 1))
+        |SELECT 'o_custkey' AS determinant, 'c_name' AS dependent,
+        |  n AS n_det_values, v AS n_violations, v = 0 AS fd_holds FROM f1
+        |UNION ALL SELECT 'o_custkey', 'c_mktsegment', n, v, v = 0 FROM f2
+        |UNION ALL SELECT 'c_nationkey', 'c_mktsegment', n, v, v = 0 FROM f3
+        |UNION ALL SELECT 'o_orderpriority', 'o_orderstatus', n, v, v = 0 FROM f4
+        |ORDER BY determinant, dependent""".stripMargin,
     "profile_histogram_equidepth" ->
       """WITH b AS (SELECT o_totalprice,
         |  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket

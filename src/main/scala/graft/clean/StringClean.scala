@@ -51,6 +51,26 @@ object StringClean {
         .orderBy(col("orig"), col("canonical"))
     },
 
+    // sorted-neighborhood method (the OTHER classic record-linkage
+    // candidate generator, complementing first-letter blocking): global
+    // sort order via the distributed prefix-sum rank, neighborhood as a
+    // band equi-join (see sortedNeighborhoodPairs), Jaro-Winkler verify.
+    // Finds near-pairs whose first letters DIFFER (blocking misses them)
+    // as long as they sort nearby.
+    "dedup_sorted_neighborhood" -> { (s, dir) =>
+      val names = Tables(s, dir, "part")
+        .withColumn("val",
+          when(col("p_partkey") % 5 === 0,
+            col("p_name").substr(lit(1), length(col("p_name")) - 1))
+            .otherwise(col("p_name")))
+        .select(col("val")).distinct()
+      val sim = graft.GraftOps.jaroWinkler(col("val_a"), col("val_b"))
+      sortedNeighborhoodPairs(names, "val", 5)
+        .where(sim >= 0.9)
+        .select(col("val_a"), col("val_b"), col("gap"), sim.as("sim"))
+        .orderBy(col("val_a"), col("val_b"))
+    },
+
     // blocked Jaro-Winkler pairs: the transposition-tolerant fuzzy-key
     // matcher (native codegen JaroWinkler expression — Spark has no
     // built-in; DuckDB's jaro_winkler_similarity is the oracle, bit-equal
@@ -96,6 +116,29 @@ object StringClean {
     }
   )
 
+  /** PUBLIC API: scale-correct sorted-neighborhood record linkage —
+    * candidate pairs whose global sort positions differ by ≤ `window`.
+    * Classic SNM sorts once and slides a w-row window; the Spark-correct
+    * form ranks via the distributed prefix sum (never a single-partition
+    * sort) and turns the neighborhood into an equi-join: each row joins
+    * its own w-wide rank bucket AND the next (band replication), then
+    * the exact 1 ≤ gap ≤ w residual filters — every neighbor pair found
+    * exactly once, no quadratic block. */
+  def sortedNeighborhoodPairs(names: DataFrame, valCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"sortedNeighborhoodPairs needs window >= 1, got $window")
+    val ranked = graft.ops.Extras7.distributedRank(names, Seq(valCol), "rn")
+    val a = ranked.select(col(valCol).as("val_a"), col("rn").as("rn_a"))
+      .withColumn("bkt", explode(array(
+        expr(s"(rn_a - 1) DIV $window"), expr(s"(rn_a - 1) DIV $window + 1"))))
+    val b = ranked.select(col(valCol).as("val_b"), col("rn").as("rn_b"))
+      .withColumn("bkt", expr(s"(rn_b - 1) DIV $window"))
+    a.join(b, "bkt")
+      .where((col("rn_b") - col("rn_a")).between(1, window))
+      .select(col("val_a"), col("val_b"),
+        (col("rn_b") - col("rn_a")).as("gap"))
+  }
+
   val oracle: Map[String, String] = Map(
     "str_normalize" ->
       s"""WITH m AS ($sqlMessy)
@@ -111,6 +154,16 @@ object StringClean {
          |SELECT DISTINCT m.val AS orig, canon.canonical
          |FROM m JOIN canon ON ${sqlFp.format("m.val")} = canon.fp
          |ORDER BY orig, canonical""".stripMargin,
+    "dedup_sorted_neighborhood" ->
+      """WITH names AS (SELECT DISTINCT
+        |  CASE WHEN p_partkey % 5 = 0 THEN substring(p_name, 1, length(p_name) - 1)
+        |       ELSE p_name END AS val FROM part),
+        |r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM names)
+        |SELECT a.val AS val_a, b.val AS val_b, b.rn - a.rn AS gap,
+        |  jaro_winkler_similarity(a.val, b.val) AS sim
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+        |WHERE jaro_winkler_similarity(a.val, b.val) >= 0.9
+        |ORDER BY val_a, val_b""".stripMargin,
     "fuzzy_cluster_jaro_winkler" ->
       """WITH names AS (SELECT DISTINCT
         |  CASE WHEN p_partkey % 5 = 0 THEN substring(p_name, 1, length(p_name) - 1)

@@ -129,7 +129,52 @@ object Mix {
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
   }
 
+  /** PUBLIC API: per-document average INTERPOLATED bigram surprisal —
+    * the order-sensitive upgrade of [[unigramSurprisal]]:
+    * p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N, avg −ln p over the
+    * document's bigrams, round-6. Bigrams come from the native
+    * [[graft.functions.WordNgrams]] pass (map-side, no per-token
+    * shuffle); the LM tables are |bigram-vocab|-sized and broadcast
+    * back for scoring. Per-term nll is cast decimal(18,12) before the
+    * SUM (associative → partition-order-proof), the unigram discipline.
+    * NOTE for mirrors: 1−λ must be COMPUTED (1.0 − 0.9), not written
+    * 0.1 — the IEEE subtraction result 0.09999999999999998 is what both
+    * engines must share. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val toksArr = df.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
+    val toks = toksArr.select(col(idCol), explode(col("toks")).as("word"))
+    val bigrams = toksArr.select(col(idCol),
+      explode(ColumnBridge.column(graft.functions.WordNgrams(
+        ColumnBridge.expression(col("toks")), 2))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(false)
+    val tot = uni.agg(sum("cu").as("t"))
+    val probs = c12.join(c1, "w1")
+      .join(uni.withColumnRenamed("word", "w2"), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        (-log(lit(lambda) * (col("c12").cast("double") / col("c1").cast("double"))
+          + lit(1.0 - lambda) * (col("cu").cast("double") / col("t").cast("double"))))
+          .cast("decimal(18,12)").as("nll"))
+    bigrams.join(broadcast(probs), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_lm_bigram_score" -> { (s, dir) =>
+      bigramSurprisal(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     "pipeline_mix_temperature" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val rates = temperatureRates(docs, "lang")
@@ -156,6 +201,26 @@ object Mix {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_lm_bigram_score" ->
+      """WITH toks AS (SELECT doc_id, u.el.s AS word, u.el.i AS i
+        |  FROM documents,
+        |  unnest(list_transform(string_split(lower(text), ' '),
+        |    (s0, i) -> struct_pack(s := s0, i := i))) AS u(el)),
+        |bg AS (SELECT a.doc_id, a.word AS w1, b.word AS w2
+        |       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |uni AS (SELECT word, count(*) AS cu FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM toks),
+        |probs AS (SELECT c12.w1, c12.w2,
+        |    cast(-ln(0.9 * (cast(c12 as double) / cast(c1 as double))
+        |      + (1.0 - 0.9) * (cast(cu as double) / cast(t as double)))
+        |      as decimal(18,12)) AS nll
+        |  FROM c12 JOIN c1 USING (w1) JOIN uni ON c12.w2 = uni.word CROSS JOIN tot)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(cast(sum(nll) as double) / count(*), 6) AS avg_nll
+        |FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "pipeline_mix_temperature" ->
       """WITH stats AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
         |m AS (SELECT min(n_docs) AS n_min FROM stats),

@@ -21,31 +21,41 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Extras7 {
 
-  /** PUBLIC API: distributed ntile — `ntile(k).over(orderBy(orderCols))`
-    * without the single-partition window a global ORDER plans (THE
-    * scale-killer PlanSpec rejects). Global row positions come from the
-    * two-level distributed prefix sum ([[graft.llm.Chunking
+  /** PUBLIC API: distributed global rank — `row_number().over(
+    * orderBy(orderCols))` without the single-partition window a global
+    * ORDER plans (THE scale-killer PlanSpec rejects). Positions come
+    * from the two-level distributed prefix sum ([[graft.llm.Chunking
     * .distributedRunningSum]]: range-shard split, per-shard window,
-    * broadcast shard offsets), and the SQL-ntile bucket rule
-    * (first n mod k buckets one row larger) is applied arithmetically to
-    * the position. `orderCols` must be a UNIQUE composite (append a key
-    * column as tiebreak, exactly as a deterministic ntile window would) —
-    * positional semantics are then identical to SQL ntile, row for row.
-    * Parallelism is the shard count, never one task. */
-  def distributedNtile(df: org.apache.spark.sql.DataFrame, orderCols: Seq[String],
-      k: Int, outCol: String): org.apache.spark.sql.DataFrame = {
-    require(k >= 1, s"distributedNtile needs k >= 1, got $k")
-    require(orderCols.nonEmpty, "distributedNtile needs at least one order column")
-    val reserved = Seq("__np", "__nk", "__nv", "__nrank", "__nn", "__nq", "__nr")
+    * broadcast shard offsets); parallelism is the shard count, never
+    * one task. `orderCols` must be a UNIQUE composite (append a key
+    * column as tiebreak, exactly as a deterministic row_number window
+    * would). */
+  def distributedRank(df: org.apache.spark.sql.DataFrame, orderCols: Seq[String],
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    require(orderCols.nonEmpty, "distributedRank needs at least one order column")
+    val reserved = Seq("__np", "__nk", "__nv", "__nn", "__nq", "__nr")
     require(!df.columns.exists(reserved.contains) && !df.columns.contains(outCol),
-      s"distributedNtile reserves ${reserved.mkString(", ")} and output '$outCol'")
+      s"distributedRank reserves ${reserved.mkString(", ")} and output '$outCol'")
     // pre-projected to exactly (part, order, value): the kernel's
     // single-exchange structural-reuse contract (Chunking.scala)
     val lite = df.select(lit(0).as("__np"),
       struct(orderCols.map(col): _*).as("__nk"), lit(1L).as("__nv"))
     val ranked = graft.llm.Chunking
-      .distributedRunningSum(lite, "__np", "__nk", "__nv", "__nrank")
-    val assigned = ranked
+      .distributedRunningSum(lite, "__np", "__nk", "__nv", outCol)
+    df.join(ranked.select(col("__nk"), col(outCol)),
+      struct(orderCols.map(col): _*) === col("__nk")).drop("__nk")
+  }
+
+  /** PUBLIC API: distributed ntile — `ntile(k).over(orderBy(orderCols))`
+    * via [[distributedRank]] plus the SQL-ntile bucket rule (first
+    * n mod k buckets one row larger) applied arithmetically to the
+    * position — positional semantics identical to SQL ntile, row for
+    * row, at shard-count parallelism. */
+  def distributedNtile(df: org.apache.spark.sql.DataFrame, orderCols: Seq[String],
+      k: Int, outCol: String): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"distributedNtile needs k >= 1, got $k")
+    require(!df.columns.contains("__nrank"), "distributedNtile reserves __nrank")
+    distributedRank(df, orderCols, "__nrank")
       .crossJoin(broadcast(df.agg(count(lit(1)).as("__nn"))))
       .withColumn("__nq", expr(s"__nn DIV $k"))
       .withColumn("__nr", expr(s"__nn % $k"))
@@ -55,9 +65,7 @@ object Extras7 {
           expr("(__nrank - 1) DIV (__nq + 1) + 1"))
           .otherwise(expr("__nr + (__nrank - (__nq + 1) * __nr - 1) DIV __nq + 1"))
           .cast("int"))
-      .select(col("__nk"), col(outCol))
-    df.join(assigned, struct(orderCols.map(col): _*) === col("__nk"))
-      .drop("__nk")
+      .drop("__nrank", "__nn", "__nq", "__nr")
   }
 
   /** PUBLIC API: truncated exponentially-weighted moving average with

@@ -92,6 +92,24 @@ class Round8cSpec extends SparkSuite {
     }
   }
 
+  test("sortedNeighborhoodPairs equals the single-partition window formulation") {
+    val names = Tables(spark, sf, "part").select(col("p_name").as("v")).distinct()
+    for (w <- Seq(1, 3, 5)) {
+      val got = GraftOps.sortedNeighborhoodPairs(names, "v", w)
+        .select("val_a", "val_b", "gap")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val rn = names.withColumn("rn",
+        row_number().over(Window.orderBy("v")))
+      val want = rn.select(col("v").as("val_a"), col("rn").as("rn_a"))
+        .crossJoin(rn.select(col("v").as("val_b"), col("rn").as("rn_b")))
+        .where(col("rn_b") - col("rn_a") >= 1 && col("rn_b") - col("rn_a") <= w)
+        .select(col("val_a"), col("val_b"), (col("rn_b") - col("rn_a")).as("gap"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.get(2).asInstanceOf[Number].longValue)).toSet
+      assert(got == want, s"window=$w: ${got.size} vs ${want.size} pairs")
+    }
+  }
+
   test("triangleStats on a known toy graph") {
     // K4 minus edge (1,4): triangles (1,2,3) and (2,3,4); degrees
     // 2,3,3,2 → wedges 1+3+3+1 = 8; clustering = 3·2/8
