@@ -367,6 +367,15 @@ object GraftOps {
       lambda: Double = 0.9): DataFrame =
     llm.Mix.bigramSurprisal(df, idCol, textCol, lambda)
 
+  /** exact interval-overlap self-join via time-cell bucketing +
+    * first-shared-cell pair ownership — never a theta-join nested loop
+    * ([[ops.IntervalJoin.overlapSelfJoin]]). Intervals in epoch seconds. */
+  def intervalOverlapSelfJoin(df: DataFrame, idCol: String,
+      partCols: Seq[String], startCol: String, endCol: String,
+      cellSeconds: Long = 3600L): DataFrame =
+    ops.IntervalJoin.overlapSelfJoin(df, idCol, partCols, startCol, endCol,
+      cellSeconds)
+
   /** weighted item-item co-occurrence edges from (group, item) facts —
     * pair expansion bounded by group size, `minWeight` prunes one-off
     * noise (see [[ops.Graph.coOccurrenceEdges]]). */

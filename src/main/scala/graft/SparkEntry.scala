@@ -27,6 +27,7 @@ object SparkEntry {
     (ops.Extras6.queries, ops.Extras6.oracle),
     (ops.Extras7.queries, ops.Extras7.oracle),
     (ops.Graph.queries, ops.Graph.oracle),
+    (ops.IntervalJoin.queries, ops.IntervalJoin.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

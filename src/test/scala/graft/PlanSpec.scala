@@ -492,4 +492,34 @@ class PlanSpec extends SparkSuite {
     val p = plan("text_lm_unigram_score")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("graph edge build expands pairs map-side via the native ArrayPairs") {
+    // the declared query localCheckpoints the edges (its plan shows only
+    // the ExistingRDD scan), so pin the BUILDER's plan: one aggregate to
+    // the basket grain + map-side ArrayPairs explode, no self-join
+    val p = GraftOps.coOccurrenceEdges(
+      Tables(spark, sf, "lineitem"), "l_orderkey", "l_partkey", 2L)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("arraypairs"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"edge build should be join-free:\n${p.take(3000)}")
+  }
+
+  test("fuzzy JW queries run the native codegen JaroWinkler, not a UDF") {
+    Seq("fuzzy_cluster_jaro_winkler", "dedup_sorted_neighborhood").foreach { q =>
+      val p = plan(q).toLowerCase
+      assert(p.contains("jarowinkler"), s"$q:\n${p.take(3000)}")
+      assert(!p.contains("batchevalpython") && !p.contains("scalaudf"),
+        s"$q fell back to a UDF:\n${p.take(3000)}")
+    }
+  }
+
+  test("join_interval_overlap joins on the time-cell composite, not a theta loop") {
+    val p = plan("join_interval_overlap")
+    // the bucketed cell key must be a JOIN key (equi-join shape); the
+    // full-suite guards already reject Cartesian/conditioned-BNLJ forms
+    assert(p.contains("__cell"), p.take(3000))
+    assert(p.contains("Join"), p.take(3000))
+  }
 }

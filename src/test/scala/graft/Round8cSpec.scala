@@ -110,6 +110,29 @@ class Round8cSpec extends SparkSuite {
     }
   }
 
+  test("overlapSelfJoin equals the theta join, pairs exactly once") {
+    // deterministic pseudo-random intervals, including exact cell-boundary
+    // starts/ends and spans of 0..3 cells (cell = 100 s)
+    val rows = (1L to 200L).map { i =>
+      val s = (i * 7919) % 5000
+      val e = s + 1 + (i * 104729) % 300
+      (i, s, e, (i % 3).toString)
+    }
+    val df = rows.toDF("id", "s", "e", "grp")
+    val got = GraftOps.intervalOverlapSelfJoin(df, "id", Seq("grp"), "s", "e", 100L)
+      .select("id_a", "id_b", "overlap_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly once per pair
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+    val want = rows.flatMap { case (ia, sa, ea, ga) =>
+      rows.collect { case (ib, sb, eb, gb)
+        if ga == gb && ia < ib && sa < eb && sb < ea =>
+          (ia, ib, math.min(ea, eb) - math.max(sa, sb))
+      }
+    }
+    assert(got.toSet == want.toSet, s"${got.length} vs ${want.length} pairs")
+  }
+
   test("triangleStats on a known toy graph") {
     // K4 minus edge (1,4): triangles (1,2,3) and (2,3,4); degrees
     // 2,3,3,2 → wedges 1+3+3+1 = 8; clustering = 3·2/8
