@@ -105,6 +105,12 @@ object GraftOps {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** install the [[plans.JaroWinklerPrefilter]] optimizer rule on the
+    * session: `jaroWinkler(a,b) >= θ` (θ > 0.8) predicates gain a sound
+    * O(1) length prefilter ahead of the O(len²) kernel. Idempotent. */
+  def installJaroWinklerPrefilter(spark: org.apache.spark.sql.SparkSession): Unit =
+    plans.JaroWinklerPrefilter.install(spark)
+
   // ---- corpus maintenance --------------------------------------------------
 
   /** dedup a NEW batch against an EXISTING corpus: per-increment cost ∝

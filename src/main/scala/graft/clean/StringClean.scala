@@ -58,6 +58,7 @@ object StringClean {
     // Finds near-pairs whose first letters DIFFER (blocking misses them)
     // as long as they sort nearby.
     "dedup_sorted_neighborhood" -> { (s, dir) =>
+      graft.plans.JaroWinklerPrefilter.install(s)
       val names = Tables(s, dir, "part")
         .withColumn("val",
           when(col("p_partkey") % 5 === 0,
@@ -78,6 +79,9 @@ object StringClean {
     // edit-distance form: the block key bounds the O(block²) pair count,
     // which is the only scale lever that matters here.
     "fuzzy_cluster_jaro_winkler" -> { (s, dir) =>
+      // optimizer rule: O(1) length guard short-circuits the O(len²)
+      // kernel on pairs the 0.9 threshold could never accept
+      graft.plans.JaroWinklerPrefilter.install(s)
       val names = Tables(s, dir, "part")
         .withColumn("val",
           when(col("p_partkey") % 5 === 0,

