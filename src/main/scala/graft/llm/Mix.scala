@@ -170,6 +170,38 @@ object Mix {
   }
 
   val queries: Map[String, Q] = Map(
+    // collocation mining: top bigrams by pointwise mutual information
+    // PMI = ln(c₁₂·N / (cL·cR)) over bigram-position marginals — the
+    // corpus-statistics pass behind multi-word-expression detection.
+    // The ln ARGUMENT is a fixed two-product ratio of exact counts
+    // (< 2⁵³); round-6 absorbs libm last-ulp, and the top-50 ORDERS BY
+    // THE ROUNDED value (pre-round ulp diffs can't reorder), tiebreak
+    // (w1, w2). Bigrams ride the native WordNgrams map-side pass; the
+    // marginal tables are bigram-vocab-sized.
+    "text_collocations_pmi" -> { (s, dir) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val bigrams = Tables(s, dir, "documents")
+        .select(split(lower(col("text")), " ").as("toks"))
+        .select(explode(ColumnBridge.column(graft.functions.WordNgrams(
+          ColumnBridge.expression(col("toks")), 2))).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+      val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(false)
+      val cL = c12.groupBy("w1").agg(sum("c12").as("cl"))
+      val cR = c12.groupBy("w2").agg(sum("c12").as("cr"))
+      val nb = c12.agg(sum("c12").as("nb"))
+      val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+      c12.join(cL, "w1").join(cR, "w2")
+        .crossJoin(broadcast(nb))
+        .where(col("c12") >= 5)
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((dd(col("c12")) * dd(col("nb"))) /
+            (dd(col("cl")) * dd(col("cr")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+
     "text_lm_bigram_score" -> { (s, dir) =>
       bigramSurprisal(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -201,6 +233,23 @@ object Mix {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_collocations_pmi" ->
+      """WITH toks AS (SELECT doc_id, u.el.s AS word, u.el.i AS i
+        |  FROM documents,
+        |  unnest(list_transform(string_split(lower(text), ' '),
+        |    (s0, i) -> struct_pack(s := s0, i := i))) AS u(el)),
+        |bg AS (SELECT a.word AS w1, b.word AS w2
+        |       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |cl AS (SELECT w1, sum(c12) AS cl FROM c12 GROUP BY 1),
+        |cr AS (SELECT w2, sum(c12) AS cr FROM c12 GROUP BY 1),
+        |nbt AS (SELECT sum(c12) AS nb FROM c12)
+        |SELECT c12.w1, c12.w2, c12,
+        |  round(ln((cast(c12 as double) * cast(nb as double)) /
+        |    (cast(cl as double) * cast(cr as double))), 6) AS pmi
+        |FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nbt
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "text_lm_bigram_score" ->
       """WITH toks AS (SELECT doc_id, u.el.s AS word, u.el.i AS i
         |  FROM documents,

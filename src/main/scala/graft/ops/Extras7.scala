@@ -130,6 +130,36 @@ object Extras7 {
         .orderBy("user_id", "day")
     },
 
+    // lag-1 autocorrelation of each user's daily value series — the
+    // self-similarity signal behind seasonality/trend screens. The
+    // agg_corr_manual discipline per key: exact decimal sums (products
+    // decimal-exact, sums associative), double casts, ONE fixed IEEE
+    // tree with sqrt (correctly rounded per IEEE 754, unlike ln/pow),
+    // round-6. Per-user windows and aggregates only — no global state.
+    "timeseries_autocorr" -> { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).cast(DecimalType(18, 4)).as("dx"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val pairs = daily
+        .withColumn("dy", lag(col("dx"), 1).over(w))
+        .where(col("dy").isNotNull)
+      val (x, y) = (col("dx"), col("dy"))
+      pairs.groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(x * x).cast(DoubleType).as("sx2"),
+          sum(y * y).cast(DoubleType).as("sy2"))
+        .where(col("n_pairs") >= 3)
+        .select(col("user_id"), col("n_pairs"),
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n_pairs") * col("sx2") - col("sx") * col("sx")) *
+              sqrt(col("n_pairs") * col("sy2") - col("sy") * col("sy"))), 6)
+            .as("autocorr_lag1"))
+        .orderBy("user_id")
+    },
+
     // year-over-year revenue growth per nation: yearly exact-decimal
     // rollup, lag window per nation (25-row partitions after the
     // aggregate), growth = (rev − prev)/prev with the subtraction still
@@ -238,6 +268,25 @@ object Extras7 {
         |FROM daily
         |WINDOW w AS (PARTITION BY user_id ORDER BY day)
         |ORDER BY user_id, day""".stripMargin,
+    "timeseries_autocorr" ->
+      """WITH daily AS (
+        |  SELECT user_id, cast(cast(ts as timestamp) as date) AS day,
+        |    cast(sum(cast(value as decimal(18,4))) as decimal(18,4)) AS dx
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT user_id, dx,
+        |    lag(dx, 1) OVER (PARTITION BY user_id ORDER BY day) AS dy
+        |  FROM daily),
+        |s AS (SELECT user_id, count(*) AS n_pairs,
+        |    cast(sum(dx) as double) AS sx, cast(sum(dy) as double) AS sy,
+        |    cast(sum(dx * dy) as double) AS sxy,
+        |    cast(sum(dx * dx) as double) AS sx2,
+        |    cast(sum(dy * dy) as double) AS sy2
+        |  FROM p WHERE dy IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_pairs,
+        |  round((n_pairs * sxy - sx * sy) /
+        |    (sqrt(n_pairs * sx2 - sx * sx) * sqrt(n_pairs * sy2 - sy * sy)), 6)
+        |    AS autocorr_lag1
+        |FROM s WHERE n_pairs >= 3 ORDER BY user_id""".stripMargin,
     "analytics_yoy_growth" ->
       """WITH yearly AS (
         |  SELECT n_name, cast(year(o_orderdate) as int) AS o_year,

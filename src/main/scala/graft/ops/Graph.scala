@@ -90,6 +90,48 @@ object Graph {
     // clustering is the single double division at the end.
     "graph_triangle_stats" -> { (s, dir) => triangleStats(strongEdges(s, dir)) },
 
+    // association rules over the strong co-purchase pairs: support,
+    // directional confidence, lift — the Apriori-style output a
+    // recommender's candidate generator consumes. Item frequencies and
+    // the basket total are dimension-sized joins onto the (already
+    // reduced) edge table; every ratio is a fixed two-product IEEE tree
+    // over counts < 2⁵³. Top-50 by lift (bit-identical doubles both
+    // engines; (pa, pb) tiebreak) → TakeOrderedAndProject.
+    "graph_association_rules" -> { (s, dir) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      // ONE shuffle to the basket grain feeds all three statistics
+      // (edges via ArrayPairs, per-item basket counts via explode, the
+      // basket total) — a separate distinct pass per statistic would
+      // re-scan the fact three times
+      val baskets = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").cast("long").as("__i"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("__i"))).as("items"))
+        .localCheckpoint(false)
+      val pairs = ColumnBridge.column(graft.functions.ArrayPairs(
+        ColumnBridge.expression(col("items"))))
+      val edges = baskets.select(explode(pairs).as("__p"))
+        .select(col("__p.pa").as("pa"), col("__p.pb").as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+      val cnt = baskets.select(explode(col("items")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("cnt"))
+      val nb = baskets.agg(count(lit(1)).as("nb"))
+      val dd = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+      edges
+        .join(cnt.select(col("pk").as("pa"), col("cnt").as("cnt_a")), "pa")
+        .join(cnt.select(col("pk").as("pb"), col("cnt").as("cnt_b")), "pb")
+        .crossJoin(broadcast(nb))
+        .select(col("pa"), col("pb"), col("w"), col("cnt_a"), col("cnt_b"),
+          (dd(col("w")) / dd(col("nb"))).as("support"),
+          (dd(col("w")) / dd(col("cnt_a"))).as("conf_ab"),
+          (dd(col("w")) / dd(col("cnt_b"))).as("conf_ba"),
+          ((dd(col("w")) * dd(col("nb"))) /
+            (dd(col("cnt_a")) * dd(col("cnt_b")))).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(50)
+    },
+
     // hub parts: top-10 strong-edge degrees. orderBy+limit →
     // TakeOrderedAndProject (distributed top-k, never a global sort).
     "graph_degree_topk" -> { (s, dir) =>
@@ -125,6 +167,26 @@ object Graph {
          |  cast(n_triangles as double) * 3.0 / cast(n_wedges as double)
          |    AS clustering
          |FROM w CROSS JOIN ne CROSS JOIN tri""".stripMargin,
+    "graph_association_rules" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |edges AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |cnt AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+         |nbt AS (SELECT count(DISTINCT l_orderkey) AS nb FROM items)
+         |SELECT pa, pb, w, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+         |  cast(w as double) / cast(nb as double) AS support,
+         |  cast(w as double) / cast(ca.cnt as double) AS conf_ab,
+         |  cast(w as double) / cast(cb.cnt as double) AS conf_ba,
+         |  (cast(w as double) * cast(nb as double)) /
+         |    (cast(ca.cnt as double) * cast(cb.cnt as double)) AS lift
+         |FROM edges
+         |JOIN cnt ca ON edges.pa = ca.l_partkey
+         |JOIN cnt cb ON edges.pb = cb.l_partkey
+         |CROSS JOIN nbt
+         |ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin,
     "graph_degree_topk" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |$sqlEdges,
