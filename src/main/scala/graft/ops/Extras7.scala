@@ -215,6 +215,56 @@ object Extras7 {
         .orderBy("segment")
     },
 
+    // Pareto concentration curve: customers ranked by revenue into
+    // deciles (distributedNtile on the NEGATED exact-cents revenue —
+    // descending order as an ascending sort key), per-decile revenue,
+    // and the cumulative share per decile via distributedRunningSum
+    // over the 10-row decile rollup. Revenue rides as exact integer
+    // CENTS (decimal(18,4)·10⁴ → bigint) through both kernels; the only
+    // doubles are two final single divisions. Answers "what share of
+    // revenue do the top k/10 of customers hold" with no
+    // single-partition window anywhere.
+    "analytics_pareto_curve" -> { (s, dir) =>
+      // the customer rollup feeds four plan branches (ntile rank, ntile
+      // count, decile rollup, grand total) — materialize once
+      val custRev = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg((sum(dec(col("o_totalprice"))) * 10000).cast("long").as("rev_c"))
+        .withColumn("negrev", -col("rev_c"))
+        .localCheckpoint(false)
+      val byDecile = distributedNtile(custRev, Seq("negrev", "o_custkey"), 10, "decile")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum("rev_c").as("rev_cents"))
+      val cum = graft.llm.Chunking.distributedRunningSum(
+        byDecile.select(lit(0).as("__p"), col("decile"), col("rev_cents")),
+        "__p", "decile", "rev_cents", "cum_cents")
+        .select(col("decile"), col("cum_cents"))
+      byDecile.join(cum, "decile")
+        .crossJoin(broadcast(custRev.agg(sum("rev_c").as("tot_cents"))))
+        .select(col("decile"), col("n_customers"), col("rev_cents"),
+          (col("cum_cents").cast(DoubleType) / col("tot_cents").cast(DoubleType))
+            .as("cum_share"))
+        .orderBy("decile")
+    },
+
+    // weekly cohort retention matrix: users grouped by first-active day,
+    // activity bucketed into week-ages since that day — the
+    // (cohort, age) grid a retention curve reads off. Distinct
+    // (user, day) first (one shuffle), first-day via a per-user
+    // aggregate joined back, then a counts-only grid aggregate. All
+    // integral; dates cross engines as DATE + day-difference DIV 7.
+    "events_cohort_matrix" -> { (s, dir) =>
+      val userDay = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint(false) // feeds the first-day aggregate AND the grid
+      val first = userDay.groupBy("user_id").agg(min("day").as("d0"))
+      userDay.join(first, "user_id")
+        .withColumn("age_w", expr("CAST(datediff(day, d0) DIV 7 AS int)"))
+        .groupBy(col("d0").as("cohort_day"), col("age_w"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "age_w")
+    },
+
     // deterministic k-per-group reservoir: rank orders within each
     // priority class by an arithmetic hash of the key (the
     // pipeline_shuffle_deterministic LCG — no rand(), reproducible
@@ -315,6 +365,29 @@ object Extras7 {
         |  FROM rfm)
         |SELECT segment, count(*) AS n_customers, cast(sum(f_cnt) as bigint) AS n_orders
         |FROM coded GROUP BY 1 ORDER BY 1""".stripMargin,
+    "analytics_pareto_curve" ->
+      """WITH cr AS (SELECT o_custkey,
+        |    cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT o_custkey, rev_c,
+        |    ntile(10) OVER (ORDER BY -rev_c, o_custkey) AS decile FROM cr),
+        |b AS (SELECT decile, count(*) AS n_customers,
+        |    cast(sum(rev_c) as bigint) AS rev_cents FROM d GROUP BY 1),
+        |t AS (SELECT cast(sum(rev_c) as bigint) AS tot FROM cr)
+        |SELECT decile, n_customers, rev_cents,
+        |  cast(sum(rev_cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+        |    / cast(tot as double) AS cum_share
+        |FROM b CROSS JOIN t ORDER BY decile""".stripMargin,
+    "events_cohort_matrix" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    cast(cast(ts as timestamp) as date) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY 1)
+        |SELECT d0 AS cohort_day,
+        |  cast(date_diff('day', d0, day) // 7 as int) AS age_w,
+        |  count(DISTINCT ud.user_id) AS n_users
+        |FROM ud JOIN f ON ud.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, age_w""".stripMargin,
     "sample_reservoir_per_group" ->
       """WITH ranked AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
