@@ -59,12 +59,20 @@ object Extras7 {
       .crossJoin(broadcast(df.agg(count(lit(1)).as("__nn"))))
       .withColumn("__nq", expr(s"__nn DIV $k"))
       .withColumn("__nr", expr(s"__nn % $k"))
-      // SQL ntile: buckets 1..r have q+1 rows, buckets r+1..k have q rows
+      // SQL ntile: buckets 1..r have q+1 rows, buckets r+1..k have q rows.
+      // coalesce makes the output NON-NULLABLE (DIV is nullable in the
+      // type system though never null here): a downstream inner join on
+      // the bucket would otherwise infer isnotnull(bucket) and push it
+      // INTO the broadcast count join, degrading it to a conditioned
+      // BNLJ (the full-suite PlanSpec guard caught analytics_pareto_curve
+      // doing exactly this); -1 is unreachable.
       .withColumn(outCol,
-        when(col("__nrank") <= (col("__nq") + 1) * col("__nr"),
-          expr("(__nrank - 1) DIV (__nq + 1) + 1"))
-          .otherwise(expr("__nr + (__nrank - (__nq + 1) * __nr - 1) DIV __nq + 1"))
-          .cast("int"))
+        coalesce(
+          when(col("__nrank") <= (col("__nq") + 1) * col("__nr"),
+            expr("(__nrank - 1) DIV (__nq + 1) + 1"))
+            .otherwise(expr("__nr + (__nrank - (__nq + 1) * __nr - 1) DIV __nq + 1"))
+            .cast("int"),
+          lit(-1)))
       .drop("__nrank", "__nn", "__nq", "__nr")
   }
 
