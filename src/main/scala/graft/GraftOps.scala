@@ -351,6 +351,13 @@ object GraftOps {
   /** SCD Type-2 history: version a change stream into validity intervals
     * (valid_from/valid_to/is_current per key, next-change-closes-interval)
     * — the keep-history complement of [[upsertLatestWins]]. */
+  /** distributed global row_number over a UNIQUE orderCols composite —
+    * the two-level prefix sum, never a single-partition window
+    * ([[ops.Extras7.distributedRank]]). */
+  def distributedRank(df: DataFrame, orderCols: Seq[String],
+      outCol: String): DataFrame =
+    ops.Extras7.distributedRank(df, orderCols, outCol)
+
   /** distributed ntile(k) over a UNIQUE orderCols composite — SQL-ntile
     * positional semantics via the two-level prefix sum, never a
     * single-partition window (see [[ops.Extras7.distributedNtile]]). */
