@@ -34,11 +34,15 @@ object Profile2 {
     // to the cell table — at 100 TB the only full-data pass is the one
     // groupBy(lang, source), everything downstream is dimension-sized.
     "profile_crosstab_chi2" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
-      val rowT = docs.groupBy("lang").agg(count(lit(1)).as("r"))
-      val colT = docs.groupBy("source").agg(count(lit(1)).as("c"))
-      val tot = docs.agg(count(lit(1)).as("n"))
+      // ONE corpus scan: margins and the total re-aggregate the
+      // |lang|×|source| CELL table (checkpointed — it feeds four
+      // branches), never the corpus again (ScanAudit: was 4 scans)
+      val cells = Tables(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        .localCheckpoint(false)
+      val rowT = cells.groupBy("lang").agg(sum("o").as("r"))
+      val colT = cells.groupBy("source").agg(sum("o").as("c"))
+      val tot = cells.agg(sum("o").as("n"))
       val e = (col("r").cast(DoubleType) * col("c").cast(DoubleType)) /
         col("n").cast(DoubleType)
       val dev = col("o").cast(DoubleType) - col("expected")
@@ -62,6 +66,10 @@ object Profile2 {
     "profile_candidate_keys" -> { (s, dir) =>
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
       val o = Tables(s, dir, "orders")
+      // the single-row stats aggregate feeds one union branch per column;
+      // the four subtrees are IDENTICAL, so exchange reuse computes the
+      // aggregate once (a localCheckpoint here measured 7× slower — the
+      // materialization barrier costs more than the reuse it duplicates)
       val agg = o.agg(
         count(lit(1)).as("n"),
         cols.flatMap(c => Seq(
