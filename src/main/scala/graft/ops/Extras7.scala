@@ -301,6 +301,63 @@ object Extras7 {
         .orderBy("cohort_day", "age_w")
     },
 
+    // systematic probability-proportional-to-size sampling: k = 20
+    // customers drawn ∝ revenue. The classic PPS design made
+    // Spark-correct: exact integer CENTS flow through
+    // distributedRunningSum, and a row is selected iff its cumulative
+    // interval crosses a multiple of total/k —
+    // (cum·k) DIV total > (cum_before·k) DIV total — ALL integer
+    // arithmetic, no rand(), no float ordering, reproducible across
+    // engines and partitionings. (A weight exceeding total/k crosses
+    // several boundaries but is emitted once — the standard PPS
+    // certainty-unit note.)
+    "sample_weighted_systematic" -> { (s, dir) =>
+      val k = 20
+      val custRev = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg((sum(dec(col("o_totalprice"))) * 10000).cast("long").as("rev_c"))
+      val cum = graft.llm.Chunking.distributedRunningSum(
+        custRev.select(lit(0).as("__p"), col("o_custkey"), col("rev_c")),
+        "__p", "o_custkey", "rev_c", "cum_c")
+      cum
+        .crossJoin(broadcast(custRev.agg(sum("rev_c").as("tot"))))
+        .where(expr(s"cum_c * $k DIV tot") > expr(s"(cum_c - rev_c) * $k DIV tot"))
+        .select(col("o_custkey"), col("rev_c"),
+          expr(s"CAST(cum_c * $k DIV tot AS int)").as("slot"))
+        .orderBy("o_custkey")
+    },
+
+    // EWMA control chart: flag days where a user's value jumps more
+    // than 4× their global MAD away from YESTERDAY'S smoothed level
+    // (the truncated exact-decimal EWMA lagged one step — comparing
+    // x_t to a level that already includes x_t would dampen the very
+    // jump being tested). Residuals stay exact decimal; the fence is
+    // the round-4 MAD double, one multiply — the outlier_mad rule.
+    "timeseries_anomaly_ewma" -> { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).cast(DecimalType(18, 4)).as("dx"))
+        .localCheckpoint(false) // feeds the EWMA branch and the MAD fence
+      val w = Window.partitionBy("user_id").orderBy("day")
+      // two steps: window functions can't nest — materialize the EWMA
+      // column, THEN lag it
+      val scored = daily
+        .withColumn("ewma", ewmaTruncated(col("dx"), w))
+        .withColumn("level", lag(col("ewma"), 1).over(w))
+        .where(col("level").isNotNull)
+      val mad = daily
+        .crossJoin(broadcast(daily.agg(
+          round(expr("percentile(CAST(dx AS double), 0.5)"), 4).as("med"))))
+        .agg(round(expr("percentile(abs(CAST(dx AS double) - med), 0.5)"), 4)
+          .as("mad"))
+      scored.crossJoin(broadcast(mad))
+        .withColumn("resid", abs(col("dx").cast(DoubleType) - col("level")))
+        .where(col("resid") > lit(4.0) * col("mad"))
+        .select(col("user_id"), col("day"),
+          col("dx").cast(DoubleType).as("day_value"), col("level"), col("resid"))
+        .orderBy("user_id", "day")
+    },
+
     // deterministic k-per-group reservoir: rank orders within each
     // priority class by an arithmetic hash of the key (the
     // pipeline_shuffle_deterministic LCG — no rand(), reproducible
@@ -432,6 +489,49 @@ object Extras7 {
         |  count(DISTINCT ud.user_id) AS n_users
         |FROM ud JOIN f ON ud.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, age_w""".stripMargin,
+    "sample_weighted_systematic" ->
+      """WITH cr AS (SELECT o_custkey,
+        |    cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT o_custkey, rev_c,
+        |    sum(rev_c) OVER (ORDER BY o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+        |  FROM cr),
+        |t AS (SELECT cast(sum(rev_c) as bigint) AS tot FROM cr)
+        |SELECT o_custkey, rev_c, cast((cum_c * 20) // tot as int) AS slot
+        |FROM c CROSS JOIN t
+        |WHERE (cum_c * 20) // tot > ((cum_c - rev_c) * 20) // tot
+        |ORDER BY o_custkey""".stripMargin,
+    "timeseries_anomaly_ewma" ->
+      """WITH daily AS (
+        |  SELECT user_id, cast(cast(ts as timestamp) as date) AS day,
+        |    cast(sum(cast(value as decimal(18,4))) as decimal(18,4)) AS dx
+        |  FROM events GROUP BY 1, 2),
+        |e AS (SELECT user_id, day, dx,
+        |  cast(
+        |    coalesce(lag(dx, 0) OVER w, cast(0 as decimal(18,4))) * 0.5
+        |  + coalesce(lag(dx, 1) OVER w, cast(0 as decimal(18,4))) * 0.25
+        |  + coalesce(lag(dx, 2) OVER w, cast(0 as decimal(18,4))) * 0.125
+        |  + coalesce(lag(dx, 3) OVER w, cast(0 as decimal(18,4))) * 0.0625
+        |  + coalesce(lag(dx, 4) OVER w, cast(0 as decimal(18,4))) * 0.03125
+        |  + coalesce(lag(dx, 5) OVER w, cast(0 as decimal(18,4))) * 0.015625
+        |  + coalesce(lag(dx, 6) OVER w, cast(0 as decimal(18,4))) * 0.0078125
+        |  + coalesce(lag(dx, 7) OVER w, cast(0 as decimal(18,4))) * 0.00390625
+        |  as double) AS ewma
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |l AS (SELECT user_id, day, dx,
+        |    lag(ewma, 1) OVER (PARTITION BY user_id ORDER BY day) AS level
+        |  FROM e),
+        |m0 AS (SELECT round(quantile_cont(cast(dx as double), 0.5), 4) AS med
+        |       FROM daily),
+        |m AS (SELECT round(quantile_cont(abs(cast(dx as double) - med), 0.5), 4)
+        |        AS mad FROM daily CROSS JOIN m0)
+        |SELECT user_id, day, cast(dx as double) AS day_value, level,
+        |  abs(cast(dx as double) - level) AS resid
+        |FROM l CROSS JOIN m
+        |WHERE level IS NOT NULL AND abs(cast(dx as double) - level) > 4.0 * mad
+        |ORDER BY user_id, day""".stripMargin,
     "sample_reservoir_per_group" ->
       """WITH ranked AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
