@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Extras7 {
 
+  // per-invocation unique suffix for short-lived temp views (the
+  // join_lateral_topn concurrency discipline)
+  private val ppsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** PUBLIC API: distributed global rank — `row_number().over(
     * orderBy(orderCols))` without the single-partition window a global
     * ORDER plans (THE scale-killer PlanSpec rejects). Positions come
@@ -319,12 +323,22 @@ object Extras7 {
       val cum = graft.llm.Chunking.distributedRunningSum(
         custRev.select(lit(0).as("__p"), col("o_custkey"), col("rev_c")),
         "__p", "o_custkey", "rev_c", "cum_c")
-      cum
-        .crossJoin(broadcast(custRev.agg(sum("rev_c").as("tot"))))
-        .where(expr(s"cum_c * $k DIV tot") > expr(s"(cum_c - rev_c) * $k DIV tot"))
-        .select(col("o_custkey"), col("rev_c"),
-          expr(s"CAST(cum_c * $k DIV tot AS int)").as("slot"))
-        .orderBy("o_custkey")
+      // the total reaches the selection as a SCALAR SUBQUERY (the
+      // join_bloom_reduced discipline): a crossJoin(broadcast(1-row))
+      // whose filter references both sides degrades to a conditioned
+      // BNLJ evaluated interpreted per row (full-suite PlanSpec guard
+      // caught exactly that here)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + ppsSeq.incrementAndGet()
+      val cv = s"graft_pps_cum_$tag"
+      cum.createOrReplaceTempView(cv)
+      try s.sql(s"""
+        SELECT o_custkey, rev_c,
+          CAST((cum_c * $k) DIV (SELECT sum(rev_c) FROM $cv) AS int) AS slot
+        FROM $cv
+        WHERE (cum_c * $k) DIV (SELECT sum(rev_c) FROM $cv)
+            > ((cum_c - rev_c) * $k) DIV (SELECT sum(rev_c) FROM $cv)
+        ORDER BY o_custkey""")
+      finally s.catalog.dropTempView(cv)
     },
 
     // EWMA control chart: flag days where a user's value jumps more
@@ -345,17 +359,28 @@ object Extras7 {
         .withColumn("ewma", ewmaTruncated(col("dx"), w))
         .withColumn("level", lag(col("ewma"), 1).over(w))
         .where(col("level").isNotNull)
-      val mad = daily
-        .crossJoin(broadcast(daily.agg(
-          round(expr("percentile(CAST(dx AS double), 0.5)"), 4).as("med"))))
-        .agg(round(expr("percentile(abs(CAST(dx AS double) - med), 0.5)"), 4)
-          .as("mad"))
-      scored.crossJoin(broadcast(mad))
-        .withColumn("resid", abs(col("dx").cast(DoubleType) - col("level")))
-        .where(col("resid") > lit(4.0) * col("mad"))
-        .select(col("user_id"), col("day"),
-          col("dx").cast(DoubleType).as("day_value"), col("level"), col("resid"))
-        .orderBy("user_id", "day")
+      // the MAD fence reaches the filter as a SCALAR SUBQUERY — a
+      // crossJoin(broadcast(mad)) + where(resid > 4·mad) references both
+      // join sides and degrades to a conditioned BNLJ (same trap as
+      // sample_weighted_systematic; PlanSpec guard)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + ppsSeq.incrementAndGet()
+      val (sv, dv) = (s"graft_anom_scored_$tag", s"graft_anom_daily_$tag")
+      scored.createOrReplaceTempView(sv)
+      daily.createOrReplaceTempView(dv)
+      try s.sql(s"""
+        WITH m0 AS (SELECT round(percentile(CAST(dx AS double), 0.5), 4) AS med
+                    FROM $dv),
+        m AS (SELECT round(percentile(abs(CAST(dx AS double) - med), 0.5), 4)
+                AS mad FROM $dv CROSS JOIN m0)
+        SELECT user_id, day, CAST(dx AS double) AS day_value, level,
+          abs(CAST(dx AS double) - level) AS resid
+        FROM $sv
+        WHERE abs(CAST(dx AS double) - level) > 4.0 * (SELECT mad FROM m)
+        ORDER BY user_id, day""")
+      finally {
+        s.catalog.dropTempView(sv)
+        s.catalog.dropTempView(dv)
+      }
     },
 
     // deterministic k-per-group reservoir: rank orders within each
