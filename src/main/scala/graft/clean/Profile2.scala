@@ -84,6 +84,34 @@ object Profile2 {
       perCol.reduce(_ unionAll _).orderBy("column_name")
     },
 
+    // one-way ANOVA decomposition of c_acctbal across market segments:
+    // per group n, exact-decimal mean, within-group variance and the
+    // between-group term n_g·(mean_g − grand_mean)² — the
+    // categorical→numeric association screen complementing the
+    // categorical↔categorical chi-square. One grouped pass of exact
+    // decimal sums; the grand mean attaches as a broadcast 1-row
+    // PROJECTION (never a both-sides filter — the conditioned-BNLJ
+    // trap); every double is a fixed IEEE tree over exact-sum casts.
+    "profile_anova_groups" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val x = dec(col("c_acctbal"))
+      val g = cust.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(x * x).cast(DoubleType).as("sx2"))
+      val tot = cust.agg(count(lit(1)).as("nt"),
+        sum(x).cast(DoubleType).as("st"))
+      val mean = col("sx") / col("n")
+      val grand = col("st") / col("nt")
+      g.crossJoin(broadcast(tot))
+        .select(col("c_mktsegment"), col("n"),
+          mean.as("mean_bal"),
+          ((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("var_within"),
+          (col("n") * (mean - grand) * (mean - grand)).as("ss_between_term"))
+        .orderBy("c_mktsegment")
+    },
+
     // functional-dependency check over the denormalized orders⋈customer
     // view: for each candidate det→dep pair, how many determinant values
     // map to MORE than one dependent value (violations). The discovery
@@ -184,6 +212,20 @@ object Profile2 {
         |UNION ALL SELECT 'o_orderstatus', n, d3, z3, cast(d3 as double) / cast(n as double), d3 = n AND z3 = 0 FROM s
         |UNION ALL SELECT 'o_orderpriority', n, d4, z4, cast(d4 as double) / cast(n as double), d4 = n AND z4 = 0 FROM s
         |ORDER BY column_name""".stripMargin,
+    "profile_anova_groups" ->
+      """WITH g AS (SELECT c_mktsegment, count(*) AS n,
+        |    cast(sum(cast(c_acctbal as decimal(18,4))) as double) AS sx,
+        |    cast(sum(cast(c_acctbal as decimal(18,4))
+        |           * cast(c_acctbal as decimal(18,4))) as double) AS sx2
+        |  FROM customer GROUP BY 1),
+        |t AS (SELECT count(*) AS nt,
+        |    cast(sum(cast(c_acctbal as decimal(18,4))) as double) AS st
+        |  FROM customer)
+        |SELECT c_mktsegment, n,
+        |  sx / n AS mean_bal,
+        |  (sx2 - sx * sx / n) / (n - 1) AS var_within,
+        |  n * (sx / n - st / nt) * (sx / n - st / nt) AS ss_between_term
+        |FROM g CROSS JOIN t ORDER BY c_mktsegment""".stripMargin,
     "profile_fd_check" ->
       """WITH oc AS (SELECT * FROM orders JOIN customer ON o_custkey = c_custkey),
         |f1 AS (SELECT count(*) AS n, cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint) AS v

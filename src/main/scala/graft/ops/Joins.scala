@@ -123,6 +123,45 @@ object Joins {
         .orderBy(col("purchase_id"))
     },
 
+    // NEAREST as-of: each purchase pairs with its nearest click in
+    // EITHER direction (ties → the earlier/backward one) — the other
+    // half of the as-of family (kdb's aj is backward; sensor alignment
+    // wants nearest). Same union/window shape, one shuffle, no join:
+    // backward candidate via last(ignoreNulls) over preceding rows,
+    // forward via first(ignoreNulls) over following rows; a click at
+    // the purchase's exact timestamp sorts before it (side 0 first) and
+    // is therefore the backward candidate at distance 0. All-integral
+    // µs arithmetic.
+    "join_asof_nearest" -> { (s, dir) =>
+      val tagged = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        .where(col("event_type").isin("click", "purchase"))
+        .withColumn("side", when(col("event_type") === "click", 0).otherwise(1))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("side"), col("event_id"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickT = when(col("side") === 0, col("t"))
+      val clickId = when(col("side") === 0, col("event_id"))
+      val cand = tagged
+        .withColumn("bt", last(clickT, ignoreNulls = true).over(wb))
+        .withColumn("bid", last(clickId, ignoreNulls = true).over(wb))
+        .withColumn("ft", first(clickT, ignoreNulls = true).over(wf))
+        .withColumn("fid", first(clickId, ignoreNulls = true).over(wf))
+        .where(col("side") === 1)
+      val takeBack = col("ft").isNull ||
+        (col("bt").isNotNull && col("t") - col("bt") <= col("ft") - col("t"))
+      cand
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("t").as("pt"),
+          when(takeBack, col("bid")).otherwise(col("fid")).as("click_id"),
+          when(takeBack, col("bt")).otherwise(col("ft")).as("click_t"),
+          when(takeBack, col("t") - col("bt")).otherwise(col("ft") - col("t"))
+            .as("dist_us"))
+        .orderBy(col("purchase_id"))
+    },
+
     // Aggregation pushed BELOW the join — the fact⋈dim optimization
     // Catalyst does not perform automatically: orders pre-aggregates per
     // custkey (partial map-side combine), so the join carries one row per
@@ -217,6 +256,30 @@ object Joins {
         |SELECT purchase_id, user_id, pt, click_id, click_t
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND c.click_t <= p.pt
         |ORDER BY purchase_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(cast(ts as timestamp)) AS t FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |tg AS (SELECT user_id, event_id, t,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side FROM e),
+        |c AS (SELECT user_id, event_id, t, side,
+        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wb AS bt,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER wb AS bid,
+        |    first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER wf AS ft,
+        |    first_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER wf AS fid
+        |  FROM tg
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY t, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY t, side, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id AS purchase_id, user_id, t AS pt,
+        |  CASE WHEN ft IS NULL OR (bt IS NOT NULL AND t - bt <= ft - t)
+        |       THEN bid ELSE fid END AS click_id,
+        |  CASE WHEN ft IS NULL OR (bt IS NOT NULL AND t - bt <= ft - t)
+        |       THEN bt ELSE ft END AS click_t,
+        |  CASE WHEN ft IS NULL OR (bt IS NOT NULL AND t - bt <= ft - t)
+        |       THEN t - bt ELSE ft - t END AS dist_us
+        |FROM c WHERE side = 1 ORDER BY purchase_id""".stripMargin,
     "join_preagg" ->
       """WITH od AS (SELECT o_custkey,
         |  sum(cast(o_totalprice as decimal(18,4))) AS ct, count(*) AS n_ord
