@@ -202,6 +202,42 @@ object Mix {
         .limit(50)
     },
 
+    // Heaps-law vocabulary growth: cumulative distinct vocabulary vs
+    // cumulative tokens across id-range deciles of the corpus — the
+    // curve that sizes tokenizer vocabularies and dedup dictionaries.
+    // Each word is attributed to its FIRST document (min doc_id — one
+    // grouped pass over the exploded tokens), so "new vocabulary per
+    // bucket" needs no cross-bucket distinct; cumulative totals run
+    // through distributedRunningSum over the 10-row rollup. All
+    // integral.
+    "text_vocab_growth" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .localCheckpoint(false) // feeds token counts AND first-occurrence
+      val nd = docs.agg((max("doc_id") + 1).as("ndocs"))
+      val tokB = docs.select(col("doc_id"), size(col("toks")).cast("long").as("nt"))
+        .crossJoin(broadcast(nd))
+        .groupBy(expr("CAST((doc_id * 10) DIV ndocs AS int)").as("bucket"))
+        .agg(sum("nt").as("toks_new"))
+      val vocB = docs.select(explode(col("toks")).as("word"), col("doc_id"))
+        .groupBy("word").agg(min("doc_id").as("fd"))
+        .crossJoin(broadcast(nd))
+        .groupBy(expr("CAST((fd * 10) DIV ndocs AS int)").as("bucket"))
+        .agg(count(lit(1)).as("vocab_new"))
+      val merged = tokB.join(vocB, Seq("bucket"), "left")
+        .select(col("bucket"), col("toks_new"),
+          coalesce(col("vocab_new"), lit(0L)).as("vocab_new"))
+        .localCheckpoint(false) // feeds two cumulative kernels + the join
+      def cum(vc: String, out: String) = graft.llm.Chunking.distributedRunningSum(
+        merged.select(lit(0).as("__p"), col("bucket"), col(vc)),
+        "__p", "bucket", vc, out).select("bucket", out)
+      merged
+        .join(cum("toks_new", "tokens_cum"), "bucket")
+        .join(cum("vocab_new", "vocab_cum"), "bucket")
+        .select("bucket", "toks_new", "vocab_new", "tokens_cum", "vocab_cum")
+        .orderBy("bucket")
+    },
+
     "text_lm_bigram_score" -> { (s, dir) =>
       bigramSurprisal(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -250,6 +286,28 @@ object Mix {
         |FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nbt
         |WHERE c12 >= 5
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    "text_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |nd AS (SELECT max(doc_id) + 1 AS ndocs FROM d),
+        |tb AS (SELECT cast((doc_id * 10) // ndocs as int) AS bucket,
+        |         cast(sum(len(toks)) as bigint) AS toks_new
+        |       FROM d CROSS JOIN nd GROUP BY 1),
+        |fw AS (SELECT word, min(doc_id) AS fd FROM
+        |        (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |         FROM documents) GROUP BY 1),
+        |vb AS (SELECT cast((fd * 10) // ndocs as int) AS bucket,
+        |         count(*) AS vocab_new
+        |       FROM fw CROSS JOIN nd GROUP BY 1),
+        |m AS (SELECT tb.bucket, toks_new, coalesce(vocab_new, 0) AS vocab_new
+        |      FROM tb LEFT JOIN vb USING (bucket))
+        |SELECT bucket, toks_new, vocab_new,
+        |  cast(sum(toks_new) OVER wc as bigint) AS tokens_cum,
+        |  cast(sum(vocab_new) OVER wc as bigint) AS vocab_cum
+        |FROM m
+        |WINDOW wc AS (ORDER BY bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin,
     "text_lm_bigram_score" ->
       """WITH toks AS (SELECT doc_id, u.el.s AS word, u.el.i AS i
         |  FROM documents,
