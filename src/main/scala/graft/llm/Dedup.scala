@@ -329,6 +329,22 @@ object Dedup {
         (common, na, nb) => common.cast("double") / (na + nb - common))
     },
 
+    // top-k similarity SEARCH over the same LSH machinery (the EDBT
+    // top-k similarity-search shape, PAPERS.md): instead of a fixed
+    // threshold, the 20 most-similar candidate pairs globally —
+    // verify-then-TakeOrderedAndProject, ordering on the ROUND-6 score
+    // (both engines order the identical rounded doubles; (doc_a, doc_b)
+    // breaks ties). Candidates still come from the bucketed LSH join,
+    // so the pair population never approaches all-pairs at any scale.
+    "sim_topk_pairs" -> { (s, dir) =>
+      val da = docArraysCached(s, dir)
+      val cand = candidatesFromArrays(da)
+      verifyCandidates(da, cand, "jaccard", 0.0,
+        (common, na, nb) => common.cast("double") / (na + nb - common))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+
     // CONTAINMENT dedup: |A∩B| / min(|A|,|B|) — catches a document that is
     // a near-SUBSET of another (boilerplate-wrapped copies, excerpt pages),
     // which Jaccard misses because the size imbalance dilutes the union.
@@ -665,6 +681,21 @@ object Dedup {
     "dedup_ngram_jaccard" -> sqlVerifiedPairs("jaccard",
       "cast(coalesce(m.common, 0) as double) / (sa.nbg + sb.nbg - coalesce(m.common, 0))",
       "0.3"),
+    "sim_topk_pairs" -> {
+      val scoreExpr =
+        "cast(coalesce(m.common, 0) as double) / (sa.nbg + sb.nbg - coalesce(m.common, 0))"
+      s"""WITH $sqlBands,
+         |sizes AS (SELECT doc_id, count(*) AS nbg FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+         |  FROM cand c JOIN sh ba ON ba.doc_id = c.doc_a
+         |  JOIN sh bb ON bb.doc_id = c.doc_b AND ba.bg = bb.bg
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b, round($scoreExpr, 6) AS jaccard
+         |FROM cand c LEFT JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+         |JOIN sizes sa ON sa.doc_id = c.doc_a
+         |JOIN sizes sb ON sb.doc_id = c.doc_b
+         |ORDER BY jaccard DESC, c.doc_a, c.doc_b LIMIT 20""".stripMargin
+    },
     "dedup_containment" -> sqlVerifiedPairs("containment",
       "cast(coalesce(m.common, 0) as double) / least(sa.nbg, sb.nbg)",
       "0.5"),
