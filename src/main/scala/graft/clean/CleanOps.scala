@@ -66,6 +66,28 @@ final case class FillMean(column: String) extends CleanOp {
 
 /** Fill numeric nulls with the exact median (linear-interpolated). Only the
   * FILLED values are rounded — non-null data passes through untouched. */
+/** Fill nulls with the PER-GROUP exact-decimal mean — the imputation a
+  * mixed-population column actually wants (a user's missing reading
+  * imputed from THAT user's level, not the global one). Group means
+  * reduce map-side and join back on the group key (dimension-sized,
+  * broadcast-eligible); a group whose column is entirely null keeps its
+  * nulls (no global fallback smuggled in — chain a global FillMean after
+  * if that is wanted). */
+final case class FillMeanByGroup(column: String, groups: Seq[String])
+    extends CleanOp {
+  def apply(df: DataFrame): DataFrame = {
+    require(groups.nonEmpty, "FillMeanByGroup needs at least one group column")
+    val stats = df.groupBy(groups.map(col): _*)
+      .agg((sum(col(column).cast("decimal(18,4)")).cast("double") /
+        count(col(column))).as("__graft_gmean"))
+    df.join(stats, groups, "left")
+      .withColumn(column, coalesce(col(column), col("__graft_gmean")))
+      .drop("__graft_gmean")
+  }
+  def code: String =
+    s"""df.join(df.groupBy(${groups.map(g => s""""$g"""").mkString(", ")}).agg(mean), Seq(${groups.map(g => s""""$g"""").mkString(", ")}), "left").withColumn("$column", coalesce(col("$column"), gmean))  // exact decimal per-group mean"""
+}
+
 final case class FillMedian(column: String, roundTo: Int = 6) extends CleanOp {
   def apply(df: DataFrame): DataFrame = {
     val stats = df.agg(

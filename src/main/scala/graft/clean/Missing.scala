@@ -40,6 +40,11 @@ object Missing {
         .select(col("event_id"), col("v")).orderBy(col("event_id"))
     },
 
+    "fillna_mean_by_group" -> { (s, dir) =>
+      FillMeanByGroup("v", Seq("user_id"))(eventsWithNulls(s, dir))
+        .select(col("event_id"), col("v")).orderBy(col("event_id"))
+    },
+
     "fillna_median" -> { (s, dir) =>
       FillMedian("v")(eventsWithNulls(s, dir))
         .select(col("event_id"), col("v")).orderBy(col("event_id"))
@@ -91,6 +96,11 @@ object Missing {
     "fillna_mean" -> q(
       """SELECT event_id,
         |coalesce(v, cast(sum(cast(v as decimal(18,4))) OVER () as double) / count(v) OVER ()) AS v
+        |FROM ev ORDER BY event_id""".stripMargin),
+    "fillna_mean_by_group" -> q(
+      """SELECT event_id,
+        |coalesce(v, cast(sum(cast(v as decimal(18,4))) OVER (PARTITION BY user_id) as double)
+        |  / count(v) OVER (PARTITION BY user_id)) AS v
         |FROM ev ORDER BY event_id""".stripMargin),
     "fillna_median" -> q(
       """SELECT event_id,

@@ -103,10 +103,16 @@ object Profile2 {
         sum(x).cast(DoubleType).as("st"))
       val mean = col("sx") / col("n")
       val grand = col("st") / col("nt")
+      // var_within is ROUND-4: the Σx² decimal exceeds 2⁵³ unscaled at
+      // sf0.1, where DuckDB's decimal→double cast is no longer
+      // correctly rounded (Spark's BigDecimal.doubleValue is) — a
+      // last-ulp input diff surfaces through the variance cancellation
+      // (caught by the sf0.1 gate; the linear sums stay < 2⁵³ so mean
+      // and between-term need no rounding)
       g.crossJoin(broadcast(tot))
         .select(col("c_mktsegment"), col("n"),
           mean.as("mean_bal"),
-          ((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          round((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 4)
             .as("var_within"),
           (col("n") * (mean - grand) * (mean - grand)).as("ss_between_term"))
         .orderBy("c_mktsegment")
@@ -223,7 +229,7 @@ object Profile2 {
         |  FROM customer)
         |SELECT c_mktsegment, n,
         |  sx / n AS mean_bal,
-        |  (sx2 - sx * sx / n) / (n - 1) AS var_within,
+        |  round((sx2 - sx * sx / n) / (n - 1), 4) AS var_within,
         |  n * (sx / n - st / nt) * (sx / n - st / nt) AS ss_between_term
         |FROM g CROSS JOIN t ORDER BY c_mktsegment""".stripMargin,
     "profile_fd_check" ->

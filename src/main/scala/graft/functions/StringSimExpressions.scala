@@ -33,7 +33,11 @@ object StringSimKernels {
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
-    val matchDist = math.max(l1, l2) / 2 - 1
+    // Clamp to 0: when both strings are length 1 the textbook formula
+    // gives −1 and the match window collapses to empty, which would make
+    // jw("a","a") = 0.0 — DuckDB (and every JW implementation) returns
+    // 1.0 there. Clamping only affects the max(l1,l2) == 1 case.
+    val matchDist = math.max(0, math.max(l1, l2) / 2 - 1)
     val m1 = new Array[Boolean](l1)
     val m2 = new Array[Boolean](l2)
     var matches = 0
