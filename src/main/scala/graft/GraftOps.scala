@@ -105,6 +105,16 @@ object GraftOps {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** native codegen full Damerau-Levenshtein distance (Lowrance-Wagner,
+    * DuckDB-parity) — edit distance that charges adjacent transpositions
+    * ("teh"→"the") 1 instead of levenshtein's 2. Integral output; pair
+    * with a blocking key to bound the candidate pair count at scale. */
+  def damerauLevenshtein(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.DamerauLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** install the [[plans.JaroWinklerPrefilter]] optimizer rule on the
     * session: `jaroWinkler(a,b) >= θ` (θ > 0.8) predicates gain a sound
     * O(1) length prefilter ahead of the O(len²) kernel. Idempotent. */

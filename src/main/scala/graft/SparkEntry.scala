@@ -28,6 +28,8 @@ object SparkEntry {
     (ops.Extras7.queries, ops.Extras7.oracle),
     (ops.Graph.queries, ops.Graph.oracle),
     (ops.IntervalJoin.queries, ops.IntervalJoin.oracle),
+    (ops.Drift.queries, ops.Drift.oracle),
+    (ops.Stats.queries, ops.Stats.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),
@@ -42,6 +44,7 @@ object SparkEntry {
     (clean.Validate.queries, clean.Validate.oracle),
     (clean.RecipeQueries.queries, clean.RecipeQueries.oracle),
     (llm.Text.queries, llm.Text.oracle),
+    (llm.Retrieval.queries, llm.Retrieval.oracle),
     (llm.Dedup.queries, llm.Dedup.oracle),
     (llm.Similarity.queries, llm.Similarity.oracle),
     (llm.Multimodal.queries, llm.Multimodal.oracle),

@@ -99,6 +99,37 @@ object StringClean {
         .orderBy(col("val_a"), col("val_b"))
     },
 
+    // blocked Damerau-Levenshtein pairs: the typo-realistic edit distance.
+    // Perturbation SWAPS adjacent chars 3/4 (the classic fat-finger typo),
+    // which levenshtein double-charges (dist 2) but full Damerau-Levenshtein
+    // (native codegen DamerauLevenshtein expression; DuckDB's
+    // damerau_levenshtein is the oracle — both are the unrestricted
+    // Lowrance-Wagner form) scores 1; emitting BOTH distances pins the
+    // variant difference cross-engine. First-letter blocking is unchanged
+    // by the in-word swap, so the block key still bounds the O(block²)
+    // pair count — the only scale lever here.
+    "fuzzy_cluster_damerau" -> { (s, dir) =>
+      val names = Tables(s, dir, "part")
+        .withColumn("val",
+          when(col("p_partkey") % 5 === 0,
+            concat(substring(col("p_name"), 1, 2),
+              substring(col("p_name"), 4, 1),
+              substring(col("p_name"), 3, 1),
+              expr("substring(p_name, 5)")))
+            .otherwise(col("p_name")))
+        .select(col("val")).distinct()
+      val a = names.select(col("val").as("val_a"))
+        .withColumn("blk", substring(col("val_a"), 1, 1))
+      val b = names.select(col("val").as("val_b"))
+        .withColumn("blk", substring(col("val_b"), 1, 1))
+      val dl = graft.GraftOps.damerauLevenshtein(col("val_a"), col("val_b"))
+      a.join(b, Seq("blk"))
+        .where(col("val_a") < col("val_b") && dl <= 2)
+        .select(col("val_a"), col("val_b"), dl.as("dist_dl"),
+          levenshtein(col("val_a"), col("val_b")).as("dist_lev"))
+        .orderBy(col("val_a"), col("val_b"))
+    },
+
     // blocked edit-distance pairs: same first letter, levenshtein ≤ 2
     "fuzzy_cluster_edit_distance" -> { (s, dir) =>
       val names = Tables(s, dir, "part")
@@ -177,6 +208,19 @@ object StringClean {
         |FROM names a JOIN names b
         |  ON substring(a.val, 1, 1) = substring(b.val, 1, 1)
         | AND a.val < b.val AND jaro_winkler_similarity(a.val, b.val) >= 0.9
+        |ORDER BY val_a, val_b""".stripMargin,
+    "fuzzy_cluster_damerau" ->
+      """WITH names AS (SELECT DISTINCT
+        |  CASE WHEN p_partkey % 5 = 0 THEN
+        |    substring(p_name, 1, 2) || substring(p_name, 4, 1) ||
+        |    substring(p_name, 3, 1) || substring(p_name, 5)
+        |  ELSE p_name END AS val FROM part)
+        |SELECT a.val AS val_a, b.val AS val_b,
+        |  damerau_levenshtein(a.val, b.val) AS dist_dl,
+        |  levenshtein(a.val, b.val) AS dist_lev
+        |FROM names a JOIN names b
+        |  ON substring(a.val, 1, 1) = substring(b.val, 1, 1)
+        | AND a.val < b.val AND damerau_levenshtein(a.val, b.val) <= 2
         |ORDER BY val_a, val_b""".stripMargin,
     "fuzzy_cluster_edit_distance" ->
       """WITH names AS (SELECT DISTINCT

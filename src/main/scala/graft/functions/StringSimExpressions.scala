@@ -76,6 +76,62 @@ object StringSimKernels {
     while (prefix < maxPrefix && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
+
+  /** Full (unrestricted) Damerau-Levenshtein distance — Lowrance-Wagner,
+    * NOT the restricted optimal-string-alignment variant. Pinned to
+    * DuckDB's `damerau_levenshtein`, which is also the full form:
+    * DL("CA","ABC") = 2 (delete B after transposing, reusing the moved
+    * block) where OSA gives 3 — probed directly against DuckDB before
+    * landing, along with the ("ab","ba")=1, ("teh","the")=1,
+    * ("xabx","xbax")=1 transposition family that plain levenshtein
+    * scores 2.
+    *
+    * Output is integral, so no cross-engine float discipline applies.
+    * O(l1·l2) time/space per pair over UTF-16 code units (same
+    * convention as [[jaroWinkler]]); at scale the blocking key bounding
+    * the PAIR count is the lever, not the per-pair kernel. */
+  def damerauLevenshtein(a: UTF8String, b: UTF8String): Int = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0) return l2
+    if (l2 == 0) return l1
+    val inf = l1 + l2
+    // d is offset by +1: d(i+1)(j+1) covers prefixes s1[0,i) / s2[0,j),
+    // with an extra -1 rank of `inf` sentinels for the transposition
+    // lookback d(k)(l) when no prior occurrence exists (k = l = 0).
+    val d = Array.ofDim[Int](l1 + 2, l2 + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= l1) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= l2) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
+    // da: char -> last row index (1-based) where it appeared in s1
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= l1) {
+      var db = 0 // last column j' < j with s1(i-1) == s2(j'-1)
+      j = 1
+      while (j <= l2) {
+        val kBoxed = da.get(s2.charAt(j - 1))
+        val k = if (kBoxed == null) 0 else kBoxed.intValue()
+        val l = db
+        var cost = 1
+        if (s1.charAt(i - 1) == s2.charAt(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) =
+          math.min(math.min(sub, math.min(ins, del)), trans)
+        j += 1
+      }
+      da.put(s1.charAt(i - 1), i)
+      i += 1
+    }
+    d(l1 + 1)(l2 + 1)
+  }
 }
 
 /** Native Jaro-Winkler similarity (tier-5 escape hatch, SURVEY.md §4).
@@ -104,6 +160,31 @@ case class JaroWinkler(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.StringSimKernels.jaroWinkler($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native full Damerau-Levenshtein distance (tier-5 escape hatch,
+  * SURVEY.md §4). Spark ships `levenshtein` only; Damerau's adjacent
+  * transposition is the single most common human typo class ("teh"),
+  * which plain edit distance double-charges. Same codegen shape as
+  * [[JaroWinkler]]: one static kernel call per row inside the generated
+  * loop, no UDF boxing. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringSimKernels.damerauLevenshtein(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.StringSimKernels.damerauLevenshtein($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -1,0 +1,136 @@
+package graft
+
+import graft.functions.StringSimKernels
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-8 fourth-session kernels: full Damerau-Levenshtein
+  * (DuckDB-parity Lowrance-Wagner form) and the drift/stats invariants
+  * the oracle hash alone doesn't articulate. */
+class Round8dSpec extends SparkSuite {
+  import TestSpark.spark.implicits._
+
+  private def dl(a: String, b: String): Int =
+    StringSimKernels.damerauLevenshtein(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("DamerauLevenshtein kernel pins the DuckDB (full, not OSA) variant") {
+    // the distinguishing case: full DL edits CA→AC→ABC in 2; the
+    // restricted OSA variant needs 3 (probed against DuckDB directly)
+    assert(dl("CA", "ABC") == 2)
+    assert(dl("abc", "ca") == 2)
+    // adjacent transpositions cost 1 (levenshtein charges 2)
+    assert(dl("ab", "ba") == 1)
+    assert(dl("teh", "the") == 1)
+    assert(dl("xabx", "xbax") == 1)
+    assert(dl("abcdef", "abcfed") == 2)
+    // classic levenshtein cases unchanged when no transposition helps
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("", "abc") == 3)
+    assert(dl("a", "") == 1)
+    assert(dl("", "") == 0)
+    assert(dl("same", "same") == 0)
+  }
+
+  test("DamerauLevenshtein invariants vs levenshtein on part-name pairs") {
+    // DL(a,b) ≤ lev(a,b) always; symmetric; 0 iff equal; ≤ max length
+    val rows = Tables(spark, sf, "part")
+      .select(col("p_name"),
+        concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 1),
+          substring(col("p_name"), 3, 1), expr("substring(p_name, 5)")).as("t"))
+      .withColumn("lev", levenshtein(col("p_name"), col("t")))
+      .withColumn("dl", GraftOps.damerauLevenshtein(col("p_name"), col("t")))
+      .withColumn("dl_rev", GraftOps.damerauLevenshtein(col("t"), col("p_name")))
+      .limit(500).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, t) = (r.getString(0), r.getString(1))
+      val (lev, d, dRev) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(d <= lev, s"DL > lev on ($a, $t)")
+      assert(d == dRev, s"asymmetric on ($a, $t)")
+      assert((d == 0) == (a == t))
+      assert(d <= math.max(a.length, t.length))
+      // the swap perturbation is exactly one adjacent transposition
+      if (a != t && a.charAt(2) != a.charAt(3)) assert(d == 1 && lev == 2)
+    }
+  }
+
+  test("drift_ks is a valid KS statistic and drift_psi terms sum to the total row") {
+    val ks = SparkEntry.queries("drift_ks")(spark, sf).collect().head
+    assert(ks.getLong(0) > 0 && ks.getLong(1) > 0)
+    val stat = ks.getDouble(2)
+    assert(stat >= 0.0 && stat <= 1.0)
+    val psi = SparkEntry.queries("drift_psi")(spark, sf).collect()
+    assert(psi.length == 11)
+    val (total, bins) = psi.partition(_.getLong(0) == -1L)
+    val sumTerms = bins.map(r => BigDecimal(r.getDouble(5))).sum
+    // the total row is the exact decimal sum of the 10 per-bin terms
+    assert((sumTerms - BigDecimal(total.head.getDouble(5))).abs < BigDecimal("1e-9"))
+    // smoothed probabilities are proper: Σ(n_i+1)/(N+10) over 10 bins = 1
+    assert(math.abs(bins.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(bins.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+  }
+
+  test("stats_regression_group: r2 in [0,1], slope matches Spark's regr_slope") {
+    val got = SparkEntry.queries("stats_regression_group")(spark, sf).collect()
+    assert(got.length == 3)
+    val ref = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("s"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("i"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { r =>
+      val (flag, slope, icept, r2) =
+        (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(r2 >= 0.0 && r2 <= 1.0)
+      val (rs, ri) = ref(flag)
+      assert(math.abs(slope - rs) < 1e-3, s"$flag slope $slope vs regr_slope $rs")
+      assert(math.abs(icept - ri) < 1.0, s"$flag intercept $icept vs $ri")
+    }
+  }
+
+  test("profile_gini lies in [0,1) and matches a collected reference") {
+    val got = SparkEntry.queries("profile_gini")(spark, sf).collect().head
+    val gini = got.getDouble(2)
+    assert(gini >= 0.0 && gini < 1.0)
+    // in-memory reference over the same per-customer spend
+    val xs = Tables(spark, sf, "orders").groupBy("o_custkey")
+      .agg(sum(col("o_totalprice")).as("x"))
+      .collect().map(_.getDouble(1)).sorted
+    val n = xs.length.toDouble
+    val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val refGini = 2.0 * s1 / (n * xs.sum) - (n + 1.0) / n
+    assert(math.abs(gini - refGini) < 1e-6)
+  }
+
+  test("text_bm25_topk ranks the rare-term docs first") {
+    val got = SparkEntry.queries("text_bm25_topk")(spark, sf).collect()
+    assert(got.length == 20)
+    val scores = got.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sortBy(-_: Double)), "not score-descending")
+    // every top doc must actually contain a query term; the top doc
+    // should contain the rare term 'dup' (idf ~3 vs ~0.2 for the rest)
+    val topDoc = got.head.getLong(0)
+    val txt = Tables(spark, sf, "documents")
+      .where(col("doc_id") === topDoc).collect().head.getAs[String]("text")
+    assert(txt.toLowerCase.split(" ").contains("dup"))
+  }
+
+  test("text_tfidf_cosine_pairs stays within blocks and cosine range") {
+    val pairs = SparkEntry.queries("text_tfidf_cosine_pairs")(spark, sf)
+    val docs = Tables(spark, sf, "documents").select("doc_id", "lang", "source")
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+      col("source").as("sa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+      col("source").as("sb"))
+    val joined = pairs.join(a, "doc_a").join(b, "doc_b").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[String]("la") == r.getAs[String]("lb"))
+      assert(r.getAs[String]("sa") == r.getAs[String]("sb"))
+      val c = r.getAs[Double]("cos")
+      assert(c >= 0.8 && c <= 1.000001)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+}
