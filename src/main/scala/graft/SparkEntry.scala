@@ -30,6 +30,7 @@ object SparkEntry {
     (ops.IntervalJoin.queries, ops.IntervalJoin.oracle),
     (ops.Drift.queries, ops.Drift.oracle),
     (ops.Stats.queries, ops.Stats.oracle),
+    (ops.Extras8.queries, ops.Extras8.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft._
 import graft.Tables._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -38,45 +38,65 @@ object Drift {
 
   private val splitTs = "1998-01-01"
 
+  /** 10 fixed-width o_totalprice bins (domain [0, 500k), width 50k) with
+    * per-side counts over a broadcast bin spine, so bins empty on BOTH
+    * sides still appear. The 10-row frame feeds three consumers (totals,
+    * per-bin rows, the total row) — checkpointed so the orders fact is
+    * scanned once, not re-derived per consumer (exchange reuse does not
+    * fire across the differently-shaped subtrees). */
+  private def binnedSplit(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables(s, dir, "orders").select(
+      floor(col("o_totalprice") / 50000).cast("long").as("bin"),
+      when(col("o_orderdate") < lit(splitTs).cast("timestamp"), 1L)
+        .otherwise(0L).as("r"))
+    val counts = binned.groupBy("bin").agg(
+      sum(col("r")).as("n_ref"), sum(lit(1L) - col("r")).as("n_cur"))
+    s.range(0, 10).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint(false)
+  }
+
+  /** Laplace-smoothed (+1/+10) per-side probabilities + a decimal-cast
+    * divergence term, one total row (bin = -1) carrying the statistic. */
+  private def divergenceRows(perBin: DataFrame,
+      term: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column, outCol: String): DataFrame = {
+    val tot = perBin.agg(sum("n_ref").as("nrt"), sum("n_cur").as("nct"))
+    val pr = (col("n_ref") + lit(1L)) / (col("nrt") + lit(10L))
+    val pc = (col("n_cur") + lit(1L)) / (col("nct") + lit(10L))
+    val rows = perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        pr.as("p_ref"), pc.as("p_cur"),
+        term(pr, pc).cast(DecimalType(18, 12)).as("term"))
+    val total = rows.agg(
+      lit(-1L).as("bin"), sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"),
+      lit(1.0).as("p_ref"), lit(1.0).as("p_cur"),
+      sum(col("term")).cast(DecimalType(18, 12)).as("term"))
+    rows.unionByName(total)
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"),
+        col("p_cur"), col("term").cast(DoubleType).as(outCol))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
 
-    // 10 fixed-width o_totalprice bins (domain [0, 500k), width 50k) +
-    // Laplace smoothing (+1 per bin) so empty bins stay defined; one
-    // total row (bin = -1) carries the PSI itself. The bin spine is a
-    // broadcast 10-row range so bins empty on BOTH sides still appear.
     "drift_psi" -> { (s, dir) =>
-      val o = Tables(s, dir, "orders")
-      val binned = o.select(
-        floor(col("o_totalprice") / 50000).cast("long").as("bin"),
-        when(col("o_orderdate") < lit(splitTs).cast("timestamp"), 1L)
-          .otherwise(0L).as("r"))
-      val counts = binned.groupBy("bin").agg(
-        sum(col("r")).as("n_ref"), sum(lit(1L) - col("r")).as("n_cur"))
-      val spine = s.range(0, 10).select(col("id").as("bin"))
-      // 10-row frame feeding THREE consumers (totals, per-bin rows, the
-      // total row) — checkpoint so the orders fact is scanned once, not
-      // re-derived per consumer (exchange reuse does not fire across
-      // these differently-shaped subtrees)
-      val perBin = spine.join(counts, Seq("bin"), "left")
-        .select(col("bin"),
-          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-        .localCheckpoint(false)
-      val tot = perBin.agg(sum("n_ref").as("nrt"), sum("n_cur").as("nct"))
-      val pr = (col("n_ref") + lit(1L)) / (col("nrt") + lit(10L))
-      val pc = (col("n_cur") + lit(1L)) / (col("nct") + lit(10L))
-      val termDec = ((pc - pr) * log(pc / pr)).cast(DecimalType(18, 12))
-      val rows = perBin.crossJoin(broadcast(tot))
-        .select(col("bin"), col("n_ref"), col("n_cur"),
-          pr.as("p_ref"), pc.as("p_cur"), termDec.as("term"))
-      val total = rows.agg(
-        lit(-1L).as("bin"), sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"),
-        lit(1.0).as("p_ref"), lit(1.0).as("p_cur"),
-        sum(col("term")).cast(DecimalType(18, 12)).as("term"))
-      rows.unionByName(total)
-        .select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"),
-          col("p_cur"), col("term").cast(DoubleType).as("psi_term"))
-        .orderBy("bin")
+      divergenceRows(binnedSplit(s, dir),
+        (pr, pc) => (pc - pr) * log(pc / pr), "psi_term")
+    },
+
+    // Jensen-Shannon divergence over the same split: symmetric, bounded
+    // [0, ln 2] — the spike-robust companion to PSI (whose ln ratio
+    // explodes on near-empty bins; JS's mixture denominator cannot).
+    "drift_js" -> { (s, dir) =>
+      divergenceRows(binnedSplit(s, dir),
+        (pr, pc) => {
+          val m = (pr + pc) / 2.0
+          (pr * log(pr / m) + pc * log(pc / m)) / 2.0
+        }, "js_term")
     },
 
     // KS statistic over the full o_totalprice distribution: cumulative
@@ -126,6 +146,38 @@ object Drift {
          |  FROM pb CROSS JOIN t)
          |SELECT bin, n_ref, n_cur, p_ref, p_cur,
          |       cast(term AS double) AS psi_term FROM rows_
+         |UNION ALL
+         |SELECT -1, cast(sum(n_ref) AS bigint), cast(sum(n_cur) AS bigint),
+         |       1.0, 1.0, cast(cast(sum(term) AS decimal(18,12)) AS double)
+         |FROM rows_
+         |ORDER BY bin""".stripMargin,
+    "drift_js" ->
+      s"""WITH b AS (
+         |  SELECT cast(floor(o_totalprice / 50000) AS bigint) AS bin,
+         |         CASE WHEN o_orderdate < TIMESTAMP '$splitTs' THEN 1 ELSE 0 END AS r
+         |  FROM orders),
+         |c AS (SELECT bin, cast(sum(r) AS bigint) AS n_ref,
+         |             cast(sum(1 - r) AS bigint) AS n_cur
+         |      FROM b GROUP BY bin),
+         |spine AS (SELECT unnest(range(0, 10)) AS bin),
+         |pb AS (SELECT spine.bin, coalesce(n_ref, 0) AS n_ref,
+         |              coalesce(n_cur, 0) AS n_cur
+         |       FROM spine LEFT JOIN c ON spine.bin = c.bin),
+         |t AS (SELECT cast(sum(n_ref) AS bigint) AS nrt,
+         |             cast(sum(n_cur) AS bigint) AS nct FROM pb),
+         |probs AS (
+         |  SELECT pb.bin, pb.n_ref, pb.n_cur,
+         |    (pb.n_ref + 1) / (t.nrt + 10) AS p_ref,
+         |    (pb.n_cur + 1) / (t.nct + 10) AS p_cur
+         |  FROM pb CROSS JOIN t),
+         |rows_ AS (
+         |  SELECT bin, n_ref, n_cur, p_ref, p_cur,
+         |    cast((p_ref * ln(p_ref / ((p_ref + p_cur) / 2.0))
+         |        + p_cur * ln(p_cur / ((p_ref + p_cur) / 2.0))) / 2.0
+         |      AS decimal(18,12)) AS term
+         |  FROM probs)
+         |SELECT bin, n_ref, n_cur, p_ref, p_cur,
+         |       cast(term AS double) AS js_term FROM rows_
          |UNION ALL
          |SELECT -1, cast(sum(n_ref) AS bigint), cast(sum(n_cur) AS bigint),
          |       1.0, 1.0, cast(cast(sum(term) AS decimal(18,12)) AS double)

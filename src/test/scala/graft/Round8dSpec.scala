@@ -116,6 +116,89 @@ class Round8dSpec extends SparkSuite {
     assert(txt.toLowerCase.split(" ").contains("dup"))
   }
 
+  test("events_sessionize partitions each user's events into gap-bounded sessions") {
+    val sessions = SparkEntry.queries("events_sessionize")(spark, sf).collect()
+    assert(sessions.nonEmpty)
+    val nEvents = Tables(spark, sf, "events").count()
+    assert(sessions.map(_.getLong(2)).sum == nEvents, "every event in exactly one session")
+    sessions.groupBy(_.getLong(0)).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getLong(1))
+      // session ids are 1..k dense per user; sessions don't overlap in time
+      assert(sorted.map(_.getLong(1)).sameElements(1L to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) - a.getLong(4) > 43200000000L,
+            "consecutive sessions must be separated by more than the gap")
+        case _ =>
+      }
+    }
+    sessions.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(3))
+      assert(r.getLong(5) == (r.getLong(4) - r.getLong(3)) / 1000000L)
+    }
+  }
+
+  test("stats_mannwhitney: U within range, z matches an in-memory midrank reference") {
+    val row = SparkEntry.queries("stats_mannwhitney")(spark, sf).collect().head
+    val (n1, n2, u) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(u >= 0 && u <= n1.toDouble * n2)
+    // in-memory reference with midranks
+    val vals = Tables(spark, sf, "orders")
+      .select(col("o_totalprice"), (col("o_orderdate") < lit("1998-01-01")
+        .cast("timestamp")).as("ref")).collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val sorted = vals.sortBy(_._1)
+    val ranks = scala.collection.mutable.Map[Double, Double]()
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      ranks(sorted(i)._1) = (i + 1 + j) / 2.0 // average of ranks i+1..j
+      i = j
+    }
+    val r1 = vals.filter(_._2).map(v => ranks(v._1)).sum
+    val refU = r1 - n1.toDouble * (n1 + 1) / 2.0
+    assert(math.abs(u - refU) < 1e-6, s"U $u vs reference $refU")
+  }
+
+  test("stats_ttest_welch matches an in-memory Welch computation") {
+    val row = SparkEntry.queries("stats_ttest_welch")(spark, sf).collect().head
+    val groups = Tables(spark, sf, "customer")
+      .where(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .select("c_mktsegment", "c_acctbal").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    def stats(xs: Array[Double]) = {
+      val n = xs.length; val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = stats(groups("AUTOMOBILE"))
+    val (nb, mb, vb) = stats(groups("BUILDING"))
+    val refT = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(math.abs(row.getDouble(6) - refT) < 1e-3, s"t=${row.getDouble(6)} vs $refT")
+  }
+
+  test("profile_lorenz_deciles: shares sum to 1, cum_share monotone, last = 1") {
+    val rows = SparkEntry.queries("profile_lorenz_deciles")(spark, sf)
+      .orderBy("decile").collect()
+    assert(rows.length == 10)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-12)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getDouble(4) > a.getDouble(4), "cum_share strictly increasing")
+        assert(b.getDouble(3) >= a.getDouble(3) - 1e-12,
+          "decile shares non-decreasing (sorted ascending by spend)")
+      case _ =>
+    }
+  }
+
+  test("drift_js total is symmetric-bounded: 0 <= JS <= ln 2") {
+    val rows = SparkEntry.queries("drift_js")(spark, sf).collect()
+    val total = rows.find(_.getLong(0) == -1L).get.getDouble(5)
+    assert(total >= 0.0 && total <= math.log(2.0) + 1e-12)
+  }
+
   test("text_tfidf_cosine_pairs stays within blocks and cosine range") {
     val pairs = SparkEntry.queries("text_tfidf_cosine_pairs")(spark, sf)
     val docs = Tables(spark, sf, "documents").select("doc_id", "lang", "source")
