@@ -44,6 +44,7 @@ object SparkEntry {
     (clean.StringClean.queries, clean.StringClean.oracle),
     (clean.Validate.queries, clean.Validate.oracle),
     (clean.RecipeQueries.queries, clean.RecipeQueries.oracle),
+    (clean.Encode.queries, clean.Encode.oracle),
     (llm.Text.queries, llm.Text.oracle),
     (llm.Retrieval.queries, llm.Retrieval.oracle),
     (llm.Dedup.queries, llm.Dedup.oracle),

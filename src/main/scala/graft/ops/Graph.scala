@@ -4,7 +4,7 @@ import graft._
 import graft.Tables._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Graph analytics over co-occurrence graphs — the family a training-data
   * engine needs for catalog/entity structure: build an item-item graph
@@ -132,6 +132,43 @@ object Graph {
         .limit(50)
     },
 
+    // PageRank, 3 power iterations over the bidirected strong
+    // co-purchase graph (d = 0.85). Each iteration is ONE edges⋈ranks
+    // equi-join + a hash aggregate — the same per-round shape as
+    // dedup_cluster_cc's label propagation, shuffling on node id; at
+    // 100 TB the edge list is the only fact-scale relation and it is
+    // checkpointed once. Cross-engine exactness WITHOUT per-iteration
+    // rounding: neighbor contributions are cast to DECIMAL(18,15)
+    // before the (associative, exact) incoming sum, and every other
+    // step — p/deg, 0.15/n + 0.85·s — is a fixed IEEE tree over
+    // identical doubles, so ranks stay bit-equal through all three
+    // iterations and the final TakeOrdered needs no rounded key.
+    "graph_pagerank" -> { (s, dir) =>
+      val e = strongEdges(s, dir)
+      val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint(false) // feeds deg + one join per iteration
+      val deg = e2.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+        .localCheckpoint(false) // node-sized; re-joined every iteration
+      val nN = deg.agg(count(lit(1)).as("n"))
+      var p = deg.crossJoin(broadcast(nN))
+        .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("p"))
+      for (_ <- 1 to 3) {
+        val inc = e2.join(p, e2("src") === p("node"))
+          .select(col("dst"),
+            (col("p") / col("deg")).cast(DecimalType(18, 15)).as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s2"))
+        p = deg.crossJoin(broadcast(nN))
+          .join(inc, deg("node") === inc("dst"), "left")
+          .select(deg("node"), deg("deg"),
+            (lit(0.15) / col("n") + lit(0.85) *
+              coalesce(col("s2").cast(DoubleType), lit(0.0))).as("p"))
+      }
+      p.select(col("node"), col("p").as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(25)
+    },
+
     // hub parts: top-10 strong-edge degrees. orderBy+limit →
     // TakeOrderedAndProject (distributed top-k, never a global sort).
     "graph_degree_topk" -> { (s, dir) =>
@@ -151,7 +188,28 @@ object Graph {
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
+  /** p0→p3 CTE chain for the PageRank oracle — the same decimal-cast
+    * incoming sums and fixed IEEE update tree as the Spark loop. */
+  private val sqlPagerankIters: String = (1 to 3).map { k =>
+    s"""i$k AS (SELECT dst, sum(cast(p / deg AS decimal(18,15))) AS s2
+       |  FROM e2 JOIN p${k - 1} ON e2.src = p${k - 1}.node GROUP BY dst),
+       |p$k AS (SELECT d.node, d.deg,
+       |    0.15 / n + 0.85 * coalesce(cast(s2 AS double), 0.0) AS p
+       |  FROM deg d CROSS JOIN nn LEFT JOIN i$k ON d.node = i$k.dst)""".stripMargin
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |$sqlEdges,
+         |e2 AS (SELECT pa AS src, pb AS dst FROM edges
+         |       UNION ALL SELECT pb, pa FROM edges),
+         |deg AS (SELECT src AS node, cast(count(*) AS bigint) AS deg
+         |        FROM e2 GROUP BY src),
+         |nn AS (SELECT cast(count(*) AS bigint) AS n FROM deg),
+         |p0 AS (SELECT node, deg, 1.0 / n AS p FROM deg CROSS JOIN nn),
+         |$sqlPagerankIters
+         |SELECT node, p AS rank FROM p3 ORDER BY rank DESC, node LIMIT 25""".stripMargin,
     "graph_triangle_stats" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |$sqlEdges,

@@ -199,6 +199,46 @@ class Round8dSpec extends SparkSuite {
     assert(total >= 0.0 && total <= math.log(2.0) + 1e-12)
   }
 
+  test("encode_onehot rows are valid indicator vectors") {
+    val rows = SparkEntry.queries("encode_onehot")(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "customer").count())
+    rows.foreach { r =>
+      val ind = (1 to 5).map(r.getLong)
+      assert(ind.forall(v => v == 0L || v == 1L) && ind.sum == 1L,
+        "exactly one indicator set per row")
+    }
+  }
+
+  test("encode_target_mean excludes the row's own target (leave-one-out)") {
+    val enc = SparkEntry.queries("encode_target_mean")(spark, sf).collect()
+    val orders = Tables(spark, sf, "orders").join(
+      Tables(spark, sf, "customer"),
+      col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_mktsegment", "o_totalprice").collect()
+    val bySeg = orders.groupBy(_.getString(1))
+      .view.mapValues(rs => (rs.map(_.getDouble(2)).sum, rs.length)).toMap
+    val target = orders.map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    enc.take(500).foreach { r =>
+      val (seg, y) = target(r.getLong(0))
+      val (s2, n) = bySeg(seg)
+      assert(math.abs(r.getDouble(2) - (s2 - y) / (n - 1)) < 1e-4)
+    }
+  }
+
+  test("graph_pagerank: positive ranks descending, hubs rank above leaves") {
+    val ranks = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+    assert(ranks.length == 25)
+    val vals = ranks.map(_.getDouble(1))
+    assert(vals.forall(_ > 0.0))
+    assert(vals.sameElements(vals.sortBy(-_: Double)))
+    // the top PageRank node must be a top-degree hub (3 iterations on a
+    // near-regular co-purchase graph track degree closely)
+    val topDeg = SparkEntry.queries("graph_degree_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(topDeg.contains(ranks.head.getLong(0)),
+      s"top-ranked ${ranks.head.getLong(0)} not in top-degree set $topDeg")
+  }
+
   test("text_tfidf_cosine_pairs stays within blocks and cosine range") {
     val pairs = SparkEntry.queries("text_tfidf_cosine_pairs")(spark, sf)
     val docs = Tables(spark, sf, "documents").select("doc_id", "lang", "source")
