@@ -118,6 +118,87 @@ object Extras8 {
         u.as("u"), round((u - mu) / sqrt(sig2), 6).as("z"))
     },
 
+    // OHLC resampling: one aggregate pass per day bucket — open/close
+    // via lexicographic struct min/max (Spark struct ordering == DuckDB
+    // struct_pack ordering, probed), so no per-bucket window and no
+    // second shuffle. Day = integral epoch-day index (us DIV 86.4e9) —
+    // no timezone/date_trunc surface at all.
+    "timeseries_ohlc" -> { (s, dir) =>
+      val e = Tables(s, dir, "events").select(
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      e.groupBy(expr("us DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("us"), col("event_id"), col("value"))).as("fst"),
+          max(struct(col("us"), col("event_id"), col("value"))).as("lst"),
+          max(col("value")).as("high"), min(col("value")).as("low"))
+        .select(col("day"), col("n"), col("fst.value").as("open"),
+          col("high"), col("low"), col("lst.value").as("close"))
+        .orderBy("day")
+    },
+
+    // cumulative distinct event types per user over time — the
+    // "exploration breadth" curve. First-occurrence flag from a
+    // per-(user, type) window, running sum from a per-user window: both
+    // partitions are bounded (one user's history), never global.
+    "window_running_distinct" -> { (s, dir) =>
+      val e = Tables(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy("us", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("f",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("k_types", sum(col("f")).over(wRun))
+        .select(col("event_id"), col("user_id"), col("k_types"))
+        .orderBy("event_id")
+    },
+
+    // exact per-group quartiles: the grouped twin of profile_quantiles.
+    "profile_quantiles_by_group" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      c.groupBy("c_mktsegment").agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(c_acctbal, 0.25)"), 4).as("p25"),
+        round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+        round(expr("percentile(c_acctbal, 0.75)"), 4).as("p75"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Zipf log-log fit over the corpus vocabulary: ln(freq) ~ ln(rank)
+    // OLS. Ranks from the distributed prefix sum (freq desc, word
+    // tiebreak); each ln is round-6 (libm), the OLS sufficient sums are
+    // DECIMAL(18,12)-exact, and the closed-form slope/intercept/r² are
+    // fixed IEEE trees — the Heaps-law (text_vocab_growth) companion.
+    "text_zipf_fit" -> { (s, dir) =>
+      val tf = Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("nfreq", -col("freq"))
+      val ranked = GraftOps.distributedRank(tf, Seq("nfreq", "word"), "rank")
+      val pts = ranked.select(
+        round(log(col("rank").cast(DoubleType)), 6).as("x"),
+        round(log(col("freq").cast(DoubleType)), 6).as("y"))
+      val g = pts.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(18, 12))).cast(DoubleType).as("sx"),
+        sum(col("y").cast(DecimalType(18, 12))).cast(DoubleType).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(18, 12)))
+          .cast(DoubleType).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(18, 12)))
+          .cast(DoubleType).as("syy"),
+        sum((col("x") * col("y")).cast(DecimalType(18, 12)))
+          .cast(DoubleType).as("sxy"))
+      val covN = col("n") * col("sxy") - col("sx") * col("sy")
+      val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+      val varYN = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("n").as("vocab"),
+        round(covN / varXN, 6).as("slope"),
+        round((col("sy") - covN / varXN * col("sx")) / col("n"), 6).as("intercept"),
+        round(covN * covN / (varXN * varYN), 6).as("r2"))
+    },
+
     // decile Lorenz curve of per-customer spend: the distributional
     // picture behind profile_gini's single number.
     "profile_lorenz_deciles" -> { (s, dir) =>
@@ -206,6 +287,57 @@ object Extras8 {
          |      * (cast(n1 + n2 + 1 AS double)
          |        - cast(ties AS double) / ((n1 + n2) * (n1 + n2 - 1)))), 6) AS z
          |FROM a""".stripMargin,
+    "timeseries_ohlc" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_id, value FROM events),
+        |g AS (SELECT us // 86400000000 AS day,
+        |        cast(count(*) AS bigint) AS n,
+        |        min(struct_pack(us := us, event_id := event_id,
+        |                        value := value)) AS fst,
+        |        max(struct_pack(us := us, event_id := event_id,
+        |                        value := value)) AS lst,
+        |        max(value) AS high, min(value) AS low
+        |      FROM e GROUP BY 1)
+        |SELECT day, n, fst.value AS open, high, low, lst.value AS close
+        |FROM g ORDER BY day""".stripMargin,
+    "window_running_distinct" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |        CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |               ORDER BY us, event_id) = 1 THEN 1 ELSE 0 END AS fl
+        |      FROM e)
+        |SELECT event_id, user_id,
+        |  cast(sum(fl) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS bigint) AS k_types
+        |FROM f ORDER BY event_id""".stripMargin,
+    "profile_quantiles_by_group" ->
+      """SELECT c_mktsegment, cast(count(*) AS bigint) AS n,
+        |  round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+        |  round(quantile_cont(c_acctbal, 0.75), 4) AS p75
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH tf AS (SELECT word, cast(count(*) AS bigint) AS freq
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents) GROUP BY word),
+        |r AS (SELECT freq, cast(row_number() OVER (ORDER BY -freq, word)
+        |        AS bigint) AS rank FROM tf),
+        |pts AS (SELECT round(ln(cast(rank AS double)), 6) AS x,
+        |               round(ln(cast(freq AS double)), 6) AS y FROM r),
+        |g AS (SELECT cast(count(*) AS bigint) AS n,
+        |        cast(sum(cast(x AS decimal(18,12))) AS double) AS sx,
+        |        cast(sum(cast(y AS decimal(18,12))) AS double) AS sy,
+        |        cast(sum(cast(x * x AS decimal(18,12))) AS double) AS sxx,
+        |        cast(sum(cast(y * y AS decimal(18,12))) AS double) AS syy,
+        |        cast(sum(cast(x * y AS decimal(18,12))) AS double) AS sxy
+        |      FROM pts)
+        |SELECT n AS vocab,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM g""".stripMargin,
     "profile_lorenz_deciles" ->
       """WITH spend AS (
         |  SELECT o_custkey, sum(cast(o_totalprice AS decimal(18,4))) AS x

@@ -239,6 +239,35 @@ class Round8dSpec extends SparkSuite {
       s"top-ranked ${ranks.head.getLong(0)} not in top-degree set $topDeg")
   }
 
+  test("timeseries_ohlc: high/low bound open/close, counts cover all events") {
+    val bars = SparkEntry.queries("timeseries_ohlc")(spark, sf).collect()
+    assert(bars.nonEmpty)
+    assert(bars.map(_.getLong(1)).sum == Tables(spark, sf, "events").count())
+    bars.foreach { b =>
+      val (h, l, o, c) = (b.getDouble(3), b.getDouble(4), b.getDouble(2), b.getDouble(5))
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
+  test("window_running_distinct is per-user non-decreasing and ends at the true distinct count") {
+    val rows = SparkEntry.queries("window_running_distinct")(spark, sf).collect()
+    val truth = Tables(spark, sf, "events").groupBy("user_id")
+      .agg(countDistinct("event_type").as("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(1)).foreach { case (u, rs) =>
+      val ks = rs.map(_.getLong(2))
+      assert(ks.min == 1L, "the temporally-first event must see k = 1")
+      assert(ks.max == truth(u))
+    }
+  }
+
+  test("text_zipf_fit: negative slope, r2 in (0,1]") {
+    val row = SparkEntry.queries("text_zipf_fit")(spark, sf).collect().head
+    assert(row.getLong(0) > 10)
+    assert(row.getDouble(1) < 0.0, "Zipf slope must be negative")
+    assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
+  }
+
   test("text_tfidf_cosine_pairs stays within blocks and cosine range") {
     val pairs = SparkEntry.queries("text_tfidf_cosine_pairs")(spark, sf)
     val docs = Tables(spark, sf, "documents").select("doc_id", "lang", "source")
