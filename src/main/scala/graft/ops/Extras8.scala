@@ -199,6 +199,90 @@ object Extras8 {
         round(covN * covN / (varXN * varYN), 6).as("r2"))
     },
 
+    // per-user maximum drawdown: running peak minus current value, the
+    // largest dip from a prior high. max is order-insensitive (exact on
+    // doubles), the subtraction a fixed tree — no float discipline
+    // needed; windows bounded per user.
+    "timeseries_drawdown" -> { (s, dir) =>
+      val e = Tables(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("peak", max(col("value")).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"),
+          max(col("peak") - col("value")).as("max_drawdown"))
+        .orderBy("user_id")
+    },
+
+    // last-touch attribution: each purchase attributed to the user's
+    // most recent STRICTLY-PRIOR click. A conditional running max over
+    // the (unbounded, -1) frame — no self-join, no as-of machinery;
+    // per-user windows only. Purchases with no prior click keep NULLs.
+    "events_attribution" -> { (s, dir) =>
+      val e = Tables(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("last_click_us"),
+          expr("(us - last_click_us) DIV 1000000").as("gap_s"))
+        .orderBy("event_id")
+    },
+
+    // null-PATTERN analysis: which null combinations co-occur (the step
+    // after profile_missingness' per-column rates — correlated
+    // missingness means a broken upstream join, not random gaps).
+    // Deterministic dirt mirrors validate_constraints' recipe; one
+    // map-side bitmask + an 8-row aggregate.
+    "profile_null_patterns" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val dirty = o.select(
+        when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("cust"),
+        when(col("o_orderkey") % 83 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("price"),
+        when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status"))
+      dirty.select(
+        (when(col("cust").isNull, 4L).otherwise(0L) +
+          when(col("price").isNull, 2L).otherwise(0L) +
+          when(col("status").isNull, 1L).otherwise(0L)).as("pattern"),
+        when(col("cust").isNull, 1L).otherwise(0L).as("cust_null"),
+        when(col("price").isNull, 1L).otherwise(0L).as("price_null"),
+        when(col("status").isNull, 1L).otherwise(0L).as("status_null"))
+        .groupBy("pattern", "cust_null", "price_null", "status_null")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("pattern")
+    },
+
+    // per-label mean embedding (class prototypes) in LONG format — the
+    // centroid table an IVF index or a nearest-prototype classifier
+    // consumes. posexplode fans out ×dim, but the (label, dim) aggregate
+    // partial-reduces map-side to labels×dims rows. Cross-engine sum
+    // exactness via INTEGER quantization: floor(x·10⁶) is deterministic
+    // in both engines (IEEE multiply + floor — a double→decimal cast is
+    // NOT: Spark quantizes the shortest string repr, DuckDB the exact
+    // binary, and they split on ...4999/5000 boundary digits, observed
+    // at sf0.01), and the bigint sum is exact at any partitioning. The
+    // deliberate 1e-6 quantization is documented in the column name.
+    "sim_label_centroids" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast(DoubleType) * 1000000.0).cast("long"))
+            .as("qsum"))
+        .select(col("label"), col("dim"), col("n"),
+          (col("qsum").cast(DoubleType) / col("n") / 1000000.0).as("mean_q6"))
+        .orderBy("label", "dim")
+    },
+
     // decile Lorenz curve of per-customer spend: the distributional
     // picture behind profile_gini's single number.
     "profile_lorenz_deciles" -> { (s, dir) =>
@@ -338,6 +422,52 @@ object Extras8 {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM g""".stripMargin,
+    "timeseries_drawdown" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us
+        |           FROM events),
+        |p AS (SELECT user_id, value,
+        |        max(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS peak
+        |      FROM e)
+        |SELECT user_id, cast(count(*) AS bigint) AS n,
+        |       max(value) AS max_value, max(peak - value) AS max_drawdown
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |a AS (SELECT user_id, event_id, event_type, us,
+        |        max(CASE WHEN event_type = 'click' THEN us END)
+        |          OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS last_click_us
+        |      FROM e)
+        |SELECT event_id, user_id, us, last_click_us,
+        |       (us - last_click_us) // 1000000 AS gap_s
+        |FROM a WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "profile_null_patterns" ->
+      """WITH dirty AS (SELECT
+        |  CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS cust,
+        |  CASE WHEN o_orderkey % 83 = 0 THEN NULL ELSE o_totalprice END AS price,
+        |  CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderstatus END AS status
+        |FROM orders)
+        |SELECT
+        |  (CASE WHEN cust IS NULL THEN 4 ELSE 0 END +
+        |   CASE WHEN price IS NULL THEN 2 ELSE 0 END +
+        |   CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS pattern,
+        |  CASE WHEN cust IS NULL THEN 1 ELSE 0 END AS cust_null,
+        |  CASE WHEN price IS NULL THEN 1 ELSE 0 END AS price_null,
+        |  CASE WHEN status IS NULL THEN 1 ELSE 0 END AS status_null,
+        |  cast(count(*) AS bigint) AS n_rows
+        |FROM dirty GROUP BY 1, 2, 3, 4 ORDER BY pattern""".stripMargin,
+    "sim_label_centroids" ->
+      """SELECT label, cast(u.el.i - 1 AS int) AS dim,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(floor(cast(u.el.s AS double) * 1000000.0) AS bigint))
+        |    AS double) / count(*) / 1000000.0 AS mean_q6
+        |FROM embeddings t,
+        |  unnest(list_transform(t.embedding,
+        |    (s0, i0) -> struct_pack(s := s0, i := i0))) AS u(el)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "profile_lorenz_deciles" ->
       """WITH spend AS (
         |  SELECT o_custkey, sum(cast(o_totalprice AS decimal(18,4))) AS x

@@ -268,6 +268,47 @@ class Round8dSpec extends SparkSuite {
     assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
   }
 
+  test("timeseries_drawdown: non-negative, bounded by the value range") {
+    val rows = SparkEntry.queries("timeseries_drawdown")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val range = Tables(spark, sf, "events")
+      .agg(max(col("value")) - min(col("value"))).collect().head.getDouble(0)
+    rows.foreach { r =>
+      val dd = r.getDouble(3)
+      assert(dd >= 0.0 && dd <= range)
+      assert(r.getDouble(2) <= Tables(spark, sf, "events")
+        .agg(max(col("value"))).collect().head.getDouble(0))
+    }
+  }
+
+  test("events_attribution: every purchase appears once; clicks precede") {
+    val att = SparkEntry.queries("events_attribution")(spark, sf).collect()
+    val nPurch = Tables(spark, sf, "events")
+      .where(col("event_type") === "purchase").count()
+    assert(att.length == nPurch)
+    att.foreach { r =>
+      if (!r.isNullAt(3)) {
+        assert(r.getLong(3) < r.getLong(2), "attributed click must be strictly prior")
+        assert(r.getLong(4) == (r.getLong(2) - r.getLong(3)) / 1000000L)
+      } else assert(r.isNullAt(4))
+    }
+  }
+
+  test("profile_null_patterns: pattern bits agree with flags, rows total") {
+    val pats = SparkEntry.queries("profile_null_patterns")(spark, sf).collect()
+    assert(pats.map(_.getLong(4)).sum == Tables(spark, sf, "orders").count())
+    pats.foreach { r =>
+      assert(r.getLong(0) == 4 * r.getLong(1) + 2 * r.getLong(2) + r.getLong(3))
+    }
+  }
+
+  test("sim_label_centroids: full label x dim grid, means within value range") {
+    val cents = SparkEntry.queries("sim_label_centroids")(spark, sf).collect()
+    val labels = Tables(spark, sf, "embeddings").select("label").distinct().count()
+    assert(cents.length == labels * 64)
+    cents.foreach { r => assert(math.abs(r.getDouble(3)) < 1.0) }
+  }
+
   test("text_tfidf_cosine_pairs stays within blocks and cosine range") {
     val pairs = SparkEntry.queries("text_tfidf_cosine_pairs")(spark, sf)
     val docs = Tables(spark, sf, "documents").select("doc_id", "lang", "source")
