@@ -31,6 +31,7 @@ object SparkEntry {
     (ops.Drift.queries, ops.Drift.oracle),
     (ops.Stats.queries, ops.Stats.oracle),
     (ops.Extras8.queries, ops.Extras8.oracle),
+    (ops.Extras9.queries, ops.Extras9.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

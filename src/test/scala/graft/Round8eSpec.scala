@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 fifth-session invariants: the properties behind the batch-6
+  * queries that the oracle hash alone doesn't articulate. */
+class Round8eSpec extends SparkSuite {
+
+  test("window_gaps_islands: islands partition each user's events") {
+    val rows = SparkEntry.queries("window_gaps_islands")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, sf, "events").count()
+    assert(rows.map(_.getLong(3)).sum == total, "island lengths must sum to all events")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(3))
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(3))
+      // n_islands * max_run >= n_events (pigeonhole on run lengths)
+      assert(r.getLong(1) * r.getLong(2) >= r.getLong(3))
+    }
+  }
+
+  test("timeseries_cusum: trough <= 0 <= peak, positions in range") {
+    val rows = SparkEntry.queries("timeseries_cusum")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      // the deviation hits 0 at i = n, so max >= 0 and min <= 0 always
+      assert(r.getDouble(2) >= 0.0, "cusum_max must be >= 0")
+      assert(r.getDouble(4) <= 0.0, "cusum_min must be <= 0")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= n)
+      assert(r.getLong(5) >= 1L && r.getLong(5) <= n)
+    }
+  }
+
+  test("timeseries_cusum: flat series has zero deviation everywhere") {
+    import spark.implicits._
+    // direct kernel check on a constant series: n*cum_i - i*tot == 0
+    val q = Seq.fill(5)(42.5)
+    val n = q.length.toLong
+    val qi = q.map(v => math.floor(v * 1e6).toLong)
+    val tot = qi.sum
+    qi.scanLeft(0L)(_ + _).drop(1).zipWithIndex.foreach { case (cum, i0) =>
+      assert(n * cum - (i0 + 1).toLong * tot == 0L)
+    }
+  }
+
+  test("timeseries_rolling_median: only full frames, median within frame bounds") {
+    val med = SparkEntry.queries("timeseries_rolling_median")(spark, sf)
+    val perUser = Tables(spark, sf, "events").groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = med.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perUser.foreach { case (u, n) =>
+      assert(got.getOrElse(u, 0L) == math.max(0L, n - 6L),
+        s"user $u should emit n-6 full frames")
+    }
+    val vr = Tables(spark, sf, "events")
+      .agg(min(col("value")), max(col("value"))).collect().head
+    med.collect().foreach { r =>
+      assert(r.getDouble(4) >= vr.getDouble(0) && r.getDouble(4) <= vr.getDouble(1))
+    }
+  }
+
+  test("timeseries_rolling_median: median of 7 is the 4th sorted element") {
+    // kernel identity on a hand series: window [9,1,5,3,7,2,8] -> 5
+    assert(Seq(9.0, 1.0, 5.0, 3.0, 7.0, 2.0, 8.0).sorted.apply(3) == 5.0)
+  }
+
+  test("profile_spearman_corr: |rho| <= 1 and strongly positive for qty~price") {
+    val row = SparkEntry.queries("profile_spearman_corr")(spark, sf).collect().head
+    val rho = row.getDouble(1)
+    assert(math.abs(rho) <= 1.0)
+    // y = quantity * extendedprice is monotone-in-quantity by construction
+    assert(rho > 0.5, s"expected strong positive rank correlation, got $rho")
+    assert(row.getLong(0) == Tables(spark, sf, "lineitem").count())
+  }
+
+  test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
+    // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
+    // n(n+1); verify via the declared query's internals at tiny scale by
+    // recomputing sx from the oracle identity: sx = sum(rx2) = 2*sum(ravg)
+    val li = Tables(spark, sf, "lineitem").select(col("l_quantity").as("x"))
+    val n = li.count()
+    val per = li.groupBy("x").agg(count(lit(1)).as("cnt")).withColumn("g", lit(1))
+    val cum = GraftOps.distributedRunningSum(per, "g", "x", "cnt", "cb",
+      exclusive = true)
+    val sx = cum.agg(sum(col("cnt") * (lit(2L) * col("cb") + col("cnt") + 1L)))
+      .collect().head.getLong(0)
+    assert(sx == n * (n + 1L), "midrank sum identity n(n+1) must hold")
+  }
+}
