@@ -32,6 +32,7 @@ object SparkEntry {
     (ops.Stats.queries, ops.Stats.oracle),
     (ops.Extras8.queries, ops.Extras8.oracle),
     (ops.Extras9.queries, ops.Extras9.oracle),
+    (ops.Extras10.queries, ops.Extras10.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

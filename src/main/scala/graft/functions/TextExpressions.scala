@@ -198,3 +198,33 @@ case class StringPolyHash(child: Expression, mult: Long = 31L,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Byte-level SimHash of a BINARY payload ("phash" stand-in for media
+  * blobs — see [[TextKernels.simHashBytes]]): the 32-bit
+  * locality-sensitive fingerprint behind `multimodal_phash_dedup`,
+  * computed in one codegen'd pass over the unsigned byte `width`-grams.
+  * The DuckDB oracle reproduces it arithmetically (ascii() per position
+  * on the pure-ASCII corpus, identical 737·v + 97 mod p mixing).
+  * Null for payloads shorter than `width`. */
+case class SimHashBytes(child: Expression, width: Int = 4, bits: Int = 32,
+    mod: Long = 2147483647L) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simHashBytes(input.asInstanceOf[Array[Byte]], width, bits, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Long ${ev.value}_r =
+         |  graft.functions.TextKernels.simHashBytes($c, $width, $bits, ${mod}L);
+         |${ev.isNull} = ${ev.value}_r == null;
+         |${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_r.longValue();
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -75,6 +75,82 @@ class Round8eSpec extends SparkSuite {
     assert(row.getLong(0) == Tables(spark, sf, "lineitem").count())
   }
 
+  test("agg_weighted_median_by_group: defining weighted-median inequalities") {
+    val rows = SparkEntry.queries("agg_weighted_median_by_group")(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    val li = Tables(spark, sf, "lineitem").select(
+      col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+      floor(col("l_quantity")).as("w"))
+    rows.foreach { r =>
+      val (g, tw, m) = (r.getString(0), r.getLong(2), r.getDouble(3))
+      val below = li.where(col("g") === g && col("v") < m)
+        .agg(coalesce(sum(col("w")), lit(0L))).collect().head.getLong(0)
+      val atOrBelow = li.where(col("g") === g && col("v") <= m)
+        .agg(sum(col("w"))).collect().head.getLong(0)
+      assert(below * 2 < tw, "strictly-below mass must be < half")
+      assert(atOrBelow * 2 >= tw, "at-or-below mass must reach half")
+    }
+  }
+
+  test("profile_kurtosis_skew: moment sanity per group") {
+    val rows = SparkEntry.queries("profile_kurtosis_skew")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, sf, "lineitem").count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0, "sd must be positive")
+      // kurtosis >= skewness^2 + 1 (Pearson) -> excess >= skew^2 - 2
+      assert(r.getDouble(5) >= r.getDouble(4) * r.getDouble(4) - 2.0)
+      val mean = r.getDouble(2)
+      assert(mean > 0.0 && mean < 200000.0)
+    }
+  }
+
+  test("profile_mutual_information: information inequalities") {
+    val r = SparkEntry.queries("profile_mutual_information")(spark, sf)
+      .collect().head
+    val (hl, hs, mi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(mi >= -1e-6, "MI is non-negative (up to round-6)")
+    assert(mi <= math.min(hl, hs) + 1e-6, "MI <= min marginal entropy")
+    val nl = Tables(spark, sf, "documents").select("lang").distinct().count()
+    val ns = Tables(spark, sf, "documents").select("source").distinct().count()
+    assert(hl <= math.log(nl.toDouble) + 1e-6)
+    assert(hs <= math.log(ns.toDouble) + 1e-6)
+  }
+
+  test("SimHashBytes kernel: locality and edge cases") {
+    import graft.functions.TextKernels
+    val base = ("the quick brown fox jumps over the lazy dog " * 30).getBytes("UTF-8")
+    val mod = 2147483647L
+    val h0 = TextKernels.simHashBytes(base, 16, 32, mod)
+    assert(h0 != null && h0 >= 0L && h0 < (1L << 32))
+    // determinism
+    assert(TextKernels.simHashBytes(base.clone(), 16, 32, mod) == h0)
+    // dropping the last byte perturbs only 15 grams of ~1300 -> small hamming
+    val variant = base.dropRight(1)
+    val h1 = TextKernels.simHashBytes(variant, 16, 32, mod)
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 3,
+      "near-identical payloads must land at small hamming distance")
+    // payload shorter than width -> null
+    assert(TextKernels.simHashBytes(Array[Byte](1, 2, 3), 16, 32, mod) == null)
+    assert(TextKernels.simHashBytes(Array.empty[Byte], 16, 32, mod) == null)
+  }
+
+  test("multimodal_phash_dedup: variant pairs dominate, hamming bounded") {
+    val rows = SparkEntry.queries("multimodal_phash_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 3L)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+    // most sampled docs' two encodings must be recovered as a pair
+    val variantPairs = rows.count(r =>
+      r.getLong(1) == r.getLong(0) + 1 && r.getLong(0) % 2 == 0)
+    val sampled = Tables(spark, sf, "documents")
+      .where(col("doc_id") % 5 === 0).count()
+    assert(variantPairs >= sampled * 8 / 10,
+      s"expected >=80% variant recall, got $variantPairs of $sampled")
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
