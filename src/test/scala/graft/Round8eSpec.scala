@@ -151,6 +151,61 @@ class Round8eSpec extends SparkSuite {
       s"expected >=80% variant recall, got $variantPairs of $sampled")
   }
 
+  test("encode_woe: evidence signs agree and IV is non-negative") {
+    val rows = SparkEntry.queries("encode_woe")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val iv = rows.head.getDouble(4)
+    assert(iv >= -1e-6, "information value is non-negative")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+      assert(r.getDouble(4) == iv, "iv_total must be constant across rows")
+    }
+  }
+
+  test("timeseries_gap_quantiles: ordered quantiles, complete gap count") {
+    val rows = SparkEntry.queries("timeseries_gap_quantiles")(spark, sf)
+      .collect()
+    val nEvents = Tables(spark, sf, "events").count()
+    val nUsers = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nEvents - nUsers,
+      "every event except each user's first contributes one gap")
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4))
+      assert(r.getDouble(4) <= r.getLong(5).toDouble)
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("encode_feature_hashing: buckets partition all parts") {
+    val rows = SparkEntry.queries("encode_feature_hashing")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, sf, "part").count())
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) < 64L)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("timeseries_changepoint_segments: split means bound the series") {
+    val rows = SparkEntry.queries("timeseries_changepoint_segments")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val vr = Tables(spark, sf, "events")
+      .agg(min(col("value")), max(col("value"))).collect().head
+    val (lo, hi) = (vr.getDouble(0) - 1e-6, vr.getDouble(1) + 1e-6)
+    rows.foreach { r =>
+      val (n, cpI) = (r.getLong(1), r.getLong(2))
+      assert(cpI >= 1L && cpI <= n)
+      assert(r.getDouble(3) >= lo && r.getDouble(3) <= hi)
+      if (cpI < n) {
+        assert(r.getDouble(4) >= lo && r.getDouble(4) <= hi)
+        assert(math.abs(r.getDouble(5) - (r.getDouble(4) - r.getDouble(3))) < 1e-9)
+      } else {
+        assert(r.isNullAt(4) && r.isNullAt(5))
+      }
+    }
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
