@@ -34,6 +34,7 @@ object SparkEntry {
     (ops.Extras9.queries, ops.Extras9.oracle),
     (ops.Extras10.queries, ops.Extras10.oracle),
     (ops.Extras11.queries, ops.Extras11.oracle),
+    (ops.Extras12.queries, ops.Extras12.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

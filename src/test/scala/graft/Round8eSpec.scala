@@ -206,6 +206,66 @@ class Round8eSpec extends SparkSuite {
     }
   }
 
+  test("analytics_cohort_ltv: cumulative revenue is monotone and complete") {
+    val rows = SparkEntry.queries("analytics_cohort_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getInt(0))
+    byCohort.values.foreach { cs =>
+      val sorted = cs.sortBy(_.getInt(1))
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1).getDouble(4) >= p(0).getDouble(4) - 1e-9, "cum_rev monotone")
+      }
+      val last = sorted.last
+      assert(math.abs(last.getDouble(4) - sorted.map(_.getDouble(3)).sum) < 1e-4)
+    }
+    assert(rows.map(_.getLong(2)).sum == Tables(spark, sf, "orders").count())
+  }
+
+  test("analytics_supplier_hhi: bounded by perfect competition and monopoly") {
+    val rows = SparkEntry.queries("analytics_supplier_hhi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi) = (r.getLong(1), r.getDouble(2))
+      assert(hhi >= 10000.0 / n - 1e-6, "HHI >= uniform-share floor")
+      assert(hhi <= 10000.0 + 1e-6, "HHI <= monopoly ceiling")
+    }
+  }
+
+  test("agg_mode_by_group: mode count matches a direct recount") {
+    val rows = SparkEntry.queries("agg_mode_by_group")(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val direct = Tables(spark, sf, "lineitem")
+        .where(col("l_returnflag") === r.getString(0) &&
+          col("l_linestatus") === r.getString(1))
+        .groupBy("l_quantity").count()
+        .agg(max(col("count"))).collect().head.getLong(0)
+      assert(r.getLong(3) == direct, "mode_count must be the max frequency")
+    }
+  }
+
+  test("join_scd2_pointintime: probes resolve to the last version at or before t") {
+    val rows = SparkEntry.queries("join_scd2_pointintime")(spark, sf).collect()
+    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(rows.length == users * 3)
+    // direct recompute for every (user, t): argmax (us, event_id) <= t
+    val hist = Tables(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { r =>
+      val (u, t) = (r.getLong(0), r.getLong(1) * 1000000L)
+      val prior = hist.getOrElse(u, Array.empty)
+        .filter(h => h.getLong(1) <= t)
+      if (prior.isEmpty) assert(r.isNullAt(2) && r.isNullAt(3))
+      else {
+        val best = prior.maxBy(h => (h.getLong(1), h.getLong(2)))
+        assert(r.getLong(3) == best.getLong(2), "version id mismatch")
+        assert(r.getDouble(2) == best.getDouble(3), "version value mismatch")
+      }
+    }
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
