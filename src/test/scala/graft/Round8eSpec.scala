@@ -266,6 +266,56 @@ class Round8eSpec extends SparkSuite {
     }
   }
 
+  test("pipeline_dataset_card: card fields agree with direct counts") {
+    val r = SparkEntry.queries("pipeline_dataset_card")(spark, sf)
+      .collect().head
+    val d = Tables(spark, sf, "documents")
+    assert(r.getLong(0) == d.count())
+    assert(r.getLong(1) == d.select("lang").distinct().count())
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+    assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0)
+    assert(r.getDouble(4) > 0.0)
+  }
+
+  test("analytics_shipping_delay: ordered quantiles, complete count") {
+    val rows = SparkEntry.queries("analytics_shipping_delay")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, sf, "lineitem").count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(4))
+      assert(r.getDouble(4) <= r.getLong(5).toDouble)
+    }
+  }
+
+  test("upsert_merge_apply: outcome counts match the modular change recipe") {
+    val rows = SparkEntry.queries("upsert_merge_apply")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = Tables(spark, sf, "orders").select(col("o_orderkey").as("k"))
+    def cnt(c: org.apache.spark.sql.Column): Long = keys.where(c).count()
+    val del = cnt(col("k") % 21 === 0)
+    val upd = cnt(col("k") % 21 =!= 0 && col("k") % 3 === 0)
+    val ins = cnt(col("k") % 21 =!= 0 && col("k") % 3 =!= 0 &&
+      col("k") % 11 === 0)
+    val total = keys.count()
+    assert(rows("deleted") == del)
+    assert(rows("updated") == upd)
+    assert(rows("inserted") == ins)
+    // insert SOURCE rows stay unchanged in base (the insert lands under
+    // an offset key), so only deletes and updates leave the base bucket
+    assert(rows("unchanged") == total - del - upd)
+  }
+
+  test("stats_bootstrap_ci: interval brackets both means") {
+    val r = SparkEntry.queries("stats_bootstrap_ci")(spark, sf).collect().head
+    val (full, boot, sd, lo, hi) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(sd > 0.0)
+    assert(lo < boot && boot < hi)
+    assert(math.abs(hi - boot - (boot - lo)) < 1e-6, "interval is symmetric")
+    assert(math.abs(boot - full) < 5.0 * sd,
+      "bootstrap mean must sit near the full mean")
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
