@@ -124,15 +124,26 @@ object Extras13 {
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
       val full = o.agg((sum(dec(col("price"))).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).as("full_mean"))
+      // weight-class split: Σw·price = Σ₁ + 2Σ₂ + 3Σ₃ — three
+      // conditional DECIMAL adds instead of a per-row decimal multiply
+      // (cut the 48M-row inner loop ~40%); the 3-term recombination is
+      // a fixed IEEE tree over exact-decimal casts in both engines
       val reps = o.select(col("k"), col("price"),
           explode(sequence(lit(0L), lit(31L))).as("b"))
         .withColumn("u", ((col("k") * 31L + col("b")) * 2654435761L) % 1000L)
+        .where(col("u") >= 368)
         .withColumn("w",
-          when(col("u") < 368, 0L).when(col("u") < 736, 1L)
-            .when(col("u") < 920, 2L).otherwise(3L))
+          when(col("u") < 736, 1L).when(col("u") < 920, 2L).otherwise(3L))
         .groupBy("b")
-        .agg((sum(dec(col("price")) * col("w")).cast(DoubleType) /
-          sum(col("w")).cast(DoubleType)).as("m"))
+        .agg(sum(when(col("w") === 1L, dec(col("price")))).as("s1"),
+          sum(when(col("w") === 2L, dec(col("price")))).as("s2"),
+          sum(when(col("w") === 3L, dec(col("price")))).as("s3"),
+          sum(col("w")).as("wsum"))
+        .select(col("b"),
+          ((col("s1").cast(DoubleType) +
+            lit(2.0) * col("s2").cast(DoubleType) +
+            lit(3.0) * col("s3").cast(DoubleType)) /
+            col("wsum").cast(DoubleType)).as("m"))
       val stats = reps
         .crossJoin(broadcast(reps.agg(
           (sum(col("m").cast(DecimalType(24, 12))).cast(DoubleType) /
@@ -214,14 +225,20 @@ object Extras13 {
         |full_m AS (SELECT cast(sum(cast(price AS decimal(18,4))) AS double)
         |    / cast(count(*) AS double) AS full_mean FROM o),
         |reps AS (SELECT b,
-        |    cast(sum(cast(price AS decimal(18,4)) * w) AS double)
+        |    (cast(sum(CASE WHEN w = 1
+        |        THEN cast(price AS decimal(18,4)) END) AS double)
+        |      + 2.0 * cast(sum(CASE WHEN w = 2
+        |        THEN cast(price AS decimal(18,4)) END) AS double)
+        |      + 3.0 * cast(sum(CASE WHEN w = 3
+        |        THEN cast(price AS decimal(18,4)) END) AS double))
         |      / cast(sum(w) AS double) AS m
         |  FROM (SELECT price, b,
-        |      CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+        |      CASE WHEN u < 736 THEN 1
         |           WHEN u < 920 THEN 2 ELSE 3 END AS w
         |    FROM (SELECT price, b,
         |        ((k * 31 + b) * 2654435761) % 1000 AS u
-        |      FROM o CROSS JOIN range(32) r(b)))
+        |      FROM o CROSS JOIN range(32) r(b))
+        |    WHERE u >= 368)
         |  GROUP BY b),
         |bm AS (SELECT cast(sum(cast(m AS decimal(24,12))) AS double)
         |    / cast(count(*) AS double) AS boot_mean FROM reps),
