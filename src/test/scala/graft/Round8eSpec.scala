@@ -316,6 +316,55 @@ class Round8eSpec extends SparkSuite {
       "bootstrap mean must sit near the full mean")
   }
 
+  test("stream_lateness_audit: buckets cover every event, lateness bounded by jitter") {
+    val rows = SparkEntry.queries("stream_lateness_audit")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, sf, "events").count())
+    rows.foreach { r =>
+      // simulated ingest delay is < 2h, so disorder is < 2h + intra-user span
+      assert(r.getLong(2) >= 0L)
+      if (r.getString(0) == "a_on_time") assert(r.getLong(2) == 0L)
+    }
+    assert(rows.length >= 2, "jittered arrival must produce late buckets")
+  }
+
+  test("encode_quantile_binning: balanced deciles with ordered edges") {
+    val rows = SparkEntry.queries("encode_quantile_binning")(spark, sf)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 10)
+    val total = Tables(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.map(_.getLong(1)).max - rows.map(_.getLong(1)).min <= 1,
+      "ntile bins differ by at most one row")
+    rows.sliding(2).filter(_.length == 2).foreach { p =>
+      assert(p(0).getDouble(3) <= p(1).getDouble(2) + 1e-9,
+        "bin ranges must be ordered and non-overlapping")
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(3))
+    }
+  }
+
+  test("validate_referential_integrity: clean star schema, complete counts") {
+    val rows = SparkEntry.queries("validate_referential_integrity")(spark, sf)
+      .collect()
+    assert(rows.length == 4)
+    val li = Tables(spark, sf, "lineitem").count()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+      if (r.getString(0).startsWith("lineitem")) assert(r.getLong(1) == li)
+    }
+  }
+
+  test("analytics_basket_profile: shares sum to one, orders complete") {
+    val rows = SparkEntry.queries("analytics_basket_profile")(spark, sf)
+      .collect()
+    val nOrders = Tables(spark, sf, "lineitem")
+      .select("l_orderkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    rows.foreach(r => assert(r.getDouble(2) > 0.0))
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
