@@ -228,3 +228,28 @@ case class SimHashBytes(child: Expression, width: Int = 4, bits: Int = 32,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Content-defined chunk lengths of a BINARY payload
+  * ([[TextKernels.cdcChunkLens]]): FastCDC-style boundaries from the
+  * local `width`-gram Horner hash, codegen'd one pass per row. The
+  * DuckDB oracle reproduces boundaries arithmetically (per-position
+  * Horner over ascii on the pure-ASCII corpus). */
+case class CdcChunkLens(child: Expression, width: Int = 8,
+    divisor: Long = 64L, mod: Long = 2147483647L) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.cdcChunkLens(input.asInstanceOf[Array[Byte]], width, divisor,
+      mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.TextKernels.cdcChunkLens(
+         |  $c, $width, ${divisor}L, ${mod}L);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

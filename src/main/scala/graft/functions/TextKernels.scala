@@ -175,6 +175,34 @@ object TextKernels {
     * enough that unrelated same-vocabulary docs sit near the random
     * midpoint (measured: cross-pair mean 15.4/32 vs variant mean 0.8).
     * Null when the payload is shorter than `width`. */
+  /** Content-defined chunk lengths (FastCDC-style, unbounded variant):
+    * a chunk boundary falls AFTER position i when the mixed Horner hash
+    * of the `width`-gram ending at i satisfies hash % `divisor` == 0 —
+    * the same (v·737 + 97) mod p mixing as [[simHashBytes]], so the
+    * boundary decision depends only on the local byte window and
+    * re-synchronizes after edits (the property that makes CDC chunks
+    * dedup-friendly where fixed-size chunks shift). Returns the chunk
+    * lengths in order (sum == payload length); a payload shorter than
+    * `width` is one chunk. Expected chunk length ≈ `divisor` bytes. */
+  def cdcChunkLens(b: Array[Byte], width: Int, divisor: Long,
+      mod: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var i = width - 1
+    while (i < b.length) {
+      var v = 0L
+      var k = i - width + 1
+      while (k <= i) { v = (v * 256L + (b(k) & 0xffL)) % mod; k += 1 }
+      if ((v * 737L + 97L) % mod % divisor == 0L) {
+        lens += (i + 1 - start).toLong
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < b.length || b.isEmpty) lens += (b.length - start).toLong
+    new GenericArrayData(lens.toArray.map(x => x: Any))
+  }
+
   def simHashBytes(b: Array[Byte], width: Int, bits: Int,
       mod: Long): java.lang.Long = {
     val n = b.length - width + 1

@@ -389,6 +389,42 @@ object Similarity {
         .orderBy(col("cid"), col("pos"))
     },
 
+    // ANN quality evaluation: recall@10 of the IVF index (same %97
+    // centroids / nProbe 2 as sim_ann_ivf) against the exact
+    // brute-force top-10 on a bounded query batch — the measurement a
+    // production index ships with. The brute-force side is an
+    // UNCONDITIONED broadcast crossJoin (self-pairs excluded ABOVE the
+    // rank window — a join-level filter would condition the BNLJ);
+    // rank 11 then re-rank after dropping self reproduces exact
+    // top-10-excluding-self. All recall arithmetic is integer counts.
+    "sim_ann_recall_eval" -> { (s, dir) =>
+      val all = vecs(s, dir).select(col("vec_id"), col("v"))
+      val cents = vecs(s, dir).where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val q = vecs(s, dir).where(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w1 = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val w2 = Window.partitionBy(col("qid")).orderBy(col("rn"))
+      val exact = broadcast(q).crossJoin(all)
+        .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+        .withColumn("rn", row_number().over(w1))
+        .where(col("rn") <= 11)
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("rn2", row_number().over(w2))
+        .where(col("rn2") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val approx = annIvf(all, q, cents, 2, 10).select(col("qid"), col("vec_id"))
+      val hits = approx.join(exact, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      q.select("qid").join(hits, Seq("qid"), "left_outer")
+        .select(coalesce(col("h"), lit(0L)).as("h"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(col("h")).cast("double") /
+            (count(lit(1)) * 10L).cast("double"), 6).as("mean_recall"),
+          round(min(col("h")).cast("double") / 10.0, 6).as("min_recall"))
+    },
+
     // SemDeDup end-to-end over vectors ∪ planted near-dup copies (the
     // dedup_embedding_threshold copies trick — the base table has no
     // cos ≥ 0.95 pairs), centroids pinned to the BASE %97 set for oracle
@@ -468,6 +504,49 @@ object Similarity {
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
          |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    // exact side mirrors the engine's rank-11 → drop-self → re-rank
+    // construction verbatim; IVF side is the sim_ann_ivf CTE with the
+    // %250 query batch and rank <= 10
+    "sim_ann_recall_eval" ->
+      s"""WITH e0 AS ($sqlVecs),
+         |e AS (SELECT vec_id, v FROM e0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id % 97 = 0),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e0 WHERE vec_id % 250 = 0),
+         |scored AS (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(${cosSql("qv", "v")}, 6) DESC, vec_id) AS rn
+         |  FROM q CROSS JOIN e),
+         |exact AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rn) AS rn2
+         |  FROM scored WHERE rn <= 11 AND vec_id <> qid) WHERE rn2 <= 10),
+         |assigned AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS arn
+         |  FROM e CROSS JOIN cents c) WHERE arn = 1),
+         |probes AS (SELECT qid, qv, cid FROM (
+         |  SELECT q.qid, q.qv, c.cid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(${cosSql("q.qv", "c.cv")}, 6) DESC, c.cid) AS prn
+         |  FROM q CROSS JOIN cents c) WHERE prn <= 2),
+         |scored_a AS (SELECT p.qid, a.vec_id,
+         |    round(${cosSql("p.qv", "a.v")}, 6) AS cos
+         |  FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id <> p.qid),
+         |approx AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+         |      AS rank
+         |  FROM scored_a) WHERE rank <= 10),
+         |hits AS (SELECT qid, cast(count(*) AS bigint) AS h
+         |  FROM approx JOIN exact USING (qid, vec_id) GROUP BY qid),
+         |per AS (SELECT q.qid, coalesce(h, 0) AS h
+         |  FROM q LEFT JOIN hits USING (qid))
+         |SELECT cast(count(*) AS bigint) AS n_queries,
+         |  round(cast(sum(h) AS double) / cast(count(*) * 10 AS double), 6)
+         |    AS mean_recall,
+         |  round(cast(min(h) AS double) / 10.0, 6) AS min_recall
+         |FROM per""".stripMargin,
     // same %97 centroid set and arn=1 assignment as sim_ann_ivf, then the
     // element-wise mean via lateral unnest-with-index (DuckDB's 1-based
     // lambda index → pos = i − 1) under the decimal(18,12) davg discipline

@@ -365,6 +365,66 @@ class Round8eSpec extends SparkSuite {
     rows.foreach(r => assert(r.getDouble(2) > 0.0))
   }
 
+  test("sim_ann_recall_eval: recall within [0,1], ordered, non-trivial") {
+    val r = SparkEntry.queries("sim_ann_recall_eval")(spark, sf).collect().head
+    val (n, mean, min) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(n >= 1L)
+    assert(min >= 0.0 && min <= mean && mean <= 1.0)
+    // nProbe 2 of ~5 centroids must find a decent fraction of true NNs
+    assert(mean > 0.2, s"IVF recall collapsed: $mean")
+  }
+
+  test("timeseries_seasonal_decompose: phases cover the week, seasonal sums ~0") {
+    val rows = SparkEntry.queries("timeseries_seasonal_decompose")(spark, sf)
+      .collect()
+    assert(rows.length == 7, "all seven phases must have full-frame days")
+    // the detrended series sums to ~0 over any whole number of periods;
+    // per-phase means weighted by day counts reconstruct that sum
+    val weighted = rows.map(r => r.getDouble(3) * r.getLong(1)).sum
+    val scale = rows.map(r => math.abs(r.getDouble(2))).max
+    assert(math.abs(weighted) < scale * 0.5,
+      "phase-weighted seasonal sum must be small relative to daily scale")
+  }
+
+  test("CdcChunkLens kernel: lengths partition the payload, edits resync") {
+    import graft.functions.TextKernels
+    val mod = 2147483647L
+    def lens(s: String): Seq[Long] = {
+      val a = TextKernels.cdcChunkLens(s.getBytes("UTF-8"), 8, 64L, mod)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    // varied text (a repetitive string has too few distinct grams to
+    // ever hit the divisor — probed)
+    val base = (1 to 400).map(i => s"token$i word${i * 7}").mkString(" ")
+    val l0 = lens(base)
+    assert(l0.sum == base.length, "chunk lengths must sum to the payload")
+    assert(l0.length > 5, "varied text must produce multiple chunks")
+    assert(l0.forall(_ > 0L))
+    // prepend an edit: all boundaries after the edit region are
+    // UNCHANGED (content-defined re-synchronization)
+    val edited = "X" + base
+    val l1 = lens(edited)
+    assert(l1.sum == edited.length)
+    assert(l0.takeRight(3) == l1.takeRight(3),
+      "CDC boundaries must re-synchronize after a prefix edit")
+    // shorter than the gram width -> one chunk
+    assert(lens("abc") == Seq(3L))
+  }
+
+  test("text_cdc_chunking: per-doc statistics are consistent") {
+    val rows = SparkEntry.queries("text_cdc_chunking")(spark, sf).collect()
+    val nchars = Tables(spark, sf, "documents")
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == nchars.size)
+    rows.foreach { r =>
+      assert(r.getLong(4) == nchars(r.getLong(0)),
+        "chunk lengths must sum to the document length")
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(1) >= 1L)
+    }
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
