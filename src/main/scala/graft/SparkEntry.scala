@@ -38,6 +38,7 @@ object SparkEntry {
     (ops.Extras13.queries, ops.Extras13.oracle),
     (ops.Extras14.queries, ops.Extras14.oracle),
     (ops.Extras15.queries, ops.Extras15.oracle),
+    (ops.Extras16.queries, ops.Extras16.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

@@ -253,3 +253,27 @@ case class CdcChunkLens(child: Expression, width: Int = 8,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Per-chunk content hashes aligned with [[CdcChunkLens]] boundaries
+  * ([[TextKernels.cdcChunkHashes]]) — the chunk-level signature that
+  * powers rsync/backup-style shared-content detection across binary
+  * payloads. Codegen'd single pass. */
+case class CdcChunkHashes(child: Expression, width: Int = 8,
+    divisor: Long = 64L, mod: Long = 2147483647L) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.cdcChunkHashes(input.asInstanceOf[Array[Byte]], width,
+      divisor, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.TextKernels.cdcChunkHashes(
+         |  $c, $width, ${divisor}L, ${mod}L);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -203,6 +203,38 @@ object TextKernels {
     new GenericArrayData(lens.toArray.map(x => x: Any))
   }
 
+  /** Per-chunk content hashes for the [[cdcChunkLens]] boundaries: the
+    * i-th element is the (·31 + b) mod `mod` Horner hash (the
+    * [[StringPolyHash]] fold, on bytes) of the i-th content-defined
+    * chunk. Identical boundary rule — one shared pass computes both
+    * the boundary decision and the running chunk hash. */
+  def cdcChunkHashes(b: Array[Byte], width: Int, divisor: Long,
+      mod: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val hs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var i = width - 1
+    while (i < b.length) {
+      var v = 0L
+      var k = i - width + 1
+      while (k <= i) { v = (v * 256L + (b(k) & 0xffL)) % mod; k += 1 }
+      if ((v * 737L + 97L) % mod % divisor == 0L) {
+        var h = 0L
+        var j = start
+        while (j <= i) { h = (h * 31L + (b(j) & 0xffL)) % mod; j += 1 }
+        hs += h
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < b.length || b.isEmpty) {
+      var h = 0L
+      var j = start
+      while (j < b.length) { h = (h * 31L + (b(j) & 0xffL)) % mod; j += 1 }
+      hs += h
+    }
+    new GenericArrayData(hs.toArray.map(x => x: Any))
+  }
+
   def simHashBytes(b: Array[Byte], width: Int, bits: Int,
       mod: Long): java.lang.Long = {
     val n = b.length - width + 1

@@ -425,6 +425,47 @@ class Round8eSpec extends SparkSuite {
     }
   }
 
+  test("multimodal_cdc_dedup: re-encodes share chunks, threshold respected") {
+    val rows = SparkEntry.queries("multimodal_cdc_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 2L)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+    val variantPairs = rows.count(r =>
+      r.getLong(1) == r.getLong(0) + 1 && r.getLong(0) % 2 == 0)
+    assert(variantPairs > 0, "trimmed re-encodes must share their chunks")
+  }
+
+  test("stats_permutation_test: p-value bounds and identity") {
+    val r = SparkEntry.queries("stats_permutation_test")(spark, sf)
+      .collect().head
+    val (n, nA, nExt, p) = (r.getLong(0), r.getLong(1), r.getLong(3),
+      r.getDouble(4))
+    assert(nA > 0L && nA < n)
+    assert(nExt >= 0L && nExt <= 32L)
+    assert(math.abs(p - (nExt + 1.0) / 33.0) < 1e-6)
+    assert(p > 0.0 && p <= 1.0)
+  }
+
+  test("agg_histogram_2d: cells partition all lines, shares sum to one") {
+    val rows = SparkEntry.queries("agg_histogram_2d")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == Tables(spark, sf, "lineitem").count())
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(1) >= 0L))
+  }
+
+  test("pipeline_quality_funnel: survival is monotone non-increasing") {
+    val rows = SparkEntry.queries("pipeline_quality_funnel")(spark, sf)
+      .collect().sortBy(_.getString(0))
+    assert(rows.length == 5)
+    assert(rows.head.getLong(1) == Tables(spark, sf, "documents").count())
+    rows.sliding(2).filter(_.length == 2).foreach { p =>
+      assert(p(1).getLong(1) <= p(0).getLong(1), "each gate can only shrink")
+    }
+    assert(math.abs(rows.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
