@@ -466,6 +466,54 @@ class Round8eSpec extends SparkSuite {
     assert(math.abs(rows.head.getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("graph_kcore: converged core certifies min degree, empty core is clean") {
+    val r = SparkEntry.queries("graph_kcore")(spark, sf).collect().head
+    val (nNodes, nEdges) = (r.getLong(0), r.getLong(1))
+    if (nNodes == 0L) {
+      assert(nEdges == 0L && r.isNullAt(2) && r.isNullAt(3))
+    } else {
+      assert(nEdges * 2 >= nNodes * r.getLong(2),
+        "handshake: 2E >= N * min_degree")
+      assert(r.getLong(2) <= r.getLong(3))
+      // 5 rounds suffice on this corpus: the peel must have converged
+      assert(r.getLong(2) >= 3L, "converged 3-core keeps degree >= 3")
+    }
+  }
+
+  test("timeseries_peaks: peaks are interior, non-adjacent, bounded") {
+    val rows = SparkEntry.queries("timeseries_peaks")(spark, sf).collect()
+    val gmax = Tables(spark, sf, "events")
+      .agg(max(col("value"))).collect().head.getDouble(0)
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, sf, "events").count())
+    rows.foreach { r =>
+      val (n, p) = (r.getLong(1), r.getLong(2))
+      assert(p <= math.max(0L, (n - 1) / 2), "strict peaks are non-adjacent")
+      if (p > 0) assert(r.getDouble(3) <= gmax)
+    }
+  }
+
+  test("events_transition_timing: complete transitions, sane gaps") {
+    val rows = SparkEntry.queries("events_transition_timing")(spark, sf)
+      .collect()
+    val nEvents = Tables(spark, sf, "events").count()
+    val nUsers = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0)
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("encode_cyclical_time: unit circle and complete coverage") {
+    val rows = SparkEntry.queries("encode_cyclical_time")(spark, sf).collect()
+    assert(rows.length == 24)
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, sf, "events").count())
+    rows.foreach { r =>
+      val (s0, c0) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(s0 * s0 + c0 * c0 - 1.0) < 1e-5)
+    }
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
