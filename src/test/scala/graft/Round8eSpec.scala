@@ -514,6 +514,46 @@ class Round8eSpec extends SparkSuite {
     }
   }
 
+  test("events_sequence_pairs: directional supports within bounds") {
+    val rows = SparkEntry.queries("events_sequence_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20, "5 types -> at most 20 ordered pairs")
+    rows.foreach { r =>
+      assert(r.getString(0) != r.getString(1))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("timeseries_downsample_repr: one representative per (user, day)") {
+    val rows = SparkEntry.queries("timeseries_downsample_repr")(spark, sf)
+      .collect()
+    val buckets = Tables(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000"))
+      .distinct().count()
+    assert(rows.length == buckets)
+    assert(rows.map(_.getLong(2)).sum == Tables(spark, sf, "events").count())
+    val ids = Tables(spark, sf, "events").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    rows.foreach(r => assert(ids.contains(r.getLong(3)),
+      "representative must be a real event"))
+  }
+
+  test("analytics_order_regularity: covers exactly the 3+-order customers") {
+    val rows = SparkEntry.queries("analytics_order_regularity")(spark, sf)
+      .collect()
+    val expected = Tables(spark, sf, "orders").groupBy("o_custkey").count()
+      .where(col("count") >= 3).count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
+  test("join_star_denormalize: grid covers every line item") {
+    val rows = SparkEntry.queries("join_star_denormalize")(spark, sf).collect()
+    assert(rows.length <= 125, "5 regions x 5 regions x 5 priorities")
+    assert(rows.map(_.getLong(3)).sum == Tables(spark, sf, "lineitem").count(),
+      "every line lands in exactly one cell")
+    rows.foreach(r => assert(r.getDouble(4) > 0.0))
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
