@@ -41,6 +41,7 @@ object SparkEntry {
     (ops.Extras16.queries, ops.Extras16.oracle),
     (ops.Extras17.queries, ops.Extras17.oracle),
     (ops.Extras18.queries, ops.Extras18.oracle),
+    (ops.Extras19.queries, ops.Extras19.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

@@ -554,6 +554,48 @@ class Round8eSpec extends SparkSuite {
     rows.foreach(r => assert(r.getDouble(4) > 0.0))
   }
 
+  test("events_decay_score: bounded by undecayed sum, users complete") {
+    val rows = SparkEntry.queries("events_decay_score")(spark, sf).collect()
+    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(rows.length == users)
+    val sums = Tables(spark, sf, "events").groupBy("user_id")
+      .agg(sum(when(col("value") > 0, col("value")).otherwise(0.0)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= sums(r.getLong(0)) + 1e-6,
+        "decay can only shrink the positive mass")
+    }
+  }
+
+  test("stream_tumbling_topk: top count bounded by window total") {
+    val rows = SparkEntry.queries("stream_tumbling_topk")(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum == Tables(spark, sf, "events").count())
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(3))
+      // the top type holds at least its fair share of the window
+      assert(r.getLong(2) * 5L >= r.getLong(3))
+    }
+  }
+
+  test("events_burst_days: burst days are a strict minority under 2x mean") {
+    val rows = SparkEntry.queries("events_burst_days")(spark, sf).collect()
+    rows.foreach { r =>
+      val (nd, nb) = (r.getLong(1), r.getLong(2))
+      assert(nb >= 0L && nb <= nd)
+      // Markov: at most half the days can exceed twice the mean
+      assert(nb * 2 <= nd, "2x-mean burst days cannot be a majority")
+    }
+  }
+
+  test("validate_expectations: six checks, all passing on clean testdata") {
+    val rows = SparkEntry.queries("validate_expectations")(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"expectation ${r.getString(0)} must pass")
+      assert(r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
