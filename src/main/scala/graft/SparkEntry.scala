@@ -42,6 +42,7 @@ object SparkEntry {
     (ops.Extras17.queries, ops.Extras17.oracle),
     (ops.Extras18.queries, ops.Extras18.oracle),
     (ops.Extras19.queries, ops.Extras19.oracle),
+    (ops.Extras20.queries, ops.Extras20.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

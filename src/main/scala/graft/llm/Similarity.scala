@@ -389,6 +389,31 @@ object Similarity {
         .orderBy(col("cid"), col("pos"))
     },
 
+    // clustering quality against ground truth: per-cluster label
+    // purity of the IVF assignment (the embeddings carry labels) —
+    // majority label via lexicographic struct max (ties → larger
+    // label), purity ratios over pure integer counts. The third
+    // quality-evaluation query (ANN recall, dedup recall, purity).
+    "sim_cluster_purity" -> { (s, dir) =>
+      val all = vecs(s, dir)
+      val cents = all.where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = assignToCentroids(all.select(col("vec_id"), col("v")),
+        cents)
+      assigned
+        .join(all.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+        .groupBy("cid")
+        .agg(sum(col("n")).as("n_members"),
+          max(struct(col("n"), col("label"))).as("m"))
+        .select(col("cid"), col("n_members"),
+          col("m.label").as("majority_label"),
+          col("m.n").as("n_majority"),
+          round(col("m.n").cast("double") / col("n_members").cast("double"),
+            6).as("purity"))
+        .orderBy("cid")
+    },
+
     // ANN quality evaluation: recall@10 of the IVF index (same %97
     // centroids / nProbe 2 as sim_ann_ivf) against the exact
     // brute-force top-10 on a bounded query batch — the measurement a
@@ -504,6 +529,26 @@ object Similarity {
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
          |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    // same %97 centroids and arn=1 assignment as sim_ann_ivf, labels
+    // joined back, struct_pack majority
+    "sim_cluster_purity" ->
+      s"""WITH e0 AS ($sqlVecs),
+         |e AS (SELECT vec_id, v FROM e0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id % 97 = 0),
+         |assigned AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS arn
+         |  FROM e CROSS JOIN cents c) WHERE arn = 1),
+         |cl AS (SELECT cid, label, cast(count(*) AS bigint) AS n
+         |  FROM assigned JOIN e0 USING (vec_id) GROUP BY cid, label)
+         |SELECT cid, cast(sum(n) AS bigint) AS n_members,
+         |  (max(struct_pack(n := n, label := label))).label
+         |    AS majority_label,
+         |  (max(struct_pack(n := n, label := label))).n AS n_majority,
+         |  round(cast((max(struct_pack(n := n, label := label))).n AS double)
+         |    / cast(sum(n) AS double), 6) AS purity
+         |FROM cl GROUP BY cid ORDER BY cid""".stripMargin,
     // exact side mirrors the engine's rank-11 → drop-self → re-rank
     // construction verbatim; IVF side is the sim_ann_ivf CTE with the
     // %250 query batch and rank <= 10

@@ -596,6 +596,52 @@ class Round8eSpec extends SparkSuite {
     }
   }
 
+  test("dedup_recall_eval: LSH recovers nearly all planted near-dups") {
+    val r = SparkEntry.queries("dedup_recall_eval")(spark, sf).collect().head
+    val (np, nf, nc, rec) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))
+    assert(np == Tables(spark, sf, "documents")
+      .where(col("doc_id") % 5 === 0).count())
+    assert(nf <= np && nf <= nc)
+    assert(rec > 0.9, s"one-word perturbation must be recovered, got $rec")
+  }
+
+  test("sim_cluster_purity: members complete, purity within bounds") {
+    val rows = SparkEntry.queries("sim_cluster_purity")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(1))
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      // majority must hold at least a uniform share over 10 labels
+      assert(r.getDouble(4) * 10 >= 0.999)
+    }
+  }
+
+  test("window_streak_longest: streaks partition active days") {
+    val rows = SparkEntry.queries("window_streak_longest")(spark, sf).collect()
+    val activeDays = Tables(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000"))
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum == activeDays)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "longest streak <= active days")
+      assert(r.getLong(2) >= 1L)
+      assert(r.getLong(3) * r.getLong(2) >= r.getLong(1), "pigeonhole")
+    }
+  }
+
+  test("analytics_abc_classification: 80/15/5 structure holds") {
+    val rows = SparkEntry.queries("analytics_abc_classification")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(rows.keySet == Set("A", "B", "C"))
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-4)
+    assert(rows("A")._2 <= 0.80 + 1e-6, "class A holds at most 80% by rule")
+    assert(rows.values.map(_._1).sum ==
+      Tables(spark, sf, "lineitem").select("l_partkey").distinct().count())
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
