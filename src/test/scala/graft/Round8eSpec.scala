@@ -642,6 +642,48 @@ class Round8eSpec extends SparkSuite {
       Tables(spark, sf, "lineitem").select("l_partkey").distinct().count())
   }
 
+  test("stats_ab_conversion: variants partition users, z well-defined") {
+    val r = SparkEntry.queries("stats_ab_conversion")(spark, sf).collect().head
+    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(2) == users)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    // above-mean conversion cannot be universal or empty
+    assert(r.getLong(1) + r.getLong(3) > 0L)
+    assert(r.getLong(1) + r.getLong(3) < users)
+    assert(!r.isNullAt(6), "variance guard must not trip on this corpus")
+  }
+
+  test("analytics_top_growth_parts: ranked by growth, internally consistent") {
+    val rows = SparkEntry.queries("analytics_top_growth_parts")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2) - r.getLong(1)))
+    rows.sliding(2).filter(_.length == 2).foreach { p =>
+      assert(p(0).getLong(3) >= p(1).getLong(3), "descending growth")
+    }
+  }
+
+  test("clean_whitespace_audit: counts bounded by doc counts") {
+    val rows = SparkEntry.queries("clean_whitespace_audit")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      (2 to 5).foreach(i => assert(r.getLong(i) >= 0L && r.getLong(i) <= r.getLong(1)))
+    }
+  }
+
+  test("fillna_strategy_report: rates match the dirt recipe, strategies typed") {
+    val rows = SparkEntry.queries("fillna_strategy_report")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("cust", "price", "status"))
+    assert(rows("status").getString(3) == "mode", "3-value column takes mode")
+    assert(rows("price").getString(3) == "median")
+    val n = Tables(spark, sf, "orders").count().toDouble
+    val expCust = Tables(spark, sf, "orders")
+      .where(col("o_orderkey") % 97 === 0).count() / n
+    assert(math.abs(rows("cust").getDouble(1) - expCust) < 1e-4)
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
