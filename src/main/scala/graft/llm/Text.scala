@@ -178,6 +178,45 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // language-ID EVALUATION on the held-out split (doc_id % 10 >= 8):
+    // confusion matrix + overall holdout accuracy — the classifier
+    // quality certificate next to the dedup/ANN/purity evals. Same
+    // train profile and argmax as text_langid.
+    "text_langid_eval" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tf = termFreqs(s, dir)
+      val train = tf.join(docs.where(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), col("lang")), "doc_id")
+      val wProf = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("word"))
+      val profile = train.groupBy(col("lang"), col("word"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .withColumn("prn", row_number().over(wProf))
+        .where(col("prn") <= 5)
+        .select(col("lang").as("cand_lang"), col("word"))
+      val overlap = tf.select(col("doc_id"), col("word"))
+        .join(broadcast(profile), "word")
+        .groupBy(col("doc_id"), col("cand_lang"))
+        .agg(count(lit(1)).as("hits"))
+      val best = overlap.groupBy(col("doc_id"))
+        .agg(min_by(struct(col("cand_lang").as("pred_lang"), col("hits")),
+          struct((-col("hits")).as("nh"), col("cand_lang"))).as("b"))
+        .select(col("doc_id"), col("b.pred_lang").as("pred_lang"))
+      val test = docs.where(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("lang"),
+          coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"))
+      val cells = test.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val acc = cells.agg(
+        (sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+          .cast("double") / sum(col("n")).cast("double")).as("a"))
+        .select(round(col("a"), 6).as("test_accuracy"))
+      cells.crossJoin(broadcast(acc))
+        .select(col("lang"), col("pred_lang"), col("n"), col("test_accuracy"))
+        .orderBy("lang", "pred_lang")
+    },
+
     // quality scoring: token stats + stopword ratio → composite score
     // (shared core in [[qualityScored]])
     "text_quality_score" -> { (s, dir) =>
@@ -302,6 +341,31 @@ object Text {
         |  coalesce(b.hits, 0) AS hits
         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "text_langid_eval" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |train AS (SELECT t.doc_id, t.word, d.lang FROM toks t
+        |          JOIN documents d ON t.doc_id = d.doc_id WHERE d.doc_id % 10 < 8),
+        |prof AS (SELECT lang AS cand_lang, word FROM (
+        |  SELECT lang, word, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, word) AS prn
+        |  FROM train GROUP BY lang, word) WHERE prn <= 5),
+        |ovl AS (SELECT doc_id, cand_lang, count(*) AS hits
+        |        FROM (SELECT DISTINCT doc_id, word FROM toks) t
+        |        JOIN prof USING (word) GROUP BY 1, 2),
+        |best AS (SELECT doc_id, cand_lang AS pred_lang FROM (
+        |  SELECT doc_id, cand_lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+        |  FROM ovl) WHERE rn = 1),
+        |test AS (SELECT d.lang, coalesce(b.pred_lang, 'unknown') AS pred_lang
+        |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        |  WHERE d.doc_id % 10 >= 8),
+        |cells AS (SELECT lang, pred_lang, cast(count(*) AS bigint) AS n
+        |  FROM test GROUP BY 1, 2),
+        |acc AS (SELECT round(cast(sum(CASE WHEN lang = pred_lang THEN n
+        |    ELSE 0 END) AS double) / cast(sum(n) AS double), 6)
+        |    AS test_accuracy
+        |  FROM cells)
+        |SELECT lang, pred_lang, n, test_accuracy
+        |FROM cells CROSS JOIN acc ORDER BY lang, pred_lang""".stripMargin,
     "text_quality_score" ->
       s"""WITH d AS (SELECT *, cast(length(replace(text, ' ', '')) as bigint) AS n_alpha
          |  FROM ($sqlQualityBase))

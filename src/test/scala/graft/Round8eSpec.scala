@@ -684,6 +684,41 @@ class Round8eSpec extends SparkSuite {
     assert(math.abs(rows("cust").getDouble(1) - expCust) < 1e-4)
   }
 
+  test("text_langid_eval: confusion matrix covers the test split, accuracy beats chance") {
+    val rows = SparkEntry.queries("text_langid_eval")(spark, sf).collect()
+    val testN = Tables(spark, sf, "documents")
+      .where(col("doc_id") % 10 >= 8).count()
+    assert(rows.map(_.getLong(2)).sum == testN)
+    val acc = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) == acc), "accuracy constant across rows")
+    val nLangs = Tables(spark, sf, "documents").select("lang").distinct().count()
+    assert(acc > 1.0 / nLangs, s"must beat the $nLangs-way chance floor")
+  }
+
+  test("events_transition_baseline_eval: majority baseline beats uniform chance") {
+    val r = SparkEntry.queries("events_transition_baseline_eval")(spark, sf)
+      .collect().head
+    val (nStates, nTrans, nCorr, acc) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))
+    val nEvents = Tables(spark, sf, "events").count()
+    val nUsers = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(nTrans == nEvents - nUsers)
+    assert(nCorr <= nTrans)
+    assert(acc >= 1.0 / 5 - 1e-6, "argmax accuracy is at least uniform share")
+    assert(nStates <= 5L)
+  }
+
+  test("timeseries_forecast_baseline_eval: observation counts and MAE bounds") {
+    val r = SparkEntry.queries("timeseries_forecast_baseline_eval")(spark, sf)
+      .collect().head
+    val nEvents = Tables(spark, sf, "events").count()
+    val nUsers = r.getLong(0)
+    assert(r.getLong(1) == nEvents - nUsers, "one naive error per t>=2")
+    assert(r.getLong(2) == nEvents - 2 * nUsers, "one drift error per t>=3")
+    assert(r.getDouble(3) > 0.0 && r.getDouble(4) > 0.0)
+    assert(r.getLong(5) >= 0L && r.getLong(5) <= nUsers)
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
