@@ -399,6 +399,22 @@ object GraftOps {
     ops.IntervalJoin.overlapSelfJoin(df, idCol, partCols, startCol, endCol,
       cellSeconds)
 
+  /** merge-sorted point-in-time lookup ("value as of t") — probes
+    * unioned into the version stream, one per-key carry-forward window,
+    * no range join ([[graft.ops.Extras12.pointInTimeLookup]]). */
+  def pointInTimeLookup(history: DataFrame, probes: DataFrame,
+      keyCol: String, tsCol: String, tieCol: String,
+      probeTsCol: String): DataFrame =
+    ops.Extras12.pointInTimeLookup(history, probes, keyCol, tsCol, tieCol,
+      probeTsCol)
+
+  /** lower weighted median per group over the distinct-value distributed
+    * prefix sum — never a row-sized sort
+    * ([[graft.ops.Extras10.weightedMedianByGroup]]). */
+  def weightedMedianByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String): DataFrame =
+    ops.Extras10.weightedMedianByGroup(df, groupCol, valueCol, weightCol)
+
   /** weighted item-item co-occurrence edges from (group, item) facts —
     * pair expansion bounded by group size, `minWeight` prunes one-off
     * noise (see [[ops.Graph.coOccurrenceEdges]]). */

@@ -44,28 +44,42 @@ object Extras10 {
         s"(($acc) * 256 + ascii(substr(payload, i + $k, 1))) % 2147483647"
     }
 
+  /** PUBLIC API: lower weighted median per group — the smallest value
+    * whose inclusive cumulative weight reaches half the total (a
+    * STORED value, never an interpolation). One row per DISTINCT
+    * (group, value) feeds the per-group exclusive prefix sum through
+    * the distributed two-level kernel; never a row-sized sort. Weights
+    * must be integral longs. Output: (groupCol, n, total_weight,
+    * wmedian). */
+  def weightedMedianByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(valueCol).as("v"),
+      col(weightCol).as("w"))
+    val pv = base.groupBy("g", "v").agg(sum(col("w")).as("wv"))
+    val cum = GraftOps.distributedRunningSum(pv, "g", "v", "wv", "cw")
+    val tot = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("total_weight"))
+    cum.join(broadcast(tot), "g")
+      .where(col("cw") * 2 >= col("total_weight"))
+      .groupBy("g", "n", "total_weight")
+      .agg(min(col("v")).as("wmedian"))
+      .select(col("g").as(groupCol), col("n"), col("total_weight"),
+        col("wmedian"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // weighted median of extended price, weighted by quantity, per
-    // return flag: smallest v whose inclusive cumulative weight reaches
-    // half the total (the lower weighted median — a stored value,
-    // never an interpolation). Weights enter as floor() bigints
-    // (quantities are integral; DuckDB's double→bigint cast rounds
-    // where Spark's truncates, floor sidesteps both).
+    // return flag (the [[weightedMedianByGroup]] kernel). Weights
+    // enter as floor() bigints (quantities are integral; DuckDB's
+    // double→bigint cast rounds where Spark's truncates, floor
+    // sidesteps both).
     "agg_weighted_median_by_group" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem").select(
-        col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
-        floor(col("l_quantity")).as("w"))
-      val pv = li.groupBy("g", "v").agg(sum(col("w")).as("wv"))
-      val cum = GraftOps.distributedRunningSum(pv, "g", "v", "wv", "cw")
-      val tot = li.groupBy("g")
-        .agg(count(lit(1)).as("n"), sum(col("w")).as("total_weight"))
-      cum.join(broadcast(tot), "g")
-        .where(col("cw") * 2 >= col("total_weight"))
-        .groupBy("g", "n", "total_weight")
-        .agg(min(col("v")).as("wmedian"))
-        .select(col("g"), col("n"), col("total_weight"), col("wmedian"))
-        .orderBy("g")
+      weightedMedianByGroup(
+        Tables(s, dir, "lineitem").select(
+          col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+          floor(col("l_quantity")).as("w")),
+        "g", "v", "w").orderBy("g")
     },
 
     // per-group skewness / excess kurtosis over integer cents: six

@@ -30,6 +30,48 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object Extras12 {
 
+  /** PUBLIC API: merge-sorted point-in-time lookup — "value as of t"
+    * against a version history without a range join. `history` carries
+    * one version per row: `keyCol`, integral `tsCol` (version effective
+    * time), integral `tieCol` (unique within (key, ts) — ingestion id),
+    * plus any payload columns. `probes` carries (`keyCol`,
+    * `probeTsCol`). Probes are UNIONED into the version stream and one
+    * per-key carry-forward window (max over a struct that is NULL on
+    * probe rows — aggregates skip nulls) resolves each probe to the
+    * version in force at its t, inclusively (history sorts before
+    * probes at equal timestamps). Output: one row per probe with
+    * (`keyCol`, `probeTsCol`, `version`) where `version` is the struct
+    * (tsCol, tieCol, payload...) of the prevailing version — null when
+    * no version predates the probe. Cost: ONE shuffle of
+    * history+probes on the key; state one struct per row — the shape a
+    * billion-row history with a million probes pays unchanged. */
+  def pointInTimeLookup(history: DataFrame, probes: DataFrame,
+      keyCol: String, tsCol: String, tieCol: String,
+      probeTsCol: String): DataFrame = {
+    val payload = history.columns.toSeq
+      .filterNot(c => c == keyCol || c == tsCol || c == tieCol)
+    val verCols = (Seq(tsCol, tieCol) ++ payload).map(col)
+    val verType = org.apache.spark.sql.types.StructType(
+      history.select(verCols: _*).schema.fields)
+    val h = history.select(col(keyCol).as("__k"),
+      col(tsCol).cast(LongType).as("__ord"), lit(0).as("__p"),
+      col(tieCol).cast(LongType).as("__tie"),
+      struct(verCols: _*).as("__ver"),
+      lit(null).cast(LongType).as("__t"))
+    val p = probes.select(col(keyCol).as("__k"),
+      col(probeTsCol).cast(LongType).as("__ord"), lit(1).as("__p"),
+      lit(Long.MaxValue).as("__tie"),
+      lit(null).cast(verType).as("__ver"),
+      col(probeTsCol).cast(LongType).as("__t"))
+    val w = Window.partitionBy("__k").orderBy("__ord", "__p", "__tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.unionByName(p)
+      .withColumn("__cur", max(col("__ver")).over(w))
+      .where(col("__p") === 1)
+      .select(col("__k").as(keyCol), col("__t").as(probeTsCol),
+        col("__cur").as("version"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // cohort LTV: customers cohorted by first-order month, cumulative
@@ -111,24 +153,12 @@ object Extras12 {
       val probes = hist.select(col("user_id")).distinct()
         .withColumn("t_s", explode(array(probeTs.map(d =>
           unix_timestamp(lit(d).cast("timestamp"))): _*)))
-      val merged = hist.select(col("user_id"),
-          col("us").as("ord_us"), lit(0).as("is_probe"), col("event_id"),
-          struct(col("us"), col("event_id"), col("value")).as("ver"),
-          lit(null).cast(LongType).as("t_s"))
-        .unionByName(probes.select(col("user_id"),
-          (col("t_s") * 1000000L).as("ord_us"), lit(1).as("is_probe"),
-          lit(Long.MaxValue).as("event_id"),
-          lit(null).cast("struct<us:bigint,event_id:bigint,value:double>")
-            .as("ver"),
-          col("t_s")))
-      val w = Window.partitionBy("user_id")
-        .orderBy("ord_us", "is_probe", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      merged.withColumn("cur", max(col("ver")).over(w))
-        .where(col("is_probe") === 1)
-        .select(col("user_id"), col("t_s"),
-          col("cur.value").as("value_at"),
-          col("cur.event_id").as("version_event_id"))
+        .select(col("user_id"), (col("t_s") * 1000000L).as("t_us"))
+      pointInTimeLookup(hist, probes, "user_id", "us", "event_id", "t_us")
+        .select(col("user_id"),
+          expr("t_us DIV 1000000").as("t_s"),
+          col("version.value").as("value_at"),
+          col("version.event_id").as("version_event_id"))
         .orderBy("user_id", "t_s")
     }
   )

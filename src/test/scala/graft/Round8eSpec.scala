@@ -719,6 +719,40 @@ class Round8eSpec extends SparkSuite {
     assert(r.getLong(5) >= 0L && r.getLong(5) <= nUsers)
   }
 
+  test("pointInTimeLookup API: hand-built history resolves exactly") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, 10L, 100L, "v1"), (1L, 20L, 101L, "v2"), (1L, 20L, 102L, "v2b"),
+      (2L, 50L, 200L, "w1")).toDF("k", "ts", "tie", "payload")
+    val probes = Seq((1L, 5L), (1L, 10L), (1L, 20L), (1L, 99L), (2L, 49L),
+      (3L, 10L)).toDF("k", "t")
+    val out = GraftOps.pointInTimeLookup(hist, probes, "k", "ts", "tie", "t")
+      .select(col("k"), col("t"), col("version.payload"),
+        col("version.tie")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(out((1L, 5L)) == null, "probe before any version")
+    assert(out((1L, 10L)) == "v1", "inclusive at equal timestamp")
+    assert(out((1L, 20L)) == "v2b", "highest tie wins at equal ts")
+    assert(out((1L, 99L)) == "v2b")
+    assert(out((2L, 49L)) == null)
+    assert(out((3L, 10L)) == null, "unknown key yields null version")
+    assert(out.size == 6)
+  }
+
+  test("weightedMedianByGroup API: textbook example") {
+    import spark.implicits._
+    // group a: values 1(w5) 2(w1) 3(w1): half of 7 is 3.5 -> cum(1)=5 >= 3.5
+    // group b: values 10(w1) 20(w1): cum(10)=1, 2*1 >= 2 -> 10 (lower median)
+    val df = Seq(("a", 1.0, 5L), ("a", 2.0, 1L), ("a", 3.0, 1L),
+      ("b", 10.0, 1L), ("b", 20.0, 1L)).toDF("g", "v", "w")
+    val out = GraftOps.weightedMedianByGroup(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out("a") == ((7L, 1.0)))
+    assert(out("b") == ((2L, 10.0)))
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
