@@ -753,6 +753,47 @@ class Round8eSpec extends SparkSuite {
     assert(out("b") == ((2L, 10.0)))
   }
 
+  test("events_path_to_purchase: shares bounded, paths well-formed") {
+    val rows = SparkEntry.queries("events_path_to_purchase")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getDouble(2)).sum <= 1.0 + 1e-6)
+    rows.foreach { r =>
+      val parts = r.getString(0).split(">")
+      assert(parts.length == 3 && parts(2) == "purchase")
+    }
+  }
+
+  test("analytics_duplicate_invoice_detect: pairs satisfy the predicate") {
+    val rows = SparkEntry.queries("analytics_duplicate_invoice_detect")(
+      spark, sf).collect()
+    assert(rows.nonEmpty, "365-day window must yield candidates")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 365L)
+    }
+  }
+
+  test("text_split_leakage_eval: counts consistent with the split") {
+    val r = SparkEntry.queries("text_split_leakage_eval")(spark, sf)
+      .collect().head
+    val docs = Tables(spark, sf, "documents")
+    assert(r.getLong(0) == docs.where(col("doc_id") % 10 < 8).count())
+    assert(r.getLong(1) == docs.where(col("doc_id") % 10 >= 8).count())
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("events_hourly_active_peak: peak bounded by the day's user-hours") {
+    val rows = SparkEntry.queries("events_hourly_active_peak")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 23L)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(3))
+    }
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
