@@ -46,6 +46,7 @@ object SparkEntry {
     (ops.Extras21.queries, ops.Extras21.oracle),
     (ops.Extras22.queries, ops.Extras22.oracle),
     (ops.Extras23.queries, ops.Extras23.oracle),
+    (ops.Extras24.queries, ops.Extras24.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

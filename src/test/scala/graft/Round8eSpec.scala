@@ -794,6 +794,46 @@ class Round8eSpec extends SparkSuite {
     }
   }
 
+  test("timeseries_rolling_zscore_flags: flags are a minority, z bounded") {
+    val rows = SparkEntry.queries("timeseries_rolling_zscore_flags")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      // Chebyshev within a 7-point window: |z| <= sqrt(6)
+      assert(r.getDouble(3) <= math.sqrt(6.0) + 1e-6)
+      assert(r.getLong(2) * 4 <= r.getLong(1),
+        "2-sigma flags cannot exceed a quarter (Chebyshev)")
+    }
+  }
+
+  test("analytics_nation_trade_balance: balances reconcile with totals") {
+    val rows = SparkEntry.queries("analytics_nation_trade_balance")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - (r.getDouble(1) - r.getDouble(2)))
+        < 1e-4)
+      assert(r.getDouble(1) > 0.0 && r.getDouble(2) > 0.0)
+    }
+  }
+
+  test("graph_assortativity: correlation within [-1, 1]") {
+    val r = SparkEntry.queries("graph_assortativity")(spark, sf)
+      .collect().head
+    assert(r.getLong(0) > 0L)
+    assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+  }
+
+  test("events_signup_to_purchase_latency: funnel counts consistent") {
+    val r = SparkEntry.queries("events_signup_to_purchase_latency")(spark, sf)
+      .collect().head
+    assert(r.getLong(1) <= r.getLong(0))
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    if (r.getLong(1) > 0) {
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= r.getDouble(4))
+    }
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
