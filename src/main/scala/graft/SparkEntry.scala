@@ -47,6 +47,7 @@ object SparkEntry {
     (ops.Extras22.queries, ops.Extras22.oracle),
     (ops.Extras23.queries, ops.Extras23.oracle),
     (ops.Extras24.queries, ops.Extras24.oracle),
+    (ops.Extras25.queries, ops.Extras25.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

@@ -834,6 +834,49 @@ class Round8eSpec extends SparkSuite {
     }
   }
 
+  test("text_vocab_overlap_langs: all language pairs, Jaccard bounded") {
+    val rows = SparkEntry.queries("text_vocab_overlap_langs")(spark, sf)
+      .collect()
+    val nLangs = Tables(spark, sf, "documents").select("lang")
+      .distinct().count()
+    assert(rows.length == nLangs * (nLangs - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
+  test("analytics_price_dispersion: descending rounded cv, min support") {
+    val rows = SparkEntry.queries("analytics_price_dispersion")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5L)
+      assert(r.getDouble(2) >= 0.0)
+    }
+    rows.sliding(2).filter(_.length == 2).foreach { p =>
+      assert(p(0).getDouble(2) >= p(1).getDouble(2))
+    }
+  }
+
+  test("events_dau_wau_stickiness: DAU <= WAU, ratio in (0, 1]") {
+    val rows = SparkEntry.queries("events_dau_wau_stickiness")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "daily actives within weekly")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("profile_null_phi: contingency partitions, phi near independence") {
+    val r = SparkEntry.queries("profile_null_phi")(spark, sf).collect().head
+    assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)
+      == r.getLong(0))
+    // %97 and %83 dirt are (nearly) independent -> small |phi|
+    assert(math.abs(r.getDouble(5)) < 0.1)
+  }
+
   test("profile_spearman_corr: midranks are a permutation-average (sum fixed)") {
     // sum of tie-averaged ranks is always n(n+1)/2 -> sum of 2*ranks is
     // n(n+1); verify via the declared query's internals at tiny scale by
