@@ -275,10 +275,13 @@ object ProfileQueries {
         profCols.map(c => sum(dec(c)).cast("double").as(s"s_$c")) ++
         profCols.map(c => sum(dec(c) * dec(c)).cast("double").as(s"q_$c")) ++
         pairs.map { case (a, b) => sum(dec(a) * dec(b)).cast("double").as(s"x_${a}_$b") }
+      // + 0.0 normalizes IEEE -0.0: a near-zero correlation rounds to
+      // -0.0 in DuckDB but +0.0 in Spark (BigDecimal has no signed zero)
       def corr(a: String, b: String): Column =
         round((col("n") * col(s"x_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
           (sqrt(col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")) *
-            sqrt(col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b"))), 6)
+            sqrt(col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b"))), 6) +
+          lit(0.0)
       Tables(s, dir, "lineitem")
         .agg(count(lit(1)).as("n"), aggs: _*)
         .select(explode(array(pairs.map { case (a, b) =>
@@ -483,7 +486,7 @@ object ProfileQueries {
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
          |  round((n * x_${a}_$b - s_$a * s_$b) /
          |    (sqrt(n * q_$a - s_$a * s_$a) * sqrt(n * q_$b - s_$b * s_$b)), 6)
-         |    AS corr_r6 FROM s""".stripMargin }
+         |    + 0.0 AS corr_r6 FROM s""".stripMargin }
     s"""WITH s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM lineitem)
        |${rows.mkString("\nUNION ALL\n")}
        |ORDER BY col_a, col_b""".stripMargin

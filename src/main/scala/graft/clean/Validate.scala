@@ -167,8 +167,10 @@ object Validate {
       // NULL in both engines, not Spark-NULL-vs-DuckDB-inf
       ev.crossJoin(broadcast(stats))
         .select(col("event_id"),
-          round((col("value") - col("mean")) / nullif(col("std"), lit(0.0)), 6)
-            .as("z"),
+          // + 0.0 normalizes IEEE -0.0 when value sits within 5e-7·std
+          // of the mean (DuckDB round keeps the sign, Spark's does not)
+          (round((col("value") - col("mean")) / nullif(col("std"), lit(0.0)), 6)
+            + lit(0.0)).as("z"),
           round((col("value") - col("vmin")) /
             nullif(col("vmax") - col("vmin"), lit(0.0)), 6).as("minmax"))
         .orderBy(col("event_id"))
@@ -226,7 +228,7 @@ object Validate {
         |ms AS (SELECT sx / n AS mean,
         |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS std, vmin, vmax FROM st)
         |SELECT event_id,
-        |  round((value - mean) / nullif(std, 0), 6) AS z,
+        |  round((value - mean) / nullif(std, 0), 6) + 0.0 AS z,
         |  round((value - vmin) / nullif(vmax - vmin, 0), 6) AS minmax
         |FROM events CROSS JOIN ms ORDER BY event_id""".stripMargin,
     "outlier_mad_flag" ->

@@ -219,10 +219,12 @@ object Curation {
     broadcast(probes).join(assigned, "cid")
       .where(col("vec_id") =!= col("qid"))
       .withColumn("approx",
-        round(Similarity.cosine(col("qg"), col("q")) * col("qs") * col("s"), 6))
+        round(Similarity.cosine(col("qg"), col("q")) * col("qs") * col("s"), 6)
+          + lit(0.0))
       .withColumn("arn", row_number().over(wApprox))
       .where(col("arn") <= kApprox)
-      .withColumn("cos", round(Similarity.cosine(col("qv"), col("v")), 6))
+      .withColumn("cos",
+        round(Similarity.cosine(col("qv"), col("v")), 6) + lit(0.0))
       .withColumn("rank", row_number().over(wExact))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("approx"))
@@ -354,10 +356,12 @@ object Curation {
         .orderBy(col("cos").desc, col("vec_id"))
       q.join(c, Seq("label")).where(col("vec_id") =!= col("qid"))
         .withColumn("approx",
-          round(Similarity.cosine(col("qq"), col("q")) * col("qs") * col("s"), 6))
+          round(Similarity.cosine(col("qq"), col("q")) * col("qs") * col("s"), 6)
+            + lit(0.0))
         .withColumn("arn", row_number().over(wApprox))
         .where(col("arn") <= 10)
-        .withColumn("cos", round(Similarity.cosine(col("qv"), col("v")), 6))
+        .withColumn("cos",
+          round(Similarity.cosine(col("qv"), col("v")), 6) + lit(0.0))
         .withColumn("rank", row_number().over(wExact))
         .where(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("approx"))
@@ -385,10 +389,11 @@ object Curation {
       q.join(c, Seq("label")).where(col("vec_id") =!= col("qid"))
         .withColumn("approx",
           round(Similarity.int8Dot(col("qq8"), col("q8")).cast("double")
-            * col("qs") * col("s"), 6))
+            * col("qs") * col("s"), 6) + lit(0.0))
         .withColumn("arn", row_number().over(wApprox))
         .where(col("arn") <= 10)
-        .withColumn("cos", round(Similarity.cosine(col("qv"), col("v")), 6))
+        .withColumn("cos",
+          round(Similarity.cosine(col("qv"), col("v")), 6) + lit(0.0))
         .withColumn("rank", row_number().over(wExact))
         .where(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("approx"))
@@ -475,13 +480,13 @@ object Curation {
          |      ORDER BY round(list_dot_product(q.v, c.cv), 6) DESC, c.cid) AS prn
          |  FROM qq q CROSS JOIN cents c WHERE q.vec_id % 50 = 0) WHERE prn <= 2),
          |scored AS (SELECT p.qid, a.vec_id, a.v, p.qv,
-         |    round(list_dot_product(p.qg, a.q) * p.qs * a.s, 6) AS approx
+         |    round(list_dot_product(p.qg, a.q) * p.qs * a.s, 6) + 0.0 AS approx
          |  FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id <> p.qid),
          |cand AS (SELECT * FROM (SELECT *,
          |    row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
          |  FROM scored) WHERE arn <= 10),
          |exact AS (SELECT qid, vec_id, approx,
-         |    round(list_dot_product(qv, v), 6) AS cos FROM cand)
+         |    round(list_dot_product(qv, v), 6) + 0.0 AS cos FROM cand)
          |SELECT qid, rank, vec_id, cos, approx FROM (SELECT *,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM exact) WHERE rank <= 3
@@ -507,13 +512,13 @@ object Curation {
        |qry AS (SELECT vec_id AS qid, label, v AS qv, s AS qs, q AS qg
        |        FROM qq WHERE vec_id % 50 = 0),
        |approx AS (SELECT qid, c.vec_id, c.v, qry.qv,
-       |    round(list_dot_product(qry.qg, c.q) * qry.qs * c.s, 6) AS approx
+       |    round(list_dot_product(qry.qg, c.q) * qry.qs * c.s, 6) + 0.0 AS approx
        |  FROM qry JOIN qq c USING (label) WHERE c.vec_id <> qid),
        |cand AS (SELECT * FROM (SELECT *,
        |    row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
        |  FROM approx) WHERE arn <= 10),
        |exact AS (SELECT qid, vec_id, approx,
-       |    round(list_dot_product(qv, v), 6) AS cos
+       |    round(list_dot_product(qv, v), 6) + 0.0 AS cos
        |  FROM cand)
        |SELECT qid, rank, vec_id, cos, approx FROM (SELECT *,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank

@@ -55,7 +55,9 @@ object Dedup2 {
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       q.join(bucketed, "bucket")
         .where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", round(Similarity.cosine(col("qv"), col("v")), 6))
+        // + 0.0 normalizes IEEE -0.0 on a near-zero cosine (rank + emit)
+        .withColumn("cos",
+          round(Similarity.cosine(col("qv"), col("v")), 6) + lit(0.0))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
@@ -87,7 +89,7 @@ object Dedup2 {
          |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.v),
          |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM bucketed WHERE vec_id % 50 = 0),
          |scored AS (SELECT q.qid, b.vec_id,
-         |    round(list_dot_product(q.qv, b.v), 6) AS cos
+         |    round(list_dot_product(q.qv, b.v), 6) + 0.0 AS cos
          |  FROM q JOIN bucketed b USING (bucket) WHERE b.vec_id <> q.qid),
          |ranked AS (SELECT qid, vec_id, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)

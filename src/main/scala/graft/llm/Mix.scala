@@ -196,8 +196,10 @@ object Mix {
         .crossJoin(broadcast(nb))
         .where(col("c12") >= 5)
         .select(col("w1"), col("w2"), col("c12"),
-          round(log((dd(col("c12")) * dd(col("nb"))) /
-            (dd(col("cl")) * dd(col("cr")))), 6).as("pmi"))
+          // + 0.0 normalizes IEEE -0.0 across engines (DuckDB round keeps
+          // the sign of a tiny negative PMI, Spark's BigDecimal round not)
+          (round(log((dd(col("c12")) * dd(col("nb"))) /
+            (dd(col("cl")) * dd(col("cr")))), 6) + lit(0.0)).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(50)
     },
@@ -282,7 +284,7 @@ object Mix {
         |nbt AS (SELECT sum(c12) AS nb FROM c12)
         |SELECT c12.w1, c12.w2, c12,
         |  round(ln((cast(c12 as double) * cast(nb as double)) /
-        |    (cast(cl as double) * cast(cr as double))), 6) AS pmi
+        |    (cast(cl as double) * cast(cr as double))), 6) + 0.0 AS pmi
         |FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nbt
         |WHERE c12 >= 5
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,

@@ -60,9 +60,11 @@ object Extras {
           sum(x * x).cast("double").as("sx2"),
           sum(y * y).cast("double").as("sy2"))
         .select(col("n"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          // + 0.0 normalizes IEEE -0.0 on a near-zero correlation
+          (round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
+              sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6)
+            + lit(0.0)).as("corr_qty_price"))
     }
   )
 
@@ -97,7 +99,8 @@ object Extras {
         |  cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))) as double) AS sy2
         |  FROM lineitem)
         |SELECT n, round((n * sxy - sx * sy) /
-        |  (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr_qty_price
+        |  (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) + 0.0
+        |  AS corr_qty_price
         |FROM s""".stripMargin
   )
 }

@@ -120,8 +120,10 @@ object Extras10 {
       sums.select(col("g"), col("n"),
         round((col("c").cast(DoubleType) + delta) / 100.0, 6).as("mean"),
         round(sqrt(m2) / 100.0, 6).as("sd"),
-        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
-        round(m4 / (m2 * m2) - 3.0, 6).as("kurtosis_excess"))
+        // + 0.0 normalizes IEEE -0.0 (Spark round drops the sign of a
+        // tiny negative; DuckDB round keeps it — one-sign-bit hash split)
+        (round(m3 / (m2 * sqrt(m2)), 6) + lit(0.0)).as("skewness"),
+        (round(m4 / (m2 * m2) - 3.0, 6) + lit(0.0)).as("kurtosis_excess"))
         .orderBy("g")
     },
 
@@ -148,7 +150,7 @@ object Extras10 {
           log((col("nls").cast(DoubleType) * col("n").cast(DoubleType)) /
             (col("nl").cast(DoubleType) * col("ns").cast(DoubleType))))
           .cast(DecimalType(18, 12)).as("term"))
-        .agg(round(sum(col("term")).cast(DoubleType), 6).as("mi"))
+        .agg((round(sum(col("term")).cast(DoubleType), 6) + lit(0.0)).as("mi"))
       nRow.crossJoin(broadcast(ent("lang", "h_lang")))
         .crossJoin(broadcast(ent("source", "h_source")))
         .crossJoin(broadcast(mi))
@@ -247,7 +249,8 @@ object Extras10 {
         |          * (cast(s1 AS double) / cast(n AS double)))
         |      * sqrt(cast(s2 AS double) / cast(n AS double)
         |        - (cast(s1 AS double) / cast(n AS double))
-        |          * (cast(s1 AS double) / cast(n AS double)))), 6) AS skewness,
+        |          * (cast(s1 AS double) / cast(n AS double)))), 6)
+        |    + 0.0 AS skewness,
         |  round((cast(s4 AS double) / cast(n AS double)
         |      - 4.0 * (cast(s1 AS double) / cast(n AS double))
         |        * (cast(s3 AS double) / cast(n AS double))
@@ -264,7 +267,7 @@ object Extras10 {
         |      * (cast(s2 AS double) / cast(n AS double)
         |        - (cast(s1 AS double) / cast(n AS double))
         |          * (cast(s1 AS double) / cast(n AS double)))) - 3.0, 6)
-        |    AS kurtosis_excess
+        |    + 0.0 AS kurtosis_excess
         |FROM agg ORDER BY g""".stripMargin,
     "profile_mutual_information" ->
       """WITH d AS (SELECT lang, source FROM documents),
@@ -285,7 +288,7 @@ object Extras10 {
         |    (cast(nls AS double) / cast(n AS double))
         |      * ln((cast(nls AS double) * cast(n AS double))
         |        / (cast(nl AS double) * cast(ns AS double)))
-        |    AS decimal(18,12))) AS double), 6) AS mi
+        |    AS decimal(18,12))) AS double), 6) + 0.0 AS mi
         |  FROM (SELECT lang, source, cast(count(*) AS bigint) AS nls FROM d
         |        GROUP BY lang, source) j
         |  JOIN (SELECT lang, cast(count(*) AS bigint) AS nl FROM d

@@ -62,10 +62,12 @@ object Extras11 {
           ((col("pos").cast(DoubleType) / col("pos_tot").cast(DoubleType)) -
             (col("neg").cast(DoubleType) / col("neg_tot").cast(DoubleType))) *
             col("woe_raw"))
-      val iv = enc.agg(round(sum(col("iv_term").cast(DecimalType(18, 12)))
-        .cast(DoubleType), 6).as("iv_total"))
+      // + 0.0 normalizes IEEE -0.0 (near-zero WoE / IV round to -0.0 in
+      // DuckDB but +0.0 in Spark's BigDecimal round)
+      val iv = enc.agg((round(sum(col("iv_term").cast(DecimalType(18, 12)))
+        .cast(DoubleType), 6) + lit(0.0)).as("iv_total"))
       enc.select(col("category"), col("n"), col("pos"),
-        round(col("woe_raw"), 6).as("woe"))
+        (round(col("woe_raw"), 6) + lit(0.0)).as("woe"))
         .crossJoin(broadcast(iv))
         .orderBy("category")
     },
@@ -170,8 +172,8 @@ object Extras11 {
         |      - cast(neg AS double) / cast(neg_tot AS double)) AS diff
         |  FROM per CROSS JOIN tot),
         |iv AS (SELECT round(cast(sum(cast(diff * woe_raw AS decimal(18,12)))
-        |         AS double), 6) AS iv_total FROM enc)
-        |SELECT category, n, pos, round(woe_raw, 6) AS woe, iv_total
+        |         AS double), 6) + 0.0 AS iv_total FROM enc)
+        |SELECT category, n, pos, round(woe_raw, 6) + 0.0 AS woe, iv_total
         |FROM enc CROSS JOIN iv ORDER BY category""".stripMargin,
     "timeseries_gap_quantiles" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us

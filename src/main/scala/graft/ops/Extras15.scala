@@ -50,9 +50,11 @@ object Extras15 {
         .agg(count(lit(1)).as("n_days"),
           (sum(col("dq")).cast(DoubleType) /
             (count(lit(1)) * 1000000L).cast(DoubleType)).as("mean_daily"),
-          round(sum(col("detrended").cast(DecimalType(24, 12)))
+          // + 0.0: seasonal components sum to ~0 by construction, so a
+          // tiny-negative round lands on DuckDB's -0.0 vs Spark's +0.0
+          (round(sum(col("detrended").cast(DecimalType(24, 12)))
             .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
-            .as("seasonal"))
+            + lit(0.0)).as("seasonal"))
         .orderBy("phase")
     },
 
@@ -101,7 +103,7 @@ object Extras15 {
         |  cast(sum(dq) AS double) / cast(count(*) * 1000000 AS double)
         |    AS mean_daily,
         |  round(cast(sum(cast(detrended AS decimal(24,12))) AS double)
-        |    / cast(count(*) AS double), 6) AS seasonal
+        |    / cast(count(*) AS double), 6) + 0.0 AS seasonal
         |FROM d GROUP BY 1 ORDER BY phase""".stripMargin,
     "text_cdc_chunking" ->
       s"""WITH pos AS (SELECT doc_id, text AS payload,

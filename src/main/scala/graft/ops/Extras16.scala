@@ -90,7 +90,9 @@ object Extras16 {
           greatest(col("diff_obs"), -col("diff_obs")), 1L).otherwise(0L)
           .as("ex"))
         .agg(sum(col("ex")).as("n_extreme"))
-      obs.select(col("n"), col("n_a"), round(col("diff_obs"), 6).as("diff_obs"))
+      // + 0.0 normalizes IEEE -0.0 on a near-zero observed difference
+      obs.select(col("n"), col("n_a"),
+        (round(col("diff_obs"), 6) + lit(0.0)).as("diff_obs"))
         .crossJoin(broadcast(extreme))
         .select(col("n"), col("n_a"), col("diff_obs"), col("n_extreme"),
           round((col("n_extreme") + 1L).cast(DoubleType) / 33.0, 6)
@@ -230,7 +232,7 @@ object Extras16 {
         |      >= greatest(diff_obs, -diff_obs) THEN 1 ELSE 0 END) AS bigint)
         |    AS n_extreme
         |  FROM perms CROSS JOIN obs)
-        |SELECT n, n_a, round(diff_obs, 6) AS diff_obs, n_extreme,
+        |SELECT n, n_a, round(diff_obs, 6) + 0.0 AS diff_obs, n_extreme,
         |  round(cast(n_extreme + 1 AS double) / 33.0, 6) AS p_value
         |FROM obs CROSS JOIN ext""".stripMargin,
     "agg_histogram_2d" ->

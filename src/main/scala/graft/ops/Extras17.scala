@@ -106,10 +106,13 @@ object Extras17 {
         .select(expr("(unix_micros(ts) DIV 3600000000) % 24").as("hour"))
         .groupBy("hour").agg(count(lit(1)).as("n_events"))
         .select(col("hour"), col("n_events"),
-          round(sin(twoPi * col("hour").cast(DoubleType) / 24.0), 6)
-            .as("hour_sin"),
-          round(cos(twoPi * col("hour").cast(DoubleType) / 24.0), 6)
-            .as("hour_cos"))
+          // + 0.0 normalizes IEEE signed zero: DuckDB's round keeps the
+          // sign of cos(2π·18/24) = -1.8e-16 and emits -0.0 where Spark's
+          // BigDecimal round emits +0.0 — one sign bit, hash split.
+          (round(sin(twoPi * col("hour").cast(DoubleType) / 24.0), 6)
+            + lit(0.0)).as("hour_sin"),
+          (round(cos(twoPi * col("hour").cast(DoubleType) / 24.0), 6)
+            + lit(0.0)).as("hour_cos"))
         .orderBy("hour")
     }
   )
@@ -180,9 +183,9 @@ object Extras17 {
         |  FROM events GROUP BY 1)
         |SELECT hour, n_events,
         |  round(sin(6.283185307179586 * cast(hour AS double) / 24.0), 6)
-        |    AS hour_sin,
+        |    + 0.0 AS hour_sin,
         |  round(cos(6.283185307179586 * cast(hour AS double) / 24.0), 6)
-        |    AS hour_cos
+        |    + 0.0 AS hour_cos
         |FROM h ORDER BY hour""".stripMargin
   )
 }

@@ -58,9 +58,11 @@ object Extras21 {
         round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
         when(col("conv_a") + col("conv_b") > 0L &&
           col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+          // + 0.0 normalizes IEEE -0.0 on a near-zero z (rates ~equal)
           round((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
             (lit(1.0) / col("n_a").cast(DoubleType) +
-              lit(1.0) / col("n_b").cast(DoubleType))), 6)).as("z"))
+              lit(1.0) / col("n_b").cast(DoubleType))), 6) + lit(0.0))
+          .as("z"))
     },
 
     // month-over-month growth leaders: top 20 parts by revenue delta
@@ -176,7 +178,7 @@ object Extras21 {
         |      * (1.0 - cast(conv_a + conv_b AS double)
         |        / cast(n_a + n_b AS double))
         |      * (1.0 / cast(n_a AS double) + 1.0 / cast(n_b AS double))),
-        |    6) END AS z
+        |    6) + 0.0 END AS z
         |FROM a""".stripMargin,
     "analytics_top_growth_parts" ->
       """WITH li AS (SELECT l_partkey,

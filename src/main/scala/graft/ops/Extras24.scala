@@ -111,9 +111,10 @@ object Extras24 {
       val dy = col("n").cast(dn) * col("syy").cast(ds) -
         col("sy").cast(ds) * col("sy").cast(ds)
       sums.select(expr("n DIV 2").as("n_edges"),
-        round(num.cast(DoubleType) /
+        // + 0.0 normalizes IEEE -0.0 on a near-zero assortativity
+        (round(num.cast(DoubleType) /
           (sqrt(dx.cast(DoubleType)) * sqrt(dy.cast(DoubleType))), 6)
-          .as("assortativity"))
+          + lit(0.0)).as("assortativity"))
     },
 
     // signup → first-purchase latency funnel: conversion share and the
@@ -203,7 +204,7 @@ object Extras24 {
         |        - cast(sx AS hugeint) * cast(sx AS hugeint) AS double))
         |      * sqrt(cast(cast(n AS hugeint) * cast(syy AS hugeint)
         |        - cast(sy AS hugeint) * cast(sy AS hugeint) AS double))),
-        |    6) AS assortativity
+        |    6) + 0.0 AS assortativity
         |FROM s""".stripMargin,
     "events_signup_to_purchase_latency" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us

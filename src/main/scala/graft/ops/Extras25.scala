@@ -121,7 +121,8 @@ object Extras25 {
         sqrt(((col("n11") + col("n01")).cast(ds) *
           (col("n10") + col("n00")).cast(ds)).cast(DoubleType))
       c.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
-        round(num / den, 6).as("phi"))
+        // + 0.0 normalizes IEEE -0.0 on a near-zero phi
+        (round(num / den, 6) + lit(0.0)).as("phi"))
     }
   )
 
@@ -187,7 +188,7 @@ object Extras25 {
         |    / (sqrt(cast(cast(n11 + n10 AS hugeint)
         |        * cast(n01 + n00 AS hugeint) AS double))
         |      * sqrt(cast(cast(n11 + n01 AS hugeint)
-        |        * cast(n10 + n00 AS hugeint) AS double))), 6) AS phi
+        |        * cast(n10 + n00 AS hugeint) AS double))), 6) + 0.0 AS phi
         |FROM c""".stripMargin
   )
 }

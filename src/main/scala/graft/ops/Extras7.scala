@@ -165,10 +165,11 @@ object Extras7 {
           sum(y * y).cast(DoubleType).as("sy2"))
         .where(col("n_pairs") >= 3)
         .select(col("user_id"), col("n_pairs"),
-          round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+          // + 0.0 normalizes IEEE -0.0 across engines on near-zero corr
+          (round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n_pairs") * col("sx2") - col("sx") * col("sx")) *
               sqrt(col("n_pairs") * col("sy2") - col("sy") * col("sy"))), 6)
-            .as("autocorr_lag1"))
+            + lit(0.0)).as("autocorr_lag1"))
         .orderBy("user_id")
     },
 
@@ -453,7 +454,7 @@ object Extras7 {
         |SELECT user_id, n_pairs,
         |  round((n_pairs * sxy - sx * sy) /
         |    (sqrt(n_pairs * sx2 - sx * sx) * sqrt(n_pairs * sy2 - sy * sy)), 6)
-        |    AS autocorr_lag1
+        |    + 0.0 AS autocorr_lag1
         |FROM s WHERE n_pairs >= 3 ORDER BY user_id""".stripMargin,
     "analytics_yoy_growth" ->
       """WITH yearly AS (

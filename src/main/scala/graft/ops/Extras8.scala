@@ -85,7 +85,8 @@ object Extras8 {
           (col("v2") / col("n2")) * (col("v2") / col("n2")) / (col("n2") - 1))
       a.crossJoin(broadcast(b))
         .select(col("n1"), col("n2"), col("m1"), col("m2"), col("v1"), col("v2"),
-          round(t, 6).as("t"), round(dfW, 4).as("df"))
+          // + 0.0 normalizes IEEE -0.0 on a near-zero t statistic
+          (round(t, 6) + lit(0.0)).as("t"), round(dfW, 4).as("df"))
     },
 
     // Mann-Whitney U (tie-corrected normal approximation) on the
@@ -115,7 +116,9 @@ object Extras8 {
         ((nn + 1L).cast(DoubleType) -
           col("ties").cast(DoubleType) / (nn * (nn - 1L)))
       agg.select(col("n1").as("n_ref"), col("n2").as("n_cur"),
-        u.as("u"), round((u - mu) / sqrt(sig2), 6).as("z"))
+        u.as("u"),
+        // + 0.0 normalizes IEEE -0.0 on a near-zero z statistic
+        (round((u - mu) / sqrt(sig2), 6) + lit(0.0)).as("z"))
     },
 
     // OHLC resampling: one aggregate pass per day bucket — open/close
@@ -340,7 +343,7 @@ object Extras8 {
         |             round((sxx - sx * sx / n) / (n - 1), 4) AS v2
         |      FROM g WHERE seg = 'BUILDING')
         |SELECT n1, n2, m1, m2, v1, v2,
-        |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
+        |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) + 0.0 AS t,
         |  round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
         |    / ((v1 / n1) * (v1 / n1) / (n1 - 1)
         |     + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS df
@@ -369,7 +372,8 @@ object Extras8 {
          |      - cast(n1 * n2 AS double) / 2.0)
          |    / sqrt(cast(n1 * n2 AS double) / 12.0
          |      * (cast(n1 + n2 + 1 AS double)
-         |        - cast(ties AS double) / ((n1 + n2) * (n1 + n2 - 1)))), 6) AS z
+         |        - cast(ties AS double) / ((n1 + n2) * (n1 + n2 - 1)))), 6)
+         |    + 0.0 AS z
          |FROM a""".stripMargin,
     "timeseries_ohlc" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_id, value FROM events),

@@ -151,9 +151,10 @@ object Extras9 {
       val dy = col("n").cast(dn) * col("syy").cast(ds) -
         col("sy").cast(ds) * col("sy").cast(ds)
       sums.select(col("n"),
-        round(num.cast(DoubleType) /
+        // + 0.0 normalizes IEEE -0.0 on a near-zero rho
+        (round(num.cast(DoubleType) /
           (sqrt(dx.cast(DoubleType)) * sqrt(dy.cast(DoubleType))), 6)
-          .as("rho"))
+          + lit(0.0)).as("rho"))
     }
   )
 
@@ -236,7 +237,7 @@ object Extras9 {
         |         AS double))
         |     * sqrt(cast(cast(n AS hugeint) * cast(syy AS hugeint)
         |         - cast(sy AS hugeint) * cast(sy AS hugeint)
-        |         AS double))), 6) AS rho
+        |         AS double))), 6) + 0.0 AS rho
         |FROM s""".stripMargin
   )
 }

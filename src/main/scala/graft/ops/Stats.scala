@@ -51,8 +51,9 @@ object Stats {
         sum(col("x")).cast(DoubleType).as("s0"),
         sum(col("i") * col("x")).cast(DoubleType).as("s1"))
       a.select(col("n").as("n_customers"), col("s0").as("total_spend"),
-        round(lit(2.0) * col("s1") / (col("n") * col("s0"))
-          - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+        // + 0.0 normalizes IEEE -0.0 on a near-zero gini (uniform spend)
+        (round(lit(2.0) * col("s1") / (col("n") * col("s0"))
+          - (col("n") + lit(1.0)) / col("n"), 6) + lit(0.0)).as("gini"))
     },
 
     // closed-form OLS per returnflag: extendedprice ~ quantity.
@@ -77,8 +78,10 @@ object Stats {
       val varYN = col("n") * col("syy") - col("sy") * col("sy")
       val slope = covN / varXN
       g.select(col("l_returnflag"), col("n"),
-        round(slope, 6).as("slope"),
-        round((col("sy") - slope * col("sx")) / col("n"), 3).as("intercept"),
+        // + 0.0 normalizes IEEE -0.0 on near-zero slope/intercept
+        (round(slope, 6) + lit(0.0)).as("slope"),
+        (round((col("sy") - slope * col("sx")) / col("n"), 3) + lit(0.0))
+          .as("intercept"),
         round(covN * covN / (varXN * varYN), 6).as("r2"))
         .orderBy("l_returnflag")
     }
@@ -94,7 +97,7 @@ object Stats {
         |             cast(sum(x) AS double) AS s0,
         |             cast(sum(i * x) AS double) AS s1 FROM r)
         |SELECT n AS n_customers, s0 AS total_spend,
-        |       round(2.0 * s1 / (n * s0) - (n + 1.0) / n, 6) AS gini
+        |       round(2.0 * s1 / (n * s0) - (n + 1.0) / n, 6) + 0.0 AS gini
         |FROM a""".stripMargin,
     "stats_regression_group" ->
       """WITH l AS (
@@ -110,9 +113,9 @@ object Stats {
         |             cast(sum(x * y) AS double) AS sxy
         |      FROM l GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 3)
-        |    AS intercept,
+        |    + 0.0 AS intercept,
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM g ORDER BY l_returnflag""".stripMargin

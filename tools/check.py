@@ -28,7 +28,8 @@ def cell_eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        # bit-exact like the driver's hash: -0.0 != +0.0
+        return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
     return a == b
 
 
