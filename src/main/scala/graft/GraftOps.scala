@@ -171,6 +171,16 @@ object GraftOps {
     llm.Chunking.distributedRunningSum(df, partCol, orderCol, valueCol, outCol,
       exclusive, shards)
 
+  /** multi-value [[distributedRunningSum]]: every (valueCol, outCol)
+    * pair cumulates over the SAME (part, order) spine through ONE range
+    * exchange, offsets aggregate, and window pass — N separate calls
+    * pay N of each (an ECDF pair is exactly this shape). */
+  def distributedRunningSums(df: DataFrame, partCol: String, orderCol: String,
+      valueOuts: Seq[(String, String)], exclusive: Boolean = false,
+      shards: Int = 0): DataFrame =
+    llm.Chunking.distributedRunningSums(df, partCol, orderCol, valueOuts,
+      exclusive, shards)
+
   /** budget-capped corpus selection: keep each `streamCol` stream's rows
     * in ascending `priorityCol` order until the running `tokenCol` total
     * reaches `budget` (the last kept row may straddle it) — the data-

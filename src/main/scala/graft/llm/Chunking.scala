@@ -116,11 +116,29 @@ object Chunking {
     * the window form. */
   def distributedRunningSum(df: DataFrame, partCol: String, orderCol: String,
       valueCol: String, outCol: String, exclusive: Boolean = false,
+      shards: Int = 0): DataFrame =
+    distributedRunningSums(df, partCol, orderCol, Seq(valueCol -> outCol),
+      exclusive, shards)
+
+  /** multi-value form of [[distributedRunningSum]]: each `(valueCol,
+    * outCol)` pair gets its exact global running sum over the SAME
+    * (part, order) spine — one range exchange, one offsets aggregate,
+    * and one window pass shared across all the cumulatives (N separate
+    * kernel invocations would pay N of each; drift_ks' ECDF pair was
+    * 2×). Semantics per pair are identical to the single form. */
+  def distributedRunningSums(df: DataFrame, partCol: String, orderCol: String,
+      valueOuts: Seq[(String, String)], exclusive: Boolean = false,
       shards: Int = 0): DataFrame = {
+    require(valueOuts.nonEmpty, "distributedRunningSums needs ≥1 value column")
     val reserved = Seq("__shard", "__lcum", "__stot", "__off", "__okey", "__oshard")
-    require(!df.columns.exists(reserved.contains) &&
-      !reserved.contains(outCol) && !df.columns.contains(outCol),
-      s"distributedRunningSum reserves ${reserved.mkString(", ")} and output '$outCol'")
+    val reservedPrefixed =
+      reserved ++ valueOuts.indices.flatMap(i => Seq(s"__stot$i", s"__lcum$i", s"__off$i"))
+    val outCols = valueOuts.map(_._2)
+    require(!df.columns.exists(reservedPrefixed.contains) &&
+      !outCols.exists(reservedPrefixed.contains) && !outCols.exists(df.columns.contains) &&
+      outCols.distinct.size == outCols.size,
+      s"distributedRunningSums reserves ${reserved.mkString(", ")} and outputs " +
+        outCols.mkString(", "))
     val spark = df.sparkSession
     val nShards =
       if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -162,11 +180,13 @@ object Chunking {
       .withColumn("__shard", spark_partition_id())
     val reuseOn =
       spark.conf.getOption("spark.sql.exchange.reuse").forall(_.toBoolean)
-    val slim = df.columns.toSet == Set(partCol, orderCol, valueCol)
+    val slim = df.columns.toSet ==
+      (Set(partCol, orderCol) ++ valueOuts.map(_._1))
     val ranged = if (reuseOn && slim) assigned else assigned.localCheckpoint(false)
     // Level 1: cumsum WITHIN each (part, shard) run — the window
     // partition key includes the shard, so no single task ever holds
-    // more than ~1/nShards of a group.
+    // more than ~1/nShards of a group. All value columns share ONE
+    // window spec, so Catalyst evaluates them in a single Window node.
     val frame = Window.partitionBy(col(partCol), col("__shard"))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, if (exclusive) -1 else 0)
@@ -175,17 +195,26 @@ object Chunking {
     val wOff = Window.partitionBy(col(partCol)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged.groupBy(col(partCol), col("__shard"))
-      .agg(sum(col(valueCol)).as("__stot"))
-      .withColumn("__off", coalesce(sum(col("__stot")).over(wOff), lit(0L)))
-      .select(col(partCol).as("__okey"), col("__shard").as("__oshard"), col("__off"))
+      .agg(sum(col(valueOuts.head._1)).as("__stot0"),
+        valueOuts.tail.zipWithIndex.map { case ((v, _), i) =>
+          sum(col(v)).as(s"__stot${i + 1}") }: _*)
+      .select(Seq(col(partCol).as("__okey"), col("__shard").as("__oshard")) ++
+        valueOuts.indices.map(i =>
+          coalesce(sum(col(s"__stot$i")).over(wOff), lit(0L)).as(s"__off$i")): _*)
     // null-safe on the group key: the window form groups null keys
     // together, so the offset join must not drop them.
-    ranged
-      .withColumn("__lcum", coalesce(sum(col(valueCol)).over(frame), lit(0L)))
-      .join(broadcast(offsets),
-        col(partCol) <=> col("__okey") && col("__shard") === col("__oshard"))
-      .withColumn(outCol, col("__off") + col("__lcum"))
-      .drop("__shard", "__lcum", "__off", "__okey", "__oshard")
+    val withLocal = valueOuts.zipWithIndex.foldLeft(ranged) {
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(s"__lcum$i", coalesce(sum(col(v)).over(frame), lit(0L)))
+    }
+    val joined = withLocal.join(broadcast(offsets),
+      col(partCol) <=> col("__okey") && col("__shard") === col("__oshard"))
+    val withOuts = valueOuts.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out, col(s"__off$i") + col(s"__lcum$i"))
+    }
+    withOuts.drop(Seq("__shard", "__okey", "__oshard") ++
+      valueOuts.indices.flatMap(i => Seq(s"__lcum$i", s"__off$i")): _*)
   }
 
   /** PUBLIC API: budget-capped corpus selection — keep each `streamCol`

@@ -107,11 +107,15 @@ object Drift {
       val sides = o.select(col("o_totalprice").as("v"),
         when(col("o_orderdate") < lit(splitTs).cast("timestamp"), 1L)
           .otherwise(0L).as("r"))
+      // ONE kernel invocation for the ECDF pair: both cumulatives share
+      // the range exchange, offsets aggregate, and window pass (two
+      // chained calls paid 2× of each, and the second input carried the
+      // first's output column — the non-slim localCheckpoint path).
       val perV = sides.groupBy("v").agg(
         sum(col("r")).as("nr"), sum(lit(1L) - col("r")).as("nc"))
         .withColumn("g", lit(1))
-      val cum1 = GraftOps.distributedRunningSum(perV, "g", "v", "nr", "cr")
-      val cum = GraftOps.distributedRunningSum(cum1, "g", "v", "nc", "cc")
+      val cum = GraftOps.distributedRunningSums(
+        perV, "g", "v", Seq("nr" -> "cr", "nc" -> "cc"))
       val tot = perV.agg(sum("nr").as("nrt"), sum("nc").as("nct"))
       cum.crossJoin(broadcast(tot))
         .select(col("nrt"), col("nct"),

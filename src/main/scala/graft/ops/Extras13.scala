@@ -117,33 +117,55 @@ object Extras13 {
     // integer Poisson(1) surrogate from row-key arithmetic (pmf
     // 0.368/0.368/0.184/0.080 for 0..3), so resampling never
     // materializes B copies of the data. Replicate means divide exact
-    // decimal sums; the cross-replicate mean/sd fold 32 identical
+    // long cent sums; the cross-replicate mean/sd fold 32 identical
     // doubles through decimal(24,12) terms.
     "stats_bootstrap_ci" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
-      val full = o.agg((sum(dec(col("price"))).cast(DoubleType) /
-        count(lit(1)).cast(DoubleType)).as("full_mean"))
-      // weight-class split: Σw·price = Σ₁ + 2Σ₂ + 3Σ₃ — three
-      // conditional DECIMAL adds instead of a per-row decimal multiply
-      // (cut the 48M-row inner loop ~40%); the 3-term recombination is
-      // a fixed IEEE tree over exact-decimal casts in both engines
-      val reps = o.select(col("k"), col("price"),
-          explode(sequence(lit(0L), lit(31L))).as("b"))
-        .withColumn("u", ((col("k") * 31L + col("b")) * 2654435761L) % 1000L)
-        .where(col("u") >= 368)
-        .withColumn("w",
-          when(col("u") < 736, 1L).when(col("u") < 920, 2L).otherwise(3L))
-        .groupBy("b")
-        .agg(sum(when(col("w") === 1L, dec(col("price")))).as("s1"),
-          sum(when(col("w") === 2L, dec(col("price")))).as("s2"),
-          sum(when(col("w") === 3L, dec(col("price")))).as("s3"),
-          sum(col("w")).as("wsum"))
-        .select(col("b"),
-          ((col("s1").cast(DoubleType) +
-            lit(2.0) * col("s2").cast(DoubleType) +
-            lit(3.0) * col("s3").cast(DoubleType)) /
-            col("wsum").cast(DoubleType)).as("m"))
+      // ZERO row expansion (r9): the 32 replicates are 32×2 aggregate
+      // columns of ONE global map-side aggregate — the r8
+      // explode(sequence(0,31)) form materialized 32× rows into the
+      // per-b aggregation; here each replicate's weight is pure row
+      // arithmetic and the exchange carries one partial buffer per
+      // task. Per replicate: Σw·price as ONE exact decimal sum (64
+      // output columns — a 32×4 split blew spark.sql.codegen.maxFields
+      // = 100 and dropped the stage out of whole-stage codegen, costing
+      // more than the explode) and the weight count. The 1×64 row
+      // unpivots to the same 32 (b, m) rows; decimal sums are exact and
+      // associative, so m is engine-identical.
+      // integer cents via floor(x·100) (price is a STORED double — IEEE
+      // multiply + floor is the only double→int quantization that is
+      // deterministic AND engine-identical; a plain cast truncates in
+      // Spark but rounds in DuckDB): long multiply + long sum stay in
+      // vectorized codegen where decimal forms run 128-bit per-row
+      // arithmetic — Σw·cents is then exact in both engines
+      def u(b: Int): org.apache.spark.sql.Column =
+        ((col("k") * 31L + lit(b.toLong)) * 2654435761L) % 1000L
+      val cents = floor(col("price") * 100.0).cast("long")
+      val aggs = (0 until 32).flatMap { b =>
+        val ub = u(b)
+        val w = when(ub < 368L, 0L).when(ub < 736L, 1L)
+          .when(ub < 920L, 2L).otherwise(3L)
+        Seq(sum(cents * w).as(s"sw_$b"), sum(w).as(s"w_$b"))
+      }
+      // full-sample sufficient stats ride the SAME single aggregate (66
+      // output columns, still inside codegen.maxFields); the 1-row
+      // result is localCheckpoint'ed so the heavy pass runs exactly once
+      // — `reps` feeds both the stats fold and its inner broadcast mean,
+      // which otherwise re-executes the aggregate branch.
+      val one = o.agg(aggs.head, aggs.tail :+
+          sum(dec(col("price"))).as("s_full") :+
+          count(lit(1)).as("n_full"): _*)
+        .localCheckpoint(false)
+      val reps = one
+        .select(explode(array((0 until 32).map { b =>
+          struct(lit(b.toLong).as("b"),
+            (col(s"sw_$b").cast(DoubleType) /
+              (col(s"w_$b") * 100L).cast(DoubleType)).as("m"))
+        }: _*)).as("r"))
+        .select(col("r.b").as("b"), col("r.m").as("m"))
+      val full = one.select((col("s_full").cast(DoubleType) /
+        col("n_full").cast(DoubleType)).as("full_mean"))
       val stats = reps
         .crossJoin(broadcast(reps.agg(
           (sum(col("m").cast(DecimalType(24, 12))).cast(DoubleType) /
@@ -225,13 +247,8 @@ object Extras13 {
         |full_m AS (SELECT cast(sum(cast(price AS decimal(18,4))) AS double)
         |    / cast(count(*) AS double) AS full_mean FROM o),
         |reps AS (SELECT b,
-        |    (cast(sum(CASE WHEN w = 1
-        |        THEN cast(price AS decimal(18,4)) END) AS double)
-        |      + 2.0 * cast(sum(CASE WHEN w = 2
-        |        THEN cast(price AS decimal(18,4)) END) AS double)
-        |      + 3.0 * cast(sum(CASE WHEN w = 3
-        |        THEN cast(price AS decimal(18,4)) END) AS double))
-        |      / cast(sum(w) AS double) AS m
+        |    cast(sum(cast(floor(price * 100.0) AS bigint) * w) AS double)
+        |      / cast(sum(w) * 100 AS double) AS m
         |  FROM (SELECT price, b,
         |      CASE WHEN u < 736 THEN 1
         |           WHEN u < 920 THEN 2 ELSE 3 END AS w

@@ -77,14 +77,21 @@ object Extras20 {
     // integers over exact cents — the inventory-prioritization
     // standard.
     "analytics_abc_classification" -> { (s, dir) =>
+      // exactly (g, ord, revc): the slim shape keeps the prefix-sum
+      // kernel on its exchange-reuse path (no localCheckpoint rebuild —
+      // r8's warm-slower-than-cold anomaly was the non-slim path
+      // re-materializing the checkpoint per invocation), and `tot`
+      // aggregates the PRE-kernel frame so it shares the part-grain
+      // aggregate exchange instead of re-traversing the window output.
       val rev = Tables(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg((sum(dec(col("l_extendedprice"))) * 100)
           .cast("long").as("revc"))
-        .withColumn("g", lit(1))
-        .withColumn("ord", struct((-col("revc")).as("nr"), col("l_partkey")))
+        .select(lit(1).as("g"),
+          struct((-col("revc")).as("nr"), col("l_partkey")).as("ord"),
+          col("revc"))
       val cum = GraftOps.distributedRunningSum(rev, "g", "ord", "revc", "cum")
-      val tot = cum.agg(sum(col("revc")).as("total"))
+      val tot = rev.agg(sum(col("revc")).as("total"))
       cum.crossJoin(broadcast(tot))
         .select(col("revc"),
           when(col("cum") * 100 <= col("total") * 80, "A")

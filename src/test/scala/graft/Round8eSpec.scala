@@ -311,7 +311,10 @@ class Round8eSpec extends SparkSuite {
       r.getDouble(2), r.getDouble(3), r.getDouble(4))
     assert(sd > 0.0)
     assert(lo < boot && boot < hi)
-    assert(math.abs(hi - boot - (boot - lo)) < 1e-6, "interval is symmetric")
+    // ci_lo and ci_hi are each independently rounded to 6 digits, so
+    // the asymmetry of the rounded pair can legitimately reach 1e-6
+    // (two half-ulp errors) — bound by it inclusive, plus fp slack
+    assert(math.abs(hi - boot - (boot - lo)) < 1.0001e-6, "interval is symmetric")
     assert(math.abs(boot - full) < 5.0 * sd,
       "bootstrap mean must sit near the full mean")
   }
