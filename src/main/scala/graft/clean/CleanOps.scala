@@ -17,12 +17,40 @@ import org.apache.spark.sql.expressions.Window
   * Determinism: means/medians go through exact DECIMAL sums or exact
   * percentiles; every tiebreak (mode, dedup keep-first) is total.
   */
-sealed trait CleanOp {
+sealed trait CleanOp extends Product {
   def apply(df: DataFrame): DataFrame
+  /** human-oriented Spark snippet (the reference's "export as code"
+    * display form — free prose, not machine-parseable). */
   def code: String
+  /** CANONICAL one-line serialization, derived from the case-class
+    * structure: `OpName(field=value, …)` with quoted/escaped strings,
+    * `[…]`-bracketed string seqs, and suffix-typed numerics (`6`, `3L`,
+    * `0.5D`). [[Recipe.parse]] reconstructs the op exactly —
+    * `Recipe.parse(r.describe) == r` is property-tested, which makes the
+    * export REPLAYABLE, not just printable. */
+  def describe: String = {
+    val args = productElementNames.zip(productIterator).map {
+      case (k, v) => s"$k=${CleanOp.describeValue(v)}"
+    }
+    s"$productPrefix(${args.mkString(", ")})"
+  }
 }
 
 object CleanOp {
+  private[clean] def describeString(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private[clean] def describeValue(v: Any): String = v match {
+    case s: String => describeString(s)
+    case xs: Seq[_] =>
+      xs.map(x => describeString(String.valueOf(x))).mkString("[", ",", "]")
+    case l: Long => l.toString + "L"
+    case d: Double => d.toString + "D"
+    case f: Float => f.toString + "F"
+    case i: Int => i.toString
+    case b: Boolean => b.toString
+    case other => describeString(String.valueOf(other))
+  }
   /** Attach 1-row whole-table `stats` to every row via a broadcast
     * cross join. This replaces the empty-`partitionBy()` window form,
     * whose physical plan is `Exchange SinglePartition → Window` over the
@@ -291,6 +319,112 @@ final case class Recipe(ops: Seq[CleanOp]) {
   def add(op: CleanOp): Recipe = Recipe(ops :+ op)
   /** Undo = drop the last step and re-derive (exactly the reference model). */
   def undo: Recipe = Recipe(ops.dropRight(1))
-  /** Export the session as standalone Spark code. */
+  /** Export the session as standalone Spark code (display form). */
   def exportCode: String = ops.map(_.code).mkString("\n")
+  /** Canonical replayable serialization: one [[CleanOp.describe]] line
+    * per op. `Recipe.parse(recipe.describe) == recipe`. */
+  def describe: String = ops.map(_.describe).mkString("\n")
+}
+
+object Recipe {
+  /** Reconstruct a [[Recipe]] from its [[Recipe.describe]] text — the
+    * round-trip that makes the exported session REPLAYABLE: the parsed
+    * recipe is structurally equal to the original, so re-applying it
+    * reproduces the same DataFrame plan. Blank lines are skipped;
+    * unknown op names or malformed lines throw. */
+  def parse(text: String): Recipe = Recipe(
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).map(parseOp).toSeq)
+
+  private def parseOp(line: String): CleanOp = {
+    val open = line.indexOf('(')
+    require(open > 0 && line.endsWith(")"), s"unparseable op line: $line")
+    val name = line.substring(0, open)
+    val args = splitTop(line.substring(open + 1, line.length - 1))
+      .map { a =>
+        val eq = a.indexOf('=')
+        require(eq > 0, s"unparseable arg '$a' in: $line")
+        a.take(eq).trim -> parseValue(a.drop(eq + 1).trim)
+      }.toMap
+    def s(k: String): String = args(k).asInstanceOf[String]
+    def ss(k: String): Seq[String] = args(k).asInstanceOf[Seq[String]]
+    def i(k: String): Int = args(k) match {
+      case x: Int => x
+      case x: Long => x.toInt
+    }
+    def d(k: String): Double = args(k) match {
+      case x: Double => x
+      case x: Int => x.toDouble
+      case x: Long => x.toDouble
+    }
+    name match {
+      case "FillConstant" => FillConstant(s("column"), args("value"))
+      case "FillMean" => FillMean(s("column"))
+      case "FillMeanByGroup" => FillMeanByGroup(s("column"), ss("groups"))
+      case "FillMedian" => FillMedian(s("column"), i("roundTo"))
+      case "FillMode" => FillMode(s("column"))
+      case "ForwardFill" =>
+        ForwardFill(s("column"), ss("orderCols"), ss("partitionCols"))
+      case "BackwardFill" =>
+        BackwardFill(s("column"), ss("orderCols"), ss("partitionCols"))
+      case "Interpolate" =>
+        Interpolate(s("column"), ss("orderCols"), ss("partitionCols"), i("roundTo"))
+      case "DropNaAny" => DropNaAny(ss("columns"))
+      case "DedupByKey" => DedupByKey(ss("keys"), ss("order"))
+      case "ClipToQuantiles" => ClipToQuantiles(s("column"), d("pLo"), d("pHi"))
+      case "SafeCastDouble" => SafeCastDouble(s("column"), s("target"))
+      case "ParseTimestamp" => ParseTimestamp(s("column"), s("fmt"))
+      case "NormalizeWhitespace" => NormalizeWhitespace(s("column"))
+      case "FingerprintCanonicalize" => FingerprintCanonicalize(s("column"))
+      case other => throw new IllegalArgumentException(s"unknown CleanOp: $other")
+    }
+  }
+
+  /** split `s` on top-level commas — commas inside "quotes" (with \
+    * escapes) or [brackets] don't split. */
+  private def splitTop(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var esc = false
+    s.foreach { ch =>
+      if (esc) { cur += ch; esc = false }
+      else ch match {
+        case '\\' if inStr => cur += ch; esc = true
+        case '"' => cur += ch; inStr = !inStr
+        case '[' if !inStr => cur += ch; depth += 1
+        case ']' if !inStr => cur += ch; depth -= 1
+        case ',' if !inStr && depth == 0 => out += cur.result(); cur.clear()
+        case c => cur += c
+      }
+    }
+    out += cur.result()
+    out.result().map(_.trim)
+  }
+
+  private def unquote(s: String): String = {
+    require(s.length >= 2 && s.head == '"' && s.last == '"',
+      s"expected quoted string, got: $s")
+    val b = new StringBuilder
+    var esc = false
+    s.substring(1, s.length - 1).foreach { ch =>
+      if (esc) { b += ch; esc = false }
+      else if (ch == '\\') esc = true
+      else b += ch
+    }
+    b.result()
+  }
+
+  private def parseValue(v: String): Any = v match {
+    case q if q.startsWith("\"") => unquote(q)
+    case l if l.startsWith("[") && l.endsWith("]") =>
+      splitTop(l.substring(1, l.length - 1)).map(unquote)
+    case "true" => true
+    case "false" => false
+    case n if n.endsWith("L") => n.dropRight(1).toLong
+    case n if n.endsWith("D") => n.dropRight(1).toDouble
+    case n if n.endsWith("F") => n.dropRight(1).toFloat
+    case n => n.toInt
+  }
 }

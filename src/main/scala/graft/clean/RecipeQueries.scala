@@ -10,18 +10,33 @@ import org.apache.spark.sql.functions._
   */
 object RecipeQueries {
 
+  /** the recorded session both declared queries share: fill → clip →
+    * drop → dedup (the reference's canonical fix sequence). */
+  private val pipelineRecipe = Recipe(Seq(
+    FillMean("v"),
+    ClipToQuantiles("v", 0.01, 0.99),
+    DropNaAny(Seq("et")),
+    DedupByKey(Seq("event_id"), Seq("user_id", "v"))))
+
   val queries: Map[String, Q] = Map(
     // normalize nulls → fill value with mean → clip to [p01,p99] → drop
     // rows still missing the categorical → dedup by event_id
     "recipe_pipeline" -> { (s, dir) =>
-      val recipe = Recipe(Seq(
-        FillMean("v"),
-        ClipToQuantiles("v", 0.01, 0.99),
-        DropNaAny(Seq("et")),
-        DedupByKey(Seq("event_id"), Seq("user_id", "v"))))
-      recipe(Missing.eventsWithNulls(s, dir))
+      pipelineRecipe(Missing.eventsWithNulls(s, dir))
         .select(col("event_id"), col("user_id"), round(col("v"), 6).as("v"), col("et"))
         .orderBy(col("event_id"))
+    },
+
+    // the reference's "export as code" feature as a declared query: one
+    // row per recorded op — the canonical replayable serialization
+    // (Recipe.parse round-trips it, RecipeExportSpec) and the display
+    // Spark snippet. The oracle pins the export format as a contract:
+    // changing either string form breaks the gate on purpose.
+    "recipe_describe" -> { (s, dir) =>
+      import s.implicits._
+      pipelineRecipe.ops.zipWithIndex.map { case (op, ix) =>
+        ((ix + 1).toLong, op.describe, op.code)
+      }.toDF("step", "op_describe", "spark_code").orderBy("step")
     }
   )
 
@@ -41,6 +56,17 @@ object RecipeQueries {
          |    ORDER BY user_id NULLS FIRST, v NULLS FIRST) AS rn
          |  FROM dropped) WHERE rn = 1)
          |SELECT event_id, user_id, round(v, 6) AS v, et FROM deduped
-         |ORDER BY event_id""".stripMargin
+         |ORDER BY event_id""".stripMargin,
+    // contract oracle: the exact export strings, row for row
+    "recipe_describe" -> {
+      val rows = pipelineRecipe.ops.zipWithIndex.map { case (op, ix) =>
+        def sq(s: String) = "'" + s.replace("'", "''") + "'"
+        s"(${ix + 1}, ${sq(op.describe)}, ${sq(op.code)})"
+      }.mkString(",\n|  ")
+      s"""SELECT cast(step AS bigint) AS step, op_describe, spark_code
+         |FROM (VALUES
+         |  $rows) t(step, op_describe, spark_code)
+         |ORDER BY step""".stripMargin
+    }
   )
 }

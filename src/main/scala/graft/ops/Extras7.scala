@@ -46,8 +46,11 @@ object Extras7 {
       struct(orderCols.map(col): _*).as("__nk"), lit(1L).as("__nv"))
     val ranked = graft.llm.Chunking
       .distributedRunningSum(lite, "__np", "__nk", "__nv", outCol)
+    // null-safe equality: a null in any order column makes plain struct
+    // equality NULL and would silently drop the row from the output —
+    // <=> keeps null keys (the window form ranks them too)
     df.join(ranked.select(col("__nk"), col(outCol)),
-      struct(orderCols.map(col): _*) === col("__nk")).drop("__nk")
+      struct(orderCols.map(col): _*) <=> col("__nk")).drop("__nk")
   }
 
   /** PUBLIC API: distributed ntile — `ntile(k).over(orderBy(orderCols))`

@@ -3,7 +3,8 @@ package graft.plans
 import graft.functions.JaroWinkler
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, Greatest,
-  GreaterThan, GreaterThanOrEqual, Least, Length, Literal, PredicateHelper}
+  GreaterThan, GreaterThanOrEqual, Least, Length, LessThan, LessThanOrEqual,
+  Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -36,11 +37,28 @@ import org.apache.spark.sql.types.DoubleType
   */
 object JaroWinklerPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** constant threshold from any FOLDABLE double expression — a bare
+    * Literal, but also e.g. `Cast(Literal(Decimal(0.9)), DoubleType)`
+    * from a decimal literal in SQL text. */
+  private def threshold(e: Expression): Option[Double] = e match {
+    case Literal(t: Double, DoubleType) => Some(t)
+    case _ if e.foldable && e.dataType == DoubleType =>
+      Option(e.eval()).map(_.asInstanceOf[Double])
+    case _ => None
+  }
+
+  /** matches jw ≥ θ in all four predicate spellings: jw >= θ, jw > θ,
+    * θ <= jw, θ < jw (the commuted forms previously missed the
+    * prefilter — a lost optimization, never a soundness issue). */
   private def guardFor(e: Expression): Option[Expression] = e match {
-    case GreaterThanOrEqual(jw: JaroWinkler, Literal(t: Double, DoubleType))
-        if t > 0.8 => Some(lenGuard(jw, t))
-    case GreaterThan(jw: JaroWinkler, Literal(t: Double, DoubleType))
-        if t > 0.8 => Some(lenGuard(jw, t))
+    case GreaterThanOrEqual(jw: JaroWinkler, t) =>
+      threshold(t).filter(_ > 0.8).map(lenGuard(jw, _))
+    case GreaterThan(jw: JaroWinkler, t) =>
+      threshold(t).filter(_ > 0.8).map(lenGuard(jw, _))
+    case LessThanOrEqual(t, jw: JaroWinkler) =>
+      threshold(t).filter(_ > 0.8).map(lenGuard(jw, _))
+    case LessThan(t, jw: JaroWinkler) =>
+      threshold(t).filter(_ > 0.8).map(lenGuard(jw, _))
     case _ => None
   }
 

@@ -146,6 +146,40 @@ class Round8cSpec extends SparkSuite {
     }
   }
 
+  test("JaroWinklerPrefilter: commuted and foldable-threshold forms get the guard") {
+    GraftOps.installJaroWinklerPrefilter(spark)
+    val jw = GraftOps.jaroWinkler(col("p_name"), lit("promo plate"))
+    val base = Tables(spark, sf, "part")
+    val spellings = Seq(
+      base.where(lit(0.9) <= jw),                  // θ <= jw
+      base.where(lit(0.9) < jw),                   // θ < jw
+      base.where(jw > 0.9),                        // jw > θ
+      base.where(jw >= expr("cast(0.9 as double)")) // foldable cast threshold
+    )
+    spellings.zipWithIndex.foreach { case (q, i) =>
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("length("), s"spelling #$i missed the guard:\n$p")
+    }
+    // result parity: the commuted spelling returns exactly the direct one's rows
+    val direct = base.where(jw >= 0.9).select("p_partkey").collect().map(_.getLong(0)).toSet
+    val commuted = base.where(lit(0.9) <= jw).select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(direct == commuted)
+  }
+
+  test("distributedRank keeps rows with NULL order keys (null-safe join-back)") {
+    val df = Seq[(java.lang.Long, String)](
+      (null, "a"), (3L, "b"), (1L, "c"), (null, "d"), (2L, "e"))
+      .toDF("x", "id")
+    val ranked = GraftOps.distributedRank(df, Seq("x", "id"), "r")
+    assert(ranked.count() == 5, "null order keys must not drop rows")
+    val ranks = ranked.select("r").collect().map(_.getLong(0)).sorted
+    assert(ranks.sameElements(Array(1L, 2L, 3L, 4L, 5L)), "ranks not a permutation")
+    // nulls-first like the window form
+    val nullRanks = ranked.where(col("x").isNull)
+      .select("r").collect().map(_.getLong(0)).toSet
+    assert(nullRanks == Set(1L, 2L), s"null keys should rank first: $nullRanks")
+  }
+
   test("overlapSelfJoin equals the theta join, pairs exactly once") {
     // deterministic pseudo-random intervals, including exact cell-boundary
     // starts/ends and spans of 0..3 cells (cell = 100 s)
