@@ -84,10 +84,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
+    // per-family subtotals (key prefix up to the first '_'): at 300+
+    // queries the flat per-query map hides family-level regressions —
+    // these roll the sweep up into ~25 comparable lines per round
+    val families = results.filter(_._2 >= 0)
+      .groupBy { case (k, _, _, _) => k.takeWhile(_ != '_') }
+      .toSeq.sortBy(_._1)
+      .map { case (fam, rs) =>
+        s"\"$fam\":{\"n\":${rs.size},\"sec\":${num(rs.map(_._2).sum)}}"
+      }.mkString("{", ",", "}")
     // Per-query detail goes to a file + stderr; stdout's LAST line is a short
     // total-only JSON (<200 chars) so the driver's tail capture can't
     // truncate it mid-token (it did in r1/r2 with the 2.4 KB one-liner).
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"single_run_over_cap":$capped,"cold_first_run":$colds,"queries":$qs,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"single_run_over_cap":$capped,"cold_first_run":$colds,"families":$families,"queries":$qs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes("UTF-8"))

@@ -29,6 +29,44 @@ object Dedup2 {
         .orderBy(col("keeper"), col("h"))
     },
 
+    // MinHash estimator calibration: for every LSH candidate pair,
+    // compare the 16-hash Jaccard estimate (matching components / 16)
+    // against the EXACT trigram Jaccard — grouped by the integer
+    // estimate. The eval that says whether k=16 is enough hashes for
+    // the corpus (mean |est − exact| per estimate level); candidates
+    // bound the pair count exactly like the dedup family.
+    "dedup_minhash_calibration" -> { (s, dir) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val da = Dedup.docArraysCached(s, dir)
+      val mhs = ColumnBridge.column(graft.functions.MinHashSig(
+        ColumnBridge.expression(col("sh"))))
+      val sigs = da.select(col("doc_id"), mhs.as("mhs"),
+          size(col("sh")).cast("long").as("nsh"), col("sh"))
+        .where(col("mhs").isNotNull)
+      val cand = Dedup.candidates(s, dir).select(col("doc_a"), col("doc_b"))
+      val a = sigs.select(col("doc_id").as("doc_a"), col("mhs").as("mha"),
+        col("nsh").as("na"), col("sh").as("sha"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("mhs").as("mhb"),
+        col("nsh").as("nb"), col("sh").as("shb"))
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("est16", aggregate(
+          zip_with(col("mha"), col("mhb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), _ + _))
+        .withColumn("common",
+          size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        // |est − exact| per pair is a fixed IEEE tree over identical
+        // integers; the mean folds through exact decimal terms
+        .withColumn("err", abs(col("est16") / lit(16.0) -
+          col("common") / (col("na") + col("nb") - col("common"))))
+        .groupBy("est16")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("err").cast(DecimalType(18, 12))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 6).as("mean_abs_err"))
+        .orderBy("est16")
+    },
+
     // sign-LSH ANN: 8 deterministic hyperplanes = the unit vectors of
     // vec_id 1..8; bucket = sign bits of the 8 dots; queries search only
     // their own bucket, then exact cosine rescoring top-3. Complements
@@ -71,6 +109,31 @@ object Dedup2 {
     s"SELECT vec_id, ${Similarity.sqlUnit("embedding")} AS v FROM embeddings"
 
   val oracle: Map[String, String] = Map(
+    "dedup_minhash_calibration" ->
+      s"""WITH ${Dedup.sqlBands},
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |    cast(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS bigint)
+         |      AS est16
+         |  FROM cand c JOIN mh a ON a.doc_id = c.doc_a
+         |  JOIN mh b ON b.doc_id = c.doc_b AND b.i = a.i
+         |  GROUP BY c.doc_a, c.doc_b),
+         |sizes AS (SELECT doc_id, cast(count(*) AS bigint) AS nsh
+         |          FROM sh GROUP BY doc_id),
+         |com AS (SELECT c.doc_a, c.doc_b, cast(count(*) AS bigint) AS common
+         |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.bg = x.bg
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pairs AS (SELECT e.est16, coalesce(m.common, 0) AS common,
+         |    sa.nsh AS na, sb.nsh AS nb
+         |  FROM est e
+         |  LEFT JOIN com m ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
+         |  JOIN sizes sa ON sa.doc_id = e.doc_a
+         |  JOIN sizes sb ON sb.doc_id = e.doc_b)
+         |SELECT est16, cast(count(*) AS bigint) AS n_pairs,
+         |  round(cast(sum(cast(abs(est16 / 16.0
+         |      - common / (na + nb - common)) AS decimal(18,12))) AS double)
+         |    / cast(count(*) AS double), 6) AS mean_abs_err
+         |FROM pairs GROUP BY est16 ORDER BY est16""".stripMargin,
     "dedup_exact_docs" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents

@@ -101,6 +101,29 @@ object Multimodal {
         .orderBy(col("doc_id"), col("k"))
     },
 
+    // ASPECT BUCKETING + batch assignment — the image-training batcher:
+    // assets group by (width × height) class and each bucket packs into
+    // fixed-size batches of 8 (a training batch must be dimensionally
+    // uniform; mixing aspect classes forces destructive square crops).
+    // Dims derive deterministically from n_bytes — the clearly-marked
+    // stand-in for the decoder's real dimensions (same contract as
+    // decodeStub) — and the ONLY column read is the metadata struct:
+    // payload bytes are never touched. Within-bucket positions ride the
+    // distributed prefix sum keyed on the bucket (a window partitioned
+    // by bucket would put one giant aspect class on one task at 100 TB).
+    "multimodal_aspect_bucket" -> { (s, dir) =>
+      val d = assets(s, dir)
+        .select(col("doc_id"), col("meta.n_bytes").as("nb"))
+        .select(col("doc_id"),
+          concat(lit(256L) + (col("nb") % 5L) * 128L, lit("x"),
+            lit(256L) + expr("(nb DIV 5) % 4") * 128L).as("bucket"))
+        .withColumn("one", lit(1L))
+      GraftOps.distributedRunningSum(d, "bucket", "doc_id", "one", "pos")
+        .select(col("doc_id"), col("bucket"),
+          expr("(pos - 1) DIV 8").as("batch_idx"))
+        .orderBy("doc_id")
+    },
+
     // FEATURE EXTRACTION through the per-partition batch-decode path
     // (extractFeatures → decodeStub): the one declared query that runs the
     // mapPartitions decoder kernel, so the oracle gate exercises the real
@@ -140,6 +163,17 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "multimodal_aspect_bucket" ->
+      """WITH a AS (SELECT doc_id, cast(strlen(text) AS bigint) AS nb
+        |           FROM documents),
+        |d AS (SELECT doc_id,
+        |    (256 + (nb % 5) * 128) || 'x' || (256 + ((nb // 5) % 4) * 128)
+        |      AS bucket
+        |  FROM a)
+        |SELECT doc_id, bucket,
+        |  cast((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+        |    // 8 AS bigint) AS batch_idx
+        |FROM d ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'utf8' AS format,
         |cast(strlen(text) as bigint) AS n_bytes,
