@@ -170,6 +170,24 @@ object Mix {
   }
 
   val queries: Map[String, Q] = Map(
+    // CCNet-style perplexity band filter: score every doc with the
+    // self-trained unigram LM, decile-bucket the scores with the
+    // distributed ntile (never a single-task global window), keep the
+    // middle band (deciles 3–8) — dropping the too-predictable head
+    // (boilerplate) and the too-surprising tail (noise). Per-band
+    // census + keep decision; the band edges document the cut.
+    "text_perplexity_band_filter" -> { (s, dir) =>
+      val scored = unigramSurprisal(Tables(s, dir, "documents"), "doc_id", "text")
+      GraftOps.distributedNtile(scored, Seq("avg_nll", "doc_id"), 10, "band")
+        .groupBy(col("band").cast("long").as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          min(col("avg_nll")).as("min_nll"),
+          max(col("avg_nll")).as("max_nll"))
+        .withColumn("kept", col("band").between(3L, 8L))
+        .orderBy("band")
+    },
+
     // collocation mining: top bigrams by pointwise mutual information
     // PMI = ln(c₁₂·N / (cL·cR)) over bigram-position marginals — the
     // corpus-statistics pass behind multi-word-expression detection.
@@ -359,6 +377,26 @@ object Mix {
         |SELECT t.doc_id, count(*) AS n_tok,
         |  round(cast(sum(p.nll) as double) / count(*), 6) AS avg_nll
         |FROM toks t JOIN probs p ON t.word = p.word
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_perplexity_band_filter" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab),
+        |probs AS (SELECT word,
+        |    cast(-ln(cast(cnt as double) / cast(total as double))
+        |      as decimal(18,12)) AS nll
+        |  FROM vocab, tot),
+        |scored AS (SELECT t.doc_id, cast(count(*) AS bigint) AS n_tok,
+        |    round(cast(sum(p.nll) as double) / count(*), 6) AS avg_nll
+        |  FROM toks t JOIN probs p ON t.word = p.word GROUP BY 1),
+        |b AS (SELECT *, ntile(10) OVER (ORDER BY avg_nll, doc_id) AS band
+        |      FROM scored)
+        |SELECT cast(band AS bigint) AS band,
+        |  cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(n_tok) AS bigint) AS total_tokens,
+        |  min(avg_nll) AS min_nll, max(avg_nll) AS max_nll,
+        |  band BETWEEN 3 AND 8 AS kept
+        |FROM b GROUP BY band ORDER BY band""".stripMargin
   )
 }

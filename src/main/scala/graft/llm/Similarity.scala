@@ -320,6 +320,62 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    // MMR (maximal marginal relevance) re-ranking — the diversity-aware
+    // retrieval finisher: from each query's top-8 relevance candidates
+    // (label-blocked), greedily select 3 maximizing
+    // λ·rel − (1−λ)·max_sim_to_selected (λ = 0.7). The greedy recursion
+    // unrolls into 3 per-query top-1 windows over ≤ 8 candidate rows —
+    // per-query partitions stay candidate-bounded at any corpus size,
+    // and the candidate relation is checkpointed once (it feeds all
+    // three rounds). Scores are INTEGER micro-units: rel_u/pen_u =
+    // floor(cos·1e6) longs, score_u = 7·rel_u − 3·pen_u (= 10⁷·mmr) —
+    // a round-6 of 0.7a−0.3b lands exactly on 7-decimal .5 boundaries
+    // by construction, where Spark's shortest-repr HALF_UP and DuckDB's
+    // binary-value round disagree; integer argmax + one exact division
+    // at the end has no boundary at all.
+    "sim_mmr_rerank" -> { (s, dir) =>
+      val all = vecs(s, dir)
+      val q = all.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("label"), col("v").as("qv"))
+      val wRel = Window.partitionBy(col("qid"))
+        .orderBy(col("rel_u").desc, col("vec_id"))
+      val cand = q.join(all, Seq("label"))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("rel_u",
+          floor(cosine(col("qv"), col("v")) * 1000000.0).cast("long"))
+        .withColumn("rn", row_number().over(wRel))
+        .where(col("rn") <= 8)
+        .select(col("qid"), col("vec_id"), col("v"), col("rel_u"))
+        .localCheckpoint(false) // feeds all 3 greedy rounds
+      def top1(df: DataFrame, scoreCol: String): DataFrame = {
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col(scoreCol).desc, col("vec_id"))
+        df.withColumn("rn1", row_number().over(w)).where(col("rn1") === 1)
+      }
+      def penU(sv: org.apache.spark.sql.Column) =
+        floor(cosine(col("v"), sv) * 1000000.0).cast("long")
+      val s1 = top1(cand.withColumn("su", col("rel_u") * 10L), "su")
+        .select(col("qid"), col("vec_id").as("sel1"), col("v").as("sv1"),
+          col("su").as("score1_u"))
+      val r2 = cand.join(s1, "qid").where(col("vec_id") =!= col("sel1"))
+        .withColumn("su", col("rel_u") * 7L - penU(col("sv1")) * 3L)
+      val s2 = top1(r2, "su").select(col("qid"),
+        col("vec_id").as("sel2"), col("v").as("sv2"), col("su").as("score2_u"))
+      val r3 = cand.join(s1, "qid").join(s2, "qid")
+        .where(col("vec_id") =!= col("sel1") && col("vec_id") =!= col("sel2"))
+        .withColumn("su", col("rel_u") * 7L -
+          greatest(penU(col("sv1")), penU(col("sv2"))) * 3L)
+      val s3 = top1(r3, "su").select(col("qid"),
+        col("vec_id").as("sel3"), col("su").as("score3_u"))
+      s1.select(col("qid"), lit(1L).as("rank"), col("sel1").as("vec_id"),
+          (col("score1_u") / lit(1.0e7)).as("score"))
+        .unionByName(s2.select(col("qid"), lit(2L).as("rank"),
+          col("sel2").as("vec_id"), (col("score2_u") / lit(1.0e7)).as("score")))
+        .unionByName(s3.select(col("qid"), lit(3L).as("rank"),
+          col("sel3").as("vec_id"), (col("score3_u") / lit(1.0e7)).as("score")))
+        .orderBy("qid", "rank")
+    },
+
     // exact cosine for all same-label pairs, top-100
     "sim_cosine_pairs" -> { (s, dir) =>
       val a = vecs(s, dir).select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
@@ -482,6 +538,51 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // every CTE referenced more than once is MATERIALIZED — DuckDB
+    // re-inlines plain CTEs at each reference (the kcore trap)
+    "sim_mmr_rerank" ->
+      s"""WITH e AS MATERIALIZED ($sqlVecs),
+         |q AS (SELECT vec_id AS qid, label, v AS qv FROM e
+         |      WHERE vec_id % 50 = 0),
+         |cand AS MATERIALIZED (SELECT qid, vec_id, v, rel_u FROM (
+         |  SELECT qid, vec_id, v, rel_u,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rel_u DESC, vec_id)
+         |      AS rn
+         |  FROM (SELECT q.qid, e.vec_id, e.v,
+         |      cast(floor(${cosSql("q.qv", "e.v")} * 1000000.0) AS bigint)
+         |        AS rel_u
+         |    FROM q JOIN e USING (label) WHERE e.vec_id <> q.qid))
+         |  WHERE rn <= 8),
+         |s1 AS MATERIALIZED (SELECT qid, vec_id AS sel1, v AS sv1,
+         |    rel_u * 10 AS score1_u FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel_u DESC, vec_id) AS r1 FROM cand) WHERE r1 = 1),
+         |r2 AS (SELECT c.qid, c.vec_id, c.v, c.rel_u,
+         |    c.rel_u * 7 - cast(floor(${cosSql("c.v", "s.sv1")} * 1000000.0)
+         |      AS bigint) * 3 AS su
+         |  FROM cand c JOIN s1 s USING (qid) WHERE c.vec_id <> s.sel1),
+         |s2 AS MATERIALIZED (SELECT qid, vec_id AS sel2, v AS sv2,
+         |    su AS score2_u FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY su DESC, vec_id) AS r1 FROM r2) WHERE r1 = 1),
+         |r3 AS (SELECT c.qid, c.vec_id,
+         |    c.rel_u * 7 - greatest(
+         |      cast(floor(${cosSql("c.v", "s1.sv1")} * 1000000.0) AS bigint),
+         |      cast(floor(${cosSql("c.v", "s2.sv2")} * 1000000.0) AS bigint))
+         |      * 3 AS su
+         |  FROM cand c JOIN s1 USING (qid) JOIN s2 USING (qid)
+         |  WHERE c.vec_id <> s1.sel1 AND c.vec_id <> s2.sel2),
+         |s3 AS (SELECT qid, vec_id AS sel3, su AS score3_u FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY su DESC, vec_id) AS r1 FROM r3) WHERE r1 = 1)
+         |SELECT qid, rank, vec_id, score FROM (
+         |  SELECT qid, cast(1 AS bigint) AS rank, sel1 AS vec_id,
+         |    score1_u / 10000000.0 AS score FROM s1
+         |  UNION ALL SELECT qid, cast(2 AS bigint), sel2,
+         |    score2_u / 10000000.0 FROM s2
+         |  UNION ALL SELECT qid, cast(3 AS bigint), sel3,
+         |    score3_u / 10000000.0 FROM s3)
+         |ORDER BY qid, rank""".stripMargin,
     "sim_cosine_pairs" ->
       s"""WITH e AS ($sqlVecs)
          |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -185,6 +186,68 @@ object Extras26 {
         .orderBy("doc_id")
     },
 
+    // corpus snapshot diff — the data-ops gate before swapping a
+    // training corpus version: v2 derives from v1 by deterministic
+    // removals (÷17), text revisions (÷13), and additions (÷19 under an
+    // id offset); a full-outer join on the id classifies every doc as
+    // added / removed / changed (content hash differs) / unchanged and
+    // the per-(status, lang) census is the review artifact. One
+    // id-keyed shuffle; hashes are map-side.
+    "pipeline_dataset_diff" -> { (s, dir) =>
+      val v1 = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val v2 = v1.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" revised")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(v1.where(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            col("lang")))
+      val a = v1.select(col("doc_id"), md5(col("text").cast("binary")).as("h1"),
+        col("lang").as("lang1"))
+      val b = v2.select(col("doc_id"), md5(col("text").cast("binary")).as("h2"),
+        col("lang").as("lang2"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(
+          when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") =!= col("h2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"),
+          coalesce(col("lang1"), col("lang2")).as("lang"))
+        .groupBy("status", "lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("status", "lang")
+    },
+
+    // point-in-time-correct feature extraction: for every purchase
+    // event, the user's trailing activity counters STRICTLY BEFORE the
+    // event (clicks in the last hour, events and quantized value sum in
+    // the last day) — the leakage-free feature-engineering shape (a
+    // frame that included the current row would leak the label). RANGE
+    // frames on the microsecond axis, partitioned per user (bounded
+    // partitions); value quantized floor(v·1e6) so the window sums stay
+    // exact integers in both engines.
+    "events_feature_asof" -> { (s, dir) =>
+      val e = Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("vq"))
+      val w1h = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, -1L)
+      val w24 = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-86400000000L, -1L)
+      e.withColumn("clicks_1h",
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w1h))
+        .withColumn("events_24h", count(lit(1)).over(w24))
+        .withColumn("vsum_24h_q", sum(col("vq")).over(w24))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"),
+          coalesce(col("clicks_1h"), lit(0L)).as("clicks_1h"),
+          col("events_24h"),
+          coalesce(col("vsum_24h_q"), lit(0L)).as("vsum_24h_q"))
+        .orderBy("event_id")
+    },
+
     // cross-sectional price elasticity per part type: ln(total qty) ~
     // ln(retail price) OLS across the parts of each type — slope =
     // elasticity (how demand falls as price rises within a category).
@@ -249,6 +312,44 @@ object Extras26 {
         |SELECT src_a, src_b,
         |  round(cast(sum(t) AS double), 6) + 0.0 AS js
         |FROM pairs GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+    "pipeline_dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id, text, lang FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' revised' ELSE text END
+        |      AS text, lang
+        |  FROM v1 WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, lang FROM v1 WHERE doc_id % 19 = 0),
+        |a AS (SELECT doc_id, md5(text) AS h1, lang AS lang1 FROM v1),
+        |b AS (SELECT doc_id, md5(text) AS h2, lang AS lang2 FROM v2),
+        |j AS (SELECT
+        |    CASE WHEN h1 IS NULL THEN 'added'
+        |         WHEN h2 IS NULL THEN 'removed'
+        |         WHEN h1 <> h2 THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    coalesce(lang1, lang2) AS lang
+        |  FROM a FULL OUTER JOIN b USING (doc_id))
+        |SELECT status, lang, cast(count(*) AS bigint) AS n_docs
+        |FROM j GROUP BY status, lang ORDER BY status, lang""".stripMargin,
+    "events_feature_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+        |    cast(floor(value * 1000000.0) AS bigint) AS vq
+        |  FROM events),
+        |f AS (SELECT event_id, user_id, us, event_type,
+        |    cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER w1 AS bigint) AS c1,
+        |    cast(count(*) OVER w24 AS bigint) AS e24,
+        |    cast(sum(vq) OVER w24 AS bigint) AS v24
+        |  FROM e
+        |  WINDOW w1 AS (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
+        |  w24 AS (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, us,
+        |  coalesce(c1, 0) AS clicks_1h, coalesce(e24, 0) AS events_24h,
+        |  coalesce(v24, 0) AS vsum_24h_q
+        |FROM f WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "analytics_customer_migration" ->
       """WITH o AS (SELECT o_custkey,
         |    o_orderdate < TIMESTAMP '1998-01-01' AS early,
