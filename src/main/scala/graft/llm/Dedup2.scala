@@ -29,6 +29,25 @@ object Dedup2 {
         .orderBy(col("keeper"), col("h"))
     },
 
+    // soft dedup (repeat upweighting): instead of DROPPING near-dup
+    // losers, the cluster keeper (the component's min id) carries
+    // weight = cluster size and singletons carry weight 1 — the
+    // dedup-aware sampling-weight table some pipelines prefer over hard
+    // removal (information kept, sampling probability corrected).
+    // Output is the weight histogram — the audit artifact.
+    "dedup_soft_upweight" -> { (s, dir) =>
+      val pairs = Dedup.candidates(s, dir).select(col("doc_a"), col("doc_b"))
+      val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val clusterW = cc.groupBy(col("component").as("doc_id"))
+        .agg(count(lit(1)).as("weight"))
+      val singletons = Tables(s, dir, "documents").select(col("doc_id"))
+        .join(cc.select(col("node").as("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("weight", lit(1L))
+      clusterW.unionByName(singletons)
+        .groupBy("weight").agg(count(lit(1)).as("n_keepers"))
+        .orderBy("weight")
+    },
+
     // MinHash estimator calibration: for every LSH candidate pair,
     // compare the 16-hash Jaccard estimate (matching components / 16)
     // against the EXACT trigram Jaccard — grouped by the integer
@@ -109,6 +128,25 @@ object Dedup2 {
     s"SELECT vec_id, ${Similarity.sqlUnit("embedding")} AS v FROM embeddings"
 
   val oracle: Map[String, String] = Map(
+    "dedup_soft_upweight" ->
+      s"""WITH RECURSIVE ${Dedup.sqlBands},
+         |pr AS (SELECT doc_a, doc_b FROM cand),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         |labs AS (SELECT node, min(lab) AS lab FROM reach GROUP BY node),
+         |cw AS (SELECT lab AS doc_id, cast(count(*) AS bigint) AS weight
+         |       FROM labs GROUP BY lab),
+         |sing AS (SELECT d.doc_id, cast(1 AS bigint) AS weight
+         |  FROM documents d LEFT JOIN labs l ON d.doc_id = l.node
+         |  WHERE l.node IS NULL),
+         |allw AS (SELECT * FROM cw UNION ALL SELECT * FROM sing)
+         |SELECT weight, cast(count(*) AS bigint) AS n_keepers
+         |FROM allw GROUP BY weight ORDER BY weight""".stripMargin,
     "dedup_minhash_calibration" ->
       s"""WITH ${Dedup.sqlBands},
          |est AS (SELECT c.doc_a, c.doc_b,

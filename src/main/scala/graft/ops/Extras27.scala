@@ -2,7 +2,9 @@ package graft.ops
 
 import graft._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Round-9 batch 4: BPE tokenizer-training rounds and the regex
   * function suite.
@@ -71,6 +73,58 @@ object Extras27 {
         .orderBy("round")
     },
 
+    // stationary distribution of the event-type Markov chain: row-
+    // normalized transition matrix from per-user lagged sequences, then
+    // 3 power iterations from the uniform vector — where user traffic
+    // settles. The matrix is k² rows (k = event types); every iteration
+    // is a tiny broadcast join + exact-decimal-term aggregation (the
+    // pagerank discipline: π·P products quantized DECIMAL(18,12) before
+    // the sum, so partition order can't move the result).
+    "events_markov_stationary" -> { (s, dir) =>
+      val e = Tables(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val trans = e.withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .where(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      val p = trans.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"),
+          (col("n").cast(DoubleType) / col("tot").cast(DoubleType)).as("p"))
+        .localCheckpoint(false) // k²-row matrix feeds all 3 iterations
+      val states = e.select(col("event_type").as("state")).distinct()
+      val pi0 = states.crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+        .select(col("state"), (lit(1.0) / col("k").cast(DoubleType)).as("pi"))
+      val pi3 = (1 to 3).foldLeft(pi0) { (pi, _) =>
+        pi.join(p, pi("state") === p("from_type"))
+          .select(col("to_type").as("state"),
+            (col("pi") * col("p")).cast(DecimalType(18, 12)).as("term"))
+          .groupBy("state")
+          .agg(sum(col("term")).cast(DoubleType).as("pi"))
+      }
+      pi3.select(col("state").as("event_type"), round(col("pi"), 6).as("pi"))
+        .orderBy("event_type")
+    },
+
+    // content-addressed corpus fingerprint — "did the corpus change?"
+    // as one short digest, computed MERKLE-STYLE: per-doc hashes sort
+    // and digest WITHIN 64 id-buckets, then the 64 bucket digests sort
+    // and digest once — no global collect of per-doc hashes (the flat
+    // string_agg-of-everything needs the whole corpus's hashes on one
+    // node; the two-level tree keeps every aggregation bucket-bounded).
+    "pipeline_dataset_fingerprint" -> { (s, dir) =>
+      val h = Tables(s, dir, "documents")
+        .select((col("doc_id") % 64L).as("bucket"),
+          md5(col("text").cast("binary")).as("h"))
+      val lvl1 = h.groupBy("bucket")
+        .agg(md5(concat_ws("", array_sort(collect_list(col("h"))))
+          .cast("binary")).as("bh"), count(lit(1)).as("n"))
+      lvl1.agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_buckets"),
+        md5(concat_ws("", array_sort(collect_list(col("bh"))))
+          .cast("binary")).as("corpus_digest"))
+    },
+
     // regex function suite over part names (RE2-safe dialect: no
     // backreferences/lookaround, so the Java and RE2 engines agree).
     "fn_regex_suite" -> { (s, dir) =>
@@ -129,6 +183,44 @@ object Extras27 {
          |  UNION ALL SELECT cast(3 AS bigint), a, b, pair_freq FROM b3)
          |ORDER BY round""".stripMargin
     },
+    "events_markov_stationary" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |           FROM events),
+        |t AS (SELECT user_id, event_type AS to_type,
+        |    lag(event_type) OVER w AS from_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (SELECT from_type, to_type, cast(count(*) AS bigint) AS n
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, cast(sum(n) AS bigint) AS tot
+        |  FROM c GROUP BY 1),
+        |p AS MATERIALIZED (SELECT c.from_type, c.to_type,
+        |    cast(n AS double) / cast(tot AS double) AS p
+        |  FROM c JOIN tot USING (from_type)),
+        |st AS MATERIALIZED (SELECT DISTINCT event_type AS state FROM e),
+        |kk AS (SELECT cast(count(*) AS bigint) AS k FROM st),
+        |pi0 AS (SELECT state, 1.0 / cast(k AS double) AS pi
+        |        FROM st CROSS JOIN kk),
+        |pi1 AS MATERIALIZED (SELECT to_type AS state,
+        |    cast(sum(cast(pi * p AS decimal(18,12))) AS double) AS pi
+        |  FROM pi0 JOIN p ON state = from_type GROUP BY 1),
+        |pi2 AS MATERIALIZED (SELECT to_type AS state,
+        |    cast(sum(cast(pi * p AS decimal(18,12))) AS double) AS pi
+        |  FROM pi1 JOIN p ON state = from_type GROUP BY 1),
+        |pi3 AS (SELECT to_type AS state,
+        |    cast(sum(cast(pi * p AS decimal(18,12))) AS double) AS pi
+        |  FROM pi2 JOIN p ON state = from_type GROUP BY 1)
+        |SELECT state AS event_type, round(pi, 6) AS pi
+        |FROM pi3 ORDER BY event_type""".stripMargin,
+    "pipeline_dataset_fingerprint" ->
+      """WITH h AS (SELECT doc_id % 64 AS bucket, md5(text) AS h
+        |           FROM documents),
+        |l1 AS (SELECT bucket, md5(string_agg(h, '' ORDER BY h)) AS bh,
+        |         cast(count(*) AS bigint) AS n
+        |       FROM h GROUP BY bucket)
+        |SELECT cast(sum(n) AS bigint) AS n_docs,
+        |  cast(count(*) AS bigint) AS n_buckets,
+        |  md5(string_agg(bh, '' ORDER BY bh)) AS corpus_digest
+        |FROM l1""".stripMargin,
     "fn_regex_suite" ->
       """SELECT p_partkey,
         |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,

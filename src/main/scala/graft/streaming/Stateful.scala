@@ -288,6 +288,47 @@ object Stateful {
         OutputMode.Append())
   }
 
+  case class UserEvent(user_id: Long, us: Long, event_type: String, vq: Long)
+  case class FeatureRow(user_id: Long, us: Long, clicks_1h: Long,
+    events_24h: Long, vsum_24h_q: Long)
+
+  /** PUBLIC API: CONTINUOUS point-in-time feature extraction — the
+    * streaming twin of the declared `events_feature_asof`: per purchase
+    * event, the user's trailing counters STRICTLY BEFORE the event
+    * (clicks ≤ 1 h back; events and quantized value sum ≤ 24 h back).
+    * State per user is the ring buffer of its last-24 h events — bounded
+    * by the window span, evicted as event time advances (the batch
+    * query's RANGE frame, kept incrementally). Requires per-user
+    * event-time order across batches, the same assumption the batch
+    * window sort realizes; StatefulSpec pins batch parity. */
+  def featureAsofStream(events: Dataset[UserEvent]): Dataset[FeatureRow] = {
+    implicit val encOut = Encoders.product[FeatureRow]
+    implicit val encState = Encoders.kryo[List[(Long, String, Long)]]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[List[(Long, String, Long)], FeatureRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[UserEvent],
+         state: GroupState[List[(Long, String, Long)]]) =>
+          var buf = state.getOption.getOrElse(List.empty)
+          val out = scala.collection.mutable.ListBuffer.empty[FeatureRow]
+          it.toIndexedSeq.sortBy(_.us).foreach { e =>
+            buf = buf.filter(_._1 >= e.us - 86400000000L)
+            if (e.event_type == "purchase") {
+              val w24 = buf.filter(_._1 < e.us) // strictly before, like the
+              // batch frame's -1 upper bound (same-us peers excluded)
+              val w1 = w24.count(t =>
+                t._1 >= e.us - 3600000000L && t._2 == "click")
+              out += FeatureRow(user, e.us, w1.toLong, w24.size.toLong,
+                w24.map(_._3).sum)
+            }
+            buf = buf :+ ((e.us, e.event_type, e.vq))
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
+
   def approxTopValuesStream(rows: Dataset[GroupValue], capacity: Int,
       k: Int): Dataset[TopValue] = {
     require(capacity >= 1 && k >= 1, "need capacity >= 1 and k >= 1")

@@ -281,4 +281,61 @@ class StatefulSpec extends SparkSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("featureAsofStream matches the batch RANGE-frame semantics across batches") {
+    import graft.streaming.Stateful.{UserEvent, FeatureRow}
+    implicit val sc = spark.sqlContext
+    val H = 3600000000L
+    val mem = MemoryStream[UserEvent]
+    val q = Stateful.featureAsofStream(mem.toDS())
+      .writeStream.format("memory").queryName("feat")
+      .outputMode("append").start()
+    // user 1: clicks at t0, t0+30m, view at t0+50m, purchase at t0+55m
+    val t0 = 1700000000000000L
+    mem.addData(
+      UserEvent(1, t0, "click", 10),
+      UserEvent(1, t0 + 30 * 60 * 1000000L, "click", 20),
+      UserEvent(1, t0 + 50 * 60 * 1000000L, "view", 30))
+    q.processAllAvailable()
+    // second batch: the purchase sees state from the FIRST batch
+    mem.addData(UserEvent(1, t0 + 55 * 60 * 1000000L, "purchase", 40))
+    q.processAllAvailable()
+    // third: 25h later, everything evicted; same-us click must NOT count
+    val t1 = t0 + 25 * H
+    mem.addData(UserEvent(1, t1, "click", 5), UserEvent(1, t1, "purchase", 7))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("feat").orderBy("us")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // purchase 1: 2 clicks in 1h, 3 events in 24h, vsum 60
+    assert(out(0) == ((2L, 3L, 60L)), s"got ${out.toSeq}")
+    // purchase 2: the same-us click is excluded (strictly-before frame)
+    assert(out(1) == ((0L, 0L, 0L)), s"got ${out.toSeq}")
+
+    // parity with the declared batch query's window algebra on the same rows
+    val rows = Seq(
+      (1L, t0, "click", 10L), (1L, t0 + 30 * 60 * 1000000L, "click", 20L),
+      (1L, t0 + 50 * 60 * 1000000L, "view", 30L),
+      (1L, t0 + 55 * 60 * 1000000L, "purchase", 40L),
+      (1L, t1, "click", 5L), (1L, t1, "purchase", 7L))
+      .toDF("user_id", "us", "event_type", "vq")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w1 = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600000000L, -1L)
+    val w24 = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-86400000000L, -1L)
+    val batch = rows
+      .withColumn("c1", sum(when(col("event_type") === "click", 1L)
+        .otherwise(0L)).over(w1))
+      .withColumn("e24", count(lit(1)).over(w24))
+      .withColumn("v24", sum(col("vq")).over(w24))
+      .where(col("event_type") === "purchase")
+      .orderBy("us")
+      .collect().map(r => (
+        java.lang.Long.valueOf(if (r.isNullAt(4)) 0L else r.getLong(4)).longValue,
+        r.getLong(5),
+        if (r.isNullAt(6)) 0L else r.getLong(6)))
+    assert(batch.toSeq == out.toSeq, s"stream ${out.toSeq} != batch ${batch.toSeq}")
+  }
 }
