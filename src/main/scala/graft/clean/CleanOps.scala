@@ -278,6 +278,30 @@ final case class ParseTimestamp(column: String, fmt: String = "yyyy-MM-dd HH:mm:
   def code: String = s"""df.withColumn("$column", try_to_timestamp(col("$column"), "$fmt"))"""
 }
 
+/** z-standardize a numeric column: (x − mean) / sd, exact-decimal mean,
+  * sample sd; a constant column (sd = 0) nulls rather than ±Inf. Only a
+  * recipe-recorded TRANSFORM — the profiling twin is the declared
+  * `scale_standardize` query. */
+final case class Standardize(column: String, roundTo: Int = 6) extends CleanOp {
+  def apply(df: DataFrame): DataFrame = {
+    val c = col(column)
+    val stats = df.agg(
+      (sum(c.cast("decimal(18,4)")).cast("double") / count(c)).as("__graft_mu"),
+      sum((c.cast("decimal(18,4)") * c.cast("decimal(18,4)")))
+        .cast("double").as("__graft_sx2"),
+      count(c).as("__graft_n"))
+    CleanOp.withScalarStats(df, stats)
+      .withColumn(column,
+        round((c - col("__graft_mu")) /
+          nullif(sqrt((col("__graft_sx2") -
+            col("__graft_mu") * col("__graft_mu") * col("__graft_n")) /
+            (col("__graft_n") - 1)), lit(0.0)), roundTo) + lit(0.0))
+      .drop("__graft_mu", "__graft_sx2", "__graft_n")
+  }
+  def code: String =
+    s"""df.crossJoin(broadcast(df.agg(mean, sd))).withColumn("$column", round((col("$column") - mean) / nullif(sd, 0.0), $roundTo))  // z-score, null on constant column"""
+}
+
 /** trim + lower + collapse internal whitespace (pre-clustering normalize). */
 final case class NormalizeWhitespace(column: String) extends CleanOp {
   def apply(df: DataFrame): DataFrame =
@@ -373,6 +397,7 @@ object Recipe {
       case "ClipToQuantiles" => ClipToQuantiles(s("column"), d("pLo"), d("pHi"))
       case "SafeCastDouble" => SafeCastDouble(s("column"), s("target"))
       case "ParseTimestamp" => ParseTimestamp(s("column"), s("fmt"))
+      case "Standardize" => Standardize(s("column"), i("roundTo"))
       case "NormalizeWhitespace" => NormalizeWhitespace(s("column"))
       case "FingerprintCanonicalize" => FingerprintCanonicalize(s("column"))
       case other => throw new IllegalArgumentException(s"unknown CleanOp: $other")

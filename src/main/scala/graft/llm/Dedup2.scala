@@ -29,6 +29,36 @@ object Dedup2 {
         .orderBy(col("keeper"), col("h"))
     },
 
+    // inter-source trigram overlap matrix — which sources duplicate
+    // each other's content (syndication, mirrors, scraped copies): the
+    // corpus collapses to DISTINCT (source, trigram) rows (vocabulary-
+    // sized), pairs join on the trigram (fan-out bounded per shingle by
+    // the source count, never the corpus), Jaccard over exact set
+    // sizes. Only overlapping pairs emit — a zero row would mean a
+    // shingle-free source pair.
+    "text_source_ngram_overlap" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DoubleType
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val sh = Dedup.shingleArrays(d, "doc_id", "text", 3, dedup = true)
+      val srcSet = sh.join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), explode(col("sh")).as("bg")).distinct()
+      val sizes = srcSet.groupBy("source").agg(count(lit(1)).as("nv"))
+      val a = srcSet.select(col("source").as("src_a"), col("bg"))
+      val b = srcSet.select(col("source").as("src_b"), col("bg"))
+      a.join(b, "bg").where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("nv").as("na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("nv").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("common"),
+          round(col("common").cast(DoubleType) /
+            (col("na") + col("nb") - col("common")).cast(DoubleType), 6)
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+
     // soft dedup (repeat upweighting): instead of DROPPING near-dup
     // losers, the cluster keeper (the component's min id) carries
     // weight = cluster size and singletons carry weight 1 — the
@@ -128,6 +158,27 @@ object Dedup2 {
     s"SELECT vec_id, ${Similarity.sqlUnit("embedding")} AS v FROM embeddings"
 
   val oracle: Map[String, String] = Map(
+    "text_source_ngram_overlap" ->
+      """WITH pos AS (SELECT doc_id, source,
+        |    unnest(string_split(lower(text), ' ')) AS word,
+        |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source, bg FROM (
+        |  SELECT source, word || ' ' || lead(word, 1) OVER w || ' '
+        |      || lead(word, 2) OVER w AS bg
+        |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+        |  WHERE bg IS NOT NULL),
+        |sizes AS (SELECT source, cast(count(*) AS bigint) AS nv
+        |  FROM sh GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  cast(count(*) AS bigint) AS common,
+        |  round(cast(count(*) AS double)
+        |    / cast(sa.nv + sb.nv - count(*) AS double), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.bg = b.bg AND a.source < b.source
+        |JOIN sizes sa ON sa.source = a.source
+        |JOIN sizes sb ON sb.source = b.source
+        |GROUP BY a.source, b.source, sa.nv, sb.nv
+        |ORDER BY src_a, src_b""".stripMargin,
     "dedup_soft_upweight" ->
       s"""WITH RECURSIVE ${Dedup.sqlBands},
          |pr AS (SELECT doc_a, doc_b FROM cand),

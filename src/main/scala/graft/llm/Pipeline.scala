@@ -87,6 +87,23 @@ object Pipeline {
         .orderBy(col("split"))
     },
 
+    // deterministic source interleaving: the training order that takes
+    // documents round-robin across sources (rank-1 of every source,
+    // then rank-2, …) — the mixing that keeps any single source from
+    // monopolizing a training window. Both levels ride the distributed
+    // kernels: per-source rank via the source-keyed prefix sum (a
+    // source's docs never funnel through one task), global position via
+    // distributedRank over (rank, source).
+    "pipeline_interleave_sources" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id")).withColumn("one", lit(1L))
+      val ranked = graft.GraftOps.distributedRunningSum(
+        d, "source", "doc_id", "one", "r")
+      graft.GraftOps.distributedRank(ranked, Seq("r", "source"), "pos")
+        .select(col("doc_id"), col("source"), col("r"), col("pos"))
+        .orderBy("doc_id")
+    },
+
     "pipeline_shuffle_deterministic" -> { (s, dir) =>
       // seeded LCG over the bounded key (same overflow contract as
       // split_train_test); modulus ≠ multiplier period → real scatter.
@@ -122,6 +139,14 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_interleave_sources" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    cast(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS bigint) AS r
+        |  FROM documents)
+        |SELECT doc_id, source, r,
+        |  cast(row_number() OVER (ORDER BY r, source) AS bigint) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
     "pipeline_corpus_curation" ->
       s"""WITH ${Dedup.sqlBands},
          |losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand),

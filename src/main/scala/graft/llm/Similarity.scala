@@ -376,6 +376,33 @@ object Similarity {
         .orderBy("qid", "rank")
     },
 
+    // embedding-geometry diagnostic: the cosine distribution over N/2
+    // DETERMINISTIC random pairs (LCG-shuffled rank r pairs 2k−1 with
+    // 2k) — the "is my embedding space collapsing?" report (a healthy
+    // space concentrates near 0; drift toward 1 means the encoder is
+    // collapsing). Linear in the corpus: one shuffle rank via
+    // distributedRank, one equi-join on the pair id, exact micro-unit
+    // cosines histogrammed in 0.1 bins.
+    "sim_pair_distance_stats" -> { (s, dir) =>
+      val v = vecs(s, dir).select(col("vec_id"), col("v"))
+        .withColumn("k", (col("vec_id") * 2654435761L) % 1000003L)
+      val ranked = graft.GraftOps.distributedRank(v, Seq("k", "vec_id"), "rk")
+      val aSide = ranked.where(col("rk") % 2 === 1)
+        .select((col("rk") + 1L).as("pid"), col("v").as("va"))
+      val bSide = ranked.where(col("rk") % 2 === 0)
+        .select(col("rk").as("pid"), col("v").as("vb"))
+      aSide.join(bSide, "pid")
+        .withColumn("cu",
+          floor(cosine(col("va"), col("vb")) * 1000000.0).cast("long"))
+        // floor(cu/1e5), not DIV: Spark's DIV truncates toward zero
+        // while DuckDB's // floors — they disagree on negative cosines
+        .groupBy(floor(col("cu") / lit(100000.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("cu")).cast("double") /
+            (count(lit(1)) * 1000000L).cast("double")).as("mean_cos"))
+        .orderBy("bin")
+    },
+
     // exact cosine for all same-label pairs, top-100
     "sim_cosine_pairs" -> { (s, dir) =>
       val a = vecs(s, dir).select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
@@ -538,6 +565,24 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "sim_pair_distance_stats" ->
+      s"""WITH e AS ($sqlVecs),
+         |k AS (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS k
+         |      FROM e),
+         |r AS (SELECT vec_id, v,
+         |    cast(row_number() OVER (ORDER BY k, vec_id) AS bigint) AS rk
+         |  FROM k),
+         |p AS (SELECT a.va, b.vb
+         |  FROM (SELECT rk + 1 AS pid, v AS va FROM r WHERE rk % 2 = 1) a
+         |  JOIN (SELECT rk AS pid, v AS vb FROM r WHERE rk % 2 = 0) b
+         |  USING (pid)),
+         |c AS (SELECT cast(floor(${cosSql("va", "vb")} * 1000000.0)
+         |    AS bigint) AS cu FROM p)
+         |SELECT cast(floor(cu / 100000.0) AS bigint) AS bin,
+         |  cast(count(*) AS bigint) AS n_pairs,
+         |  cast(sum(cu) AS double) / cast(count(*) * 1000000 AS double)
+         |    AS mean_cos
+         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
     // every CTE referenced more than once is MATERIALIZED — DuckDB
     // re-inlines plain CTEs at each reference (the kcore trap)
     "sim_mmr_rerank" ->

@@ -28,6 +28,7 @@ class RecipeExportSpec extends SparkSuite {
     DropNaAny(Seq("a", "b")),
     DedupByKey(Seq("k"), Seq("o1", "o2")),
     ClipToQuantiles("v", 0.01, 0.99),
+    Standardize("v", 4),
     SafeCastDouble("s", "double"),
     ParseTimestamp("t", "yyyy-MM-dd HH:mm:ss"),
     NormalizeWhitespace("name"),
