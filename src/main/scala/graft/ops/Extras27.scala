@@ -73,6 +73,67 @@ object Extras27 {
         .orderBy("round")
     },
 
+    // weekday seasonality index: each weekday's revenue share against
+    // the uniform 1/7 — the demand-planning baseline. Weekday from the
+    // epoch-day index (% 7), NEVER dayofweek() (numbering differs
+    // across engines); exact decimal revenue, one double division.
+    "analytics_weekday_seasonality" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").select(
+        // o_orderdate surfaces as TIMESTAMP_NTZ — cast to TIMESTAMP
+        // first (identity under the pinned UTC session timezone)
+        expr("unix_micros(cast(o_orderdate AS timestamp))" +
+          " DIV 86400000000 % 7").as("weekday"),
+        col("o_totalprice").cast(DecimalType(18, 4)).as("rev"))
+      val daily = o.groupBy("weekday")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("rev")).cast(DecimalType(18, 4)).as("revd"))
+      val tot = daily.agg(sum(col("revd")).cast(DecimalType(18, 4)).as("tot"))
+      daily.crossJoin(broadcast(tot))
+        .select(col("weekday"), col("n_orders"),
+          round(col("revd").cast(DoubleType) / col("tot").cast(DoubleType), 6)
+            .as("rev_share"),
+          round(col("revd").cast(DoubleType) / col("tot").cast(DoubleType) *
+            7.0, 6).as("seasonality_index"))
+        .orderBy("weekday")
+    },
+
+    // per-user behavioral entropy: Shannon entropy of each user's
+    // event-type distribution — the diversity score separating
+    // single-action bots from organic users. Per-(user, type) counts
+    // reduce map-side; entropy terms quantize DECIMAL(18,12) per row
+    // (identical trees both engines) and sum exactly per user.
+    "events_entropy_per_user" -> { (s, dir) =>
+      val c = Tables(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val n = c.groupBy("user_id").agg(sum(col("c")).as("n"))
+      c.join(n, "user_id")
+        .select(col("user_id"), col("n"),
+          ((-(col("c").cast(DoubleType) / col("n").cast(DoubleType))) *
+            log(col("c").cast(DoubleType) / col("n").cast(DoubleType)))
+            .cast(DecimalType(18, 12)).as("term"))
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n_events"),
+          round(sum(col("term")).cast(DoubleType), 6).as("entropy"))
+        .orderBy("user_id")
+    },
+
+    // grouping_id over a rollup — the §2.4 completion that
+    // distinguishes "NULL because rolled up" from "NULL in the data":
+    // revenue rollup over (returnflag, linestatus) with the grouping
+    // bitmask and per-level labels.
+    "agg_rollup_grouping_id" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice").cast(DecimalType(18, 4)).as("rev"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rev")).cast(DoubleType).as("revenue"),
+          grouping_id().as("gid"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+
     // stationary distribution of the event-type Markov chain: row-
     // normalized transition matrix from per-user lagged sequences, then
     // 3 power iterations from the uniform vector — where user traffic
@@ -183,6 +244,43 @@ object Extras27 {
          |  UNION ALL SELECT cast(3 AS bigint), a, b, pair_freq FROM b3)
          |ORDER BY round""".stripMargin
     },
+    "analytics_weekday_seasonality" ->
+      """WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 % 7
+        |      AS weekday,
+        |    cast(o_totalprice AS decimal(18,4)) AS rev
+        |  FROM orders),
+        |d AS (SELECT weekday, cast(count(*) AS bigint) AS n_orders,
+        |    cast(sum(rev) AS decimal(18,4)) AS revd
+        |  FROM o GROUP BY weekday),
+        |t AS (SELECT cast(sum(revd) AS decimal(18,4)) AS tot FROM d)
+        |SELECT weekday, n_orders,
+        |  round(cast(revd AS double) / cast(tot AS double), 6) AS rev_share,
+        |  round(cast(revd AS double) / cast(tot AS double) * 7.0, 6)
+        |    AS seasonality_index
+        |FROM d CROSS JOIN t ORDER BY weekday""".stripMargin,
+    "events_entropy_per_user" ->
+      """WITH c AS (SELECT user_id, event_type, cast(count(*) AS bigint) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |n AS (SELECT user_id, cast(sum(c) AS bigint) AS n
+        |  FROM c GROUP BY user_id),
+        |t AS (SELECT c.user_id, n.n,
+        |    cast(-(cast(c AS double) / cast(n AS double))
+        |      * ln(cast(c AS double) / cast(n AS double))
+        |      AS decimal(18,12)) AS term
+        |  FROM c JOIN n ON c.user_id = n.user_id)
+        |SELECT user_id, max(n) AS n_events,
+        |  round(cast(sum(term) AS double), 6) AS entropy
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_rollup_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,4))) AS double)
+        |    AS revenue,
+        |  cast(grouping(l_returnflag, l_linestatus) AS bigint) AS gid,
+        |  cast(grouping(l_returnflag) AS bigint) AS g_rf,
+        |  cast(grouping(l_linestatus) AS bigint) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin,
     "events_markov_stationary" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
         |           FROM events),
