@@ -376,6 +376,48 @@ object Similarity {
         .orderBy("qid", "rank")
     },
 
+    // embedding DRIFT monitor at the cluster grain: split the corpus in
+    // two deterministic halves, assign both to the SHARED centroid set,
+    // and compare each cluster's occupancy and mean direction — the
+    // "did the encoder move?" gate between corpus refreshes (the
+    // vector-space twin of profile_drift_psi_ks). Everything after the
+    // two assignments lives on (cluster × dim) rows; per-dim means are
+    // exact decimal folds and the mean-vs-mean cosine quantizes its 64
+    // products to DECIMAL(18,12) (a raw double dot over ROWS would be
+    // partition-order-dependent).
+    "sim_centroid_drift" -> { (s, dir) =>
+      val all = vecs(s, dir)
+      val cents = all.where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // (cluster × dim)-sized means checkpointed: each feeds the join
+      // AND the final aggregate, and re-evaluating a side re-runs its
+      // whole assignment pass
+      def halfMeans(rem: Int): DataFrame =
+        assignToCentroids(all.where(col("vec_id") % 2 === rem)
+          .select(col("vec_id"), col("v")), cents)
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("x").cast("decimal(18,12)")).cast("double") /
+              count(lit(1)), 6).as("m"))
+          .localCheckpoint(false)
+      val a = halfMeans(0).select(col("cid"), col("pos"),
+        col("n").as("na"), col("m").as("ma"))
+      val b = halfMeans(1).select(col("cid"), col("pos"),
+        col("n").as("nb"), col("m").as("mb"))
+      a.join(b, Seq("cid", "pos"))
+        .groupBy("cid")
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum((col("ma") * col("mb")).cast("decimal(18,12)")).as("dot"),
+          sum((col("ma") * col("ma")).cast("decimal(18,12)")).as("qa"),
+          sum((col("mb") * col("mb")).cast("decimal(18,12)")).as("qb"))
+        .select(col("cid"), col("n_a"), col("n_b"),
+          (round(lit(1.0) - col("dot").cast("double") /
+            (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double"))),
+            6) + lit(0.0)).as("drift"))
+        .orderBy("cid")
+    },
+
     // embedding-geometry diagnostic: the cosine distribution over N/2
     // DETERMINISTIC random pairs (LCG-shuffled rank r pairs 2k−1 with
     // 2k) — the "is my embedding space collapsing?" report (a healthy
@@ -565,6 +607,35 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "sim_centroid_drift" ->
+      s"""WITH e AS MATERIALIZED ($sqlVecs),
+         |cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
+         |  WHERE vec_id % 97 = 0),
+         |asg AS MATERIALIZED (SELECT vec_id, v, cid, vec_id % 2 AS half
+         |  FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS arn
+         |  FROM e CROSS JOIN cents c) WHERE arn = 1),
+         |long AS (SELECT half, cid, u.el.i - 1 AS pos, u.el.s AS x
+         |  FROM asg,
+         |    unnest(list_transform(v, (s0, i) -> struct_pack(s := s0, i := i)))
+         |      AS u(el)),
+         |means AS MATERIALIZED (SELECT half, cid, pos,
+         |    cast(count(*) AS bigint) AS n,
+         |    round(cast(sum(cast(x AS decimal(18,12))) AS double) / count(*), 6)
+         |      AS m
+         |  FROM long GROUP BY half, cid, pos),
+         |j AS (SELECT a.cid, a.pos, a.n AS na, a.m AS ma, b.n AS nb, b.m AS mb
+         |  FROM (SELECT * FROM means WHERE half = 0) a
+         |  JOIN (SELECT * FROM means WHERE half = 1) b
+         |    ON a.cid = b.cid AND a.pos = b.pos)
+         |SELECT cid, max(na) AS n_a, max(nb) AS n_b,
+         |  round(1.0 - cast(sum(cast(ma * mb AS decimal(18,12))) AS double)
+         |    / (sqrt(cast(sum(cast(ma * ma AS decimal(18,12))) AS double))
+         |      * sqrt(cast(sum(cast(mb * mb AS decimal(18,12))) AS double))),
+         |    6) + 0.0 AS drift
+         |FROM j GROUP BY cid ORDER BY cid""".stripMargin,
     "sim_pair_distance_stats" ->
       s"""WITH e AS ($sqlVecs),
          |k AS (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS k

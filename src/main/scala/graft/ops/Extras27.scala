@@ -73,6 +73,56 @@ object Extras27 {
         .orderBy("round")
     },
 
+    // outlier influence report: classic mean vs 5–95% trimmed mean vs
+    // median per numeric column — how much the tails move the headline
+    // statistic (the "should I clip before aggregating" profiling
+    // readout). Long format via stack, exact percentile bounds
+    // broadcast back, conditional exact-decimal trimmed mean.
+    "profile_outlier_influence" -> { (s, dir) =>
+      // NO stack/long-format: a stacked 2×-row group-by form measured
+      // ~5 s (row doubling + string group keys + a mixed
+      // ObjectHashAggregate); wide 1-row aggregates + a map-side
+      // unpivot of 2 struct rows do the same work in ~1 s. The trimmed
+      // means are CONDITIONAL sums over the broadcast bounds row — a
+      // projection over the crossJoin, never a filter (a filter
+      // referencing both sides degrades to a conditioned BNLJ).
+      val li = Tables(s, dir, "lineitem")
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val bAggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+        Seq(sum(col(c).cast(DecimalType(18, 4))).cast(DoubleType).as(s"s_$c"),
+          expr(s"percentile($c, array(0.05, 0.5, 0.95))").as(s"ps_$c"))
+      }
+      val bounds = li.agg(bAggs.head, bAggs.tail: _*)
+        .select(col("n") +: cols.flatMap { c =>
+          Seq((col(s"s_$c") / col("n").cast(DoubleType)).as(s"mean_$c"),
+            round(element_at(col(s"ps_$c"), 1), 4).as(s"lo_$c"),
+            round(element_at(col(s"ps_$c"), 2), 4).as(s"med_$c"),
+            round(element_at(col(s"ps_$c"), 3), 4).as(s"hi_$c"))
+        }: _*)
+      val tAggs = cols.flatMap { c =>
+        Seq(sum(when(col(c) >= col(s"lo_$c") && col(c) <= col(s"hi_$c"),
+            col(c).cast(DecimalType(18, 4)))).cast(DoubleType).as(s"ts_$c"),
+          sum(when(col(c) >= col(s"lo_$c") && col(c) <= col(s"hi_$c"), 1L)
+            .otherwise(0L)).as(s"tn_$c"))
+      }
+      li.crossJoin(broadcast(bounds))
+        .agg(tAggs.head,
+          tAggs.tail ++ Seq(max(col("n")).as("n")) ++ cols.flatMap(c =>
+            Seq(max(col(s"mean_$c")).as(s"mean_$c"),
+              max(col(s"med_$c")).as(s"med_$c"))): _*)
+        .select(explode(array(cols.map { c =>
+          val trimmed = col(s"ts_$c") / col(s"tn_$c").cast(DoubleType)
+          struct(lit(c).as("col_name"), col("n"),
+            round(col(s"mean_$c"), 6).as("mean"),
+            col(s"med_$c").as("median"),
+            round(trimmed, 6).as("trimmed_mean"),
+            (round(col(s"mean_$c") - trimmed, 6) + lit(0.0))
+              .as("outlier_influence"))
+        }: _*)).as("r"))
+        .select(col("r.*"))
+        .orderBy("col_name")
+    },
+
     // weekday seasonality index: each weekday's revenue share against
     // the uniform 1/7 — the demand-planning baseline. Weekday from the
     // epoch-day index (% 7), NEVER dayofweek() (numbering differs
@@ -244,6 +294,28 @@ object Extras27 {
          |  UNION ALL SELECT cast(3 AS bigint), a, b, pair_freq FROM b3)
          |ORDER BY round""".stripMargin
     },
+    "profile_outlier_influence" ->
+      """WITH u AS (
+        |  SELECT 'l_extendedprice' AS col_name, l_extendedprice AS v
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem),
+        |b AS (SELECT col_name, cast(count(*) AS bigint) AS n,
+        |    cast(sum(cast(v AS decimal(18,4))) AS double) / count(*)
+        |      AS mean_raw,
+        |    round(quantile_cont(v, 0.05), 4) AS lo,
+        |    round(quantile_cont(v, 0.5), 4) AS median_r4,
+        |    round(quantile_cont(v, 0.95), 4) AS hi
+        |  FROM u GROUP BY col_name),
+        |t AS (SELECT u.col_name,
+        |    cast(sum(cast(v AS decimal(18,4))) AS double) / count(*)
+        |      AS trimmed_raw
+        |  FROM u JOIN b ON u.col_name = b.col_name AND v >= lo AND v <= hi
+        |  GROUP BY u.col_name)
+        |SELECT b.col_name AS col_name, n, round(mean_raw, 6) AS mean,
+        |  median_r4 AS median, round(trimmed_raw, 6) AS trimmed_mean,
+        |  round(mean_raw - trimmed_raw, 6) + 0.0 AS outlier_influence
+        |FROM b JOIN t ON b.col_name = t.col_name ORDER BY b.col_name"""
+        .stripMargin,
     "analytics_weekday_seasonality" ->
       """WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 % 7
         |      AS weekday,
