@@ -50,6 +50,7 @@ object SparkEntry {
     (ops.Extras25.queries, ops.Extras25.oracle),
     (ops.Extras26.queries, ops.Extras26.oracle),
     (ops.Extras27.queries, ops.Extras27.oracle),
+    (ops.Extras28.queries, ops.Extras28.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

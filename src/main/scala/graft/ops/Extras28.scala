@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Round-9 batch 9: as-of with tolerance, discrete percentiles, and
+  * power analysis.
+  *
+  * Float discipline: percentile_disc returns an ACTUAL data value (no
+  * interpolation) so it hash-matches raw; the power-analysis z
+  * constants are shared hardcoded literals (the Benford rule — libm
+  * inverse-normal differs across engines, constants don't).
+  */
+object Extras28 {
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  val queries: Map[String, Q] = Map(
+
+    // as-of join WITH TOLERANCE (the pandas merge_asof / kdb aj knob):
+    // each purchase takes its latest click at-or-before, but only
+    // within 1 h — older context is stale and must NOT attach. Same
+    // union + carry-forward window as join_asof (one shuffle, no join);
+    // the tolerance is a post-window null-out.
+    "join_asof_tolerance" -> { (s, dir) =>
+      val tol = 3600000000L // 1h in µs
+      val tagged = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        .where(col("event_type").isin("click", "purchase"))
+        .withColumn("side", when(col("event_type") === "click", 0).otherwise(1))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("ct",
+          last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+        .withColumn("ci",
+          last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+            .over(w))
+        .where(col("side") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("t").as("pt"),
+          when(col("t") - col("ct") <= tol, col("ci")).as("click_id"),
+          when(col("t") - col("ct") <= tol, col("t") - col("ct")).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+
+    // discrete (type-1) percentiles — the quantile that returns an
+    // ACTUAL data value, needed when the column is categorical-coded or
+    // interpolation is meaningless; also the hash-friendliest quantile
+    // (no arithmetic at all). WITHIN GROUP SQL surface.
+    "agg_percentile_disc" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + seq.incrementAndGet()
+      val v = s"graft_pdisc_$tag"
+      Tables(s, dir, "lineitem").createOrReplaceTempView(v)
+      try s.sql(
+        s"""SELECT l_returnflag, count(*) AS n,
+           |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+           |    AS p50_disc,
+           |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+           |    AS p90_disc
+           |FROM $v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      finally s.catalog.dropTempView(v)
+    },
+
+    // two-sample power analysis: the per-group sample size needed to
+    // detect the OBSERVED AUTOMOBILE-vs-BUILDING balance gap at
+    // α = 0.05 / power 0.8 — n = 2σ²(z₀.₉₇₅+z₀.₈)²/δ². The z values
+    // are shared hardcoded literals; σ² is the pooled round-4 variance
+    // from the Welch sufficient stats.
+    "stats_power_analysis" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .where(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .select(col("c_mktsegment").as("seg"),
+          col("c_acctbal").cast(DecimalType(12, 2)).as("x"))
+      val g = c.groupBy("seg").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("x") * col("x")).cast(DoubleType).as("sxx"))
+      val m = col("sx") / col("n")
+      val v = round((col("sxx") - col("sx") * col("sx") / col("n"))
+        / (col("n") - 1), 4)
+      val a = g.where(col("seg") === "AUTOMOBILE")
+        .select(col("n").as("n1"), m.as("m1"), v.as("v1"))
+      val b = g.where(col("seg") === "BUILDING")
+        .select(col("n").as("n2"), m.as("m2"), v.as("v2"))
+      val zSum = lit(1.959963984540054) + lit(0.8416212335729143)
+      val pooled = ((col("n1") - 1L).cast(DoubleType) * col("v1") +
+        (col("n2") - 1L).cast(DoubleType) * col("v2")) /
+        (col("n1") + col("n2") - 2L).cast(DoubleType)
+      val delta = col("m1") - col("m2")
+      a.crossJoin(broadcast(b))
+        .select(col("n1"), col("n2"),
+          (round(delta, 6) + lit(0.0)).as("observed_delta"),
+          round(sqrt(pooled), 6).as("pooled_sd"),
+          ceil(lit(2.0) * pooled * zSum * zSum / (delta * delta))
+            .cast("long").as("required_n_per_group"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_asof_tolerance" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT user_id, event_id, t, side,
+        |    max(CASE WHEN side = 0 THEN struct_pack(t := t, id := event_id)
+        |        END) OVER w AS carry
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY t, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id, t AS pt,
+        |  CASE WHEN t - carry.t <= 3600000000 THEN carry.id END AS click_id,
+        |  CASE WHEN t - carry.t <= 3600000000 THEN t - carry.t END AS gap_us
+        |FROM c WHERE side = 1 ORDER BY purchase_id""".stripMargin,
+    "agg_percentile_disc" ->
+      """SELECT l_returnflag, cast(count(*) AS bigint) AS n,
+        |  quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+        |  quantile_disc(l_extendedprice, 0.9) AS p90_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+    "stats_power_analysis" ->
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |                  cast(c_acctbal AS decimal(12,2)) AS x
+        |           FROM customer
+        |           WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+        |g AS (SELECT seg, cast(count(*) AS bigint) AS n,
+        |             cast(sum(x) AS double) AS sx,
+        |             cast(sum(x * x) AS double) AS sxx
+        |      FROM c GROUP BY seg),
+        |a AS (SELECT n AS n1, sx / n AS m1,
+        |             round((sxx - sx * sx / n) / (n - 1), 4) AS v1
+        |      FROM g WHERE seg = 'AUTOMOBILE'),
+        |b AS (SELECT n AS n2, sx / n AS m2,
+        |             round((sxx - sx * sx / n) / (n - 1), 4) AS v2
+        |      FROM g WHERE seg = 'BUILDING')
+        |SELECT n1, n2,
+        |  round(m1 - m2, 6) + 0.0 AS observed_delta,
+        |  round(sqrt((cast(n1 - 1 AS double) * v1
+        |      + cast(n2 - 1 AS double) * v2)
+        |    / cast(n1 + n2 - 2 AS double)), 6) AS pooled_sd,
+        |  cast(ceil(2.0 * ((cast(n1 - 1 AS double) * v1
+        |      + cast(n2 - 1 AS double) * v2)
+        |    / cast(n1 + n2 - 2 AS double))
+        |    * (1.959963984540054 + 0.8416212335729143)
+        |    * (1.959963984540054 + 0.8416212335729143)
+        |    / ((m1 - m2) * (m1 - m2))) AS bigint) AS required_n_per_group
+        |FROM a CROSS JOIN b""".stripMargin
+  )
+}

@@ -329,6 +329,35 @@ object Stateful {
       }
   }
 
+  case class TransitionPair(user_id: Long, from_type: String, to_type: String)
+
+  /** PUBLIC API: CONTINUOUS event-type transition pairs — the streaming
+    * feeder of `events_transition_matrix` / `events_markov_stationary`:
+    * per user, each arriving event emits one (from, to) row against the
+    * user's previous event, with the previous type carried across
+    * micro-batches as one small ValueState per user. Downstream a
+    * windowed count aggregates the pairs into the live transition
+    * matrix. Requires per-user event-time order across batches (same
+    * assumption as the batch lag window); StatefulSpec pins parity. */
+  def transitionPairsStream(events: Dataset[UserEvent]): Dataset[TransitionPair] = {
+    implicit val encOut = Encoders.product[TransitionPair]
+    implicit val encState = Encoders.kryo[(Long, String)]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, String), TransitionPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[(Long, String)]) =>
+          var prev = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer.empty[TransitionPair]
+          it.toIndexedSeq.sortBy(e => (e.us, e.event_type)).foreach { e =>
+            if (prev != null) out += TransitionPair(user, prev._2, e.event_type)
+            prev = (e.us, e.event_type)
+          }
+          if (prev != null) state.update(prev)
+          out.iterator
+      }
+  }
+
   def approxTopValuesStream(rows: Dataset[GroupValue], capacity: Int,
       k: Int): Dataset[TopValue] = {
     require(capacity >= 1 && k >= 1, "need capacity >= 1 and k >= 1")

@@ -338,4 +338,28 @@ class StatefulSpec extends SparkSuite {
         if (r.isNullAt(6)) 0L else r.getLong(6)))
     assert(batch.toSeq == out.toSeq, s"stream ${out.toSeq} != batch ${batch.toSeq}")
   }
+
+  test("transitionPairsStream equals the batch lag across micro-batches") {
+    import graft.streaming.Stateful.UserEvent
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = Stateful.transitionPairsStream(mem.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    val t0 = 1700000000000000L
+    def ev(u: Long, k: Int, t: String) = UserEvent(u, t0 + k * 1000000L, t, 0L)
+    mem.addData(ev(1, 0, "view"), ev(1, 1, "click"), ev(2, 0, "signup"))
+    q.processAllAvailable()
+    // batch boundary: user 1's next transition must use state (click)
+    mem.addData(ev(1, 2, "purchase"), ev(2, 1, "view"), ev(2, 2, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans")
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = Map(
+      ("view", "click") -> 1L, ("click", "purchase") -> 1L,
+      ("signup", "view") -> 1L, ("view", "view") -> 1L)
+    assert(got == expected, s"got $got")
+  }
 }
