@@ -67,6 +67,83 @@ object Extras28 {
       finally s.catalog.dropTempView(v)
     },
 
+    // rolling lag-1 autocorrelation flags per user: corr of (x_t,
+    // x_{t-1}) over the trailing 7-pair frame — the "has this series
+    // become self-predictable" monitor. Sufficient sums are EXACT
+    // integer window folds of milli-quantized values (micro-quantized
+    // squares of a 7-term frame overflow int64 — the rolling-zscore
+    // sizing lesson); one fixed IEEE corr tree per row.
+    "window_rolling_autocorr" -> { (s, dir) =>
+      val e = Tables(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 1000.0).cast("long").as("xq"))
+      val wLag = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wFrame = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(-6, 0)
+      val nD = lit(7.0)
+      val p = e.withColumn("yq", lag(col("xq"), 1).over(wLag))
+        .where(col("yq").isNotNull)
+        .withColumn("rn", row_number().over(wLag))
+        .withColumn("sx", sum(col("xq")).over(wFrame))
+        .withColumn("sy", sum(col("yq")).over(wFrame))
+        .withColumn("sxy", sum(col("xq") * col("yq")).over(wFrame))
+        .withColumn("sxx", sum(col("xq") * col("xq")).over(wFrame))
+        .withColumn("syy", sum(col("yq") * col("yq")).over(wFrame))
+        .where(col("rn") >= 7)
+      val num = nD * col("sxy").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sy").cast(DoubleType)
+      val dx = nD * col("sxx").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sx").cast(DoubleType)
+      val dy = nD * col("syy").cast(DoubleType) -
+        col("sy").cast(DoubleType) * col("sy").cast(DoubleType)
+      p.select(col("user_id"), col("event_id"),
+          (round(num / nullif(sqrt(dx) * sqrt(dy), lit(0.0)), 6) + lit(0.0))
+            .as("rolling_autocorr"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // revenue waterfall per ship year: gross → discount → net → tax
+    // (the TPC-H charge algebra as a reconciliation report), one fact
+    // pass. All stages are EXACT INTEGER sums over floor-quantized
+    // units (cents × micro-rate): the naive triple decimal product
+    // ep·(1−disc)·tax exceeds DuckDB's width-38 cap, where it silently
+    // promotes to double and breaks exactness. Per-row products peak
+    // ~1.1e18 (inside int64); sums ride DECIMAL(28,0)/hugeint.
+    "analytics_margin_waterfall" -> { (s, dir) =>
+      val dc = DecimalType(28, 0)
+      val l = Tables(s, dir, "lineitem").select(
+        year(col("l_shipdate")).cast("int").as("yr"),
+        floor(col("l_extendedprice") * 100.0).cast("long").as("epc"),
+        floor(col("l_discount") * 1000000.0).cast("long").as("du"),
+        floor(col("l_tax") * 1000000.0).cast("long").as("tu"))
+      l.groupBy("yr")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("epc").cast(dc)).as("g"),
+          sum((col("epc") * col("du")).cast(dc)).as("da"),
+          sum((col("epc") * (lit(1000000L) - col("du"))).cast(dc)).as("nt"),
+          sum((col("epc") * (lit(1000000L) - col("du")) * col("tu"))
+            .cast(dc)).as("ta"))
+        .select(col("yr"), col("n_lines"),
+          (col("g").cast(DoubleType) / 100.0).as("gross"),
+          (col("da").cast(DoubleType) / 1.0e8).as("discount_amt"),
+          (col("nt").cast(DoubleType) / 1.0e8).as("net"),
+          (col("ta").cast(DoubleType) / 1.0e14).as("tax_amt"))
+        .orderBy("yr")
+    },
+
+    // ordered string aggregation — the reporting concat: per flag, the
+    // sorted distinct statuses as one csv plus counts (DuckDB
+    // string_agg DISTINCT ORDER BY ≡ Spark sorted collect_set join).
+    "fn_stringagg_suite" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_linestatus")).as("n_status"),
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"))
+        .orderBy("l_returnflag")
+    },
+
     // two-sample power analysis: the per-group sample size needed to
     // detect the OBSERVED AUTOMOBILE-vs-BUILDING balance gap at
     // α = 0.05 / power 0.8 — n = 2σ²(z₀.₉₇₅+z₀.₈)²/δ². The z values
@@ -121,6 +198,52 @@ object Extras28 {
       """SELECT l_returnflag, cast(count(*) AS bigint) AS n,
         |  quantile_disc(l_extendedprice, 0.5) AS p50_disc,
         |  quantile_disc(l_extendedprice, 0.9) AS p90_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+    "window_rolling_autocorr" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    cast(floor(value * 1000.0) AS bigint) AS xq
+        |  FROM events),
+        |l AS (SELECT user_id, us, event_id, xq,
+        |    lag(xq) OVER (PARTITION BY user_id ORDER BY us, event_id) AS yq
+        |  FROM e),
+        |f AS (SELECT user_id, event_id,
+        |    row_number() OVER w AS rn,
+        |    cast(sum(xq) OVER wf AS bigint) AS sx,
+        |    cast(sum(yq) OVER wf AS bigint) AS sy,
+        |    cast(sum(xq * yq) OVER wf AS bigint) AS sxy,
+        |    cast(sum(xq * xq) OVER wf AS bigint) AS sxx,
+        |    cast(sum(yq * yq) OVER wf AS bigint) AS syy
+        |  FROM l WHERE yq IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  round((7.0 * cast(sxy AS double) - cast(sx AS double)
+        |      * cast(sy AS double))
+        |    / nullif(sqrt(7.0 * cast(sxx AS double) - cast(sx AS double)
+        |        * cast(sx AS double))
+        |      * sqrt(7.0 * cast(syy AS double) - cast(sy AS double)
+        |        * cast(sy AS double)), 0), 6) + 0.0 AS rolling_autocorr
+        |FROM f WHERE rn >= 7 ORDER BY user_id, event_id""".stripMargin,
+    "analytics_margin_waterfall" ->
+      """WITH l AS (SELECT cast(year(l_shipdate) AS int) AS yr,
+        |    cast(floor(l_extendedprice * 100.0) AS bigint) AS epc,
+        |    cast(floor(l_discount * 1000000.0) AS bigint) AS du,
+        |    cast(floor(l_tax * 1000000.0) AS bigint) AS tu
+        |  FROM lineitem)
+        |SELECT yr, cast(count(*) AS bigint) AS n_lines,
+        |  cast(sum(epc) AS double) / 100.0 AS gross,
+        |  cast(sum(epc * du) AS double) / 100000000.0 AS discount_amt,
+        |  cast(sum(epc * (1000000 - du)) AS double) / 100000000.0 AS net,
+        |  cast(sum(epc * (1000000 - du) * tu) AS double)
+        |    / 100000000000000.0 AS tax_amt
+        |FROM l GROUP BY yr ORDER BY yr""".stripMargin,
+    "fn_stringagg_suite" ->
+      """SELECT l_returnflag, cast(count(*) AS bigint) AS n,
+        |  cast(count(DISTINCT l_linestatus) AS bigint) AS n_status,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+        |    AS statuses
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin,
     "stats_power_analysis" ->

@@ -90,6 +90,32 @@ object Graph {
     // clustering is the single double division at the end.
     "graph_triangle_stats" -> { (s, dir) => triangleStats(strongEdges(s, dir)) },
 
+    // neighbor-set Jaccard over the strong co-purchase graph — the
+    // link-prediction baseline (two parts with similar co-purchase
+    // neighborhoods are substitutes/complements even if never bought
+    // together). Candidate pairs come from the WEDGE join (share ≥ 1
+    // neighbor — the 2-hop pigeonhole; all-pairs never materializes),
+    // Jaccard over exact degree counts, top-50 ordered by the ROUNDED
+    // score (the PMI rule) with key tiebreaks.
+    "graph_jaccard_neighbors" -> { (s, dir) =>
+      val e = strongEdges(s, dir)
+      val adj = e.select(col("pa").as("node"), col("pb").as("nbr"))
+        .unionByName(e.select(col("pb").as("node"), col("pa").as("nbr")))
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+      val x = adj.select(col("nbr").as("via"), col("node").as("x"))
+      val z = adj.select(col("nbr").as("via"), col("node").as("z"))
+      x.join(z, "via").where(col("x") < col("z"))
+        .groupBy("x", "z").agg(count(lit(1)).as("common"))
+        .join(deg.select(col("node").as("x"), col("d").as("dx")), "x")
+        .join(deg.select(col("node").as("z"), col("d").as("dz")), "z")
+        .select(col("x"), col("z"), col("common"),
+          round(col("common").cast("double") /
+            (col("dx") + col("dz") - col("common")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("x"), col("z"))
+        .limit(50)
+    },
+
     // association rules over the strong co-purchase pairs: support,
     // directional confidence, lift — the Apriori-style output a
     // recommender's candidate generator consumes. Item frequencies and
@@ -199,6 +225,22 @@ object Graph {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "graph_jaccard_neighbors" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |$sqlEdges,
+         |adj AS MATERIALIZED (SELECT pa AS node, pb AS nbr FROM edges
+         |  UNION ALL SELECT pb, pa FROM edges),
+         |deg AS (SELECT node, cast(count(*) AS bigint) AS d
+         |  FROM adj GROUP BY node),
+         |p AS (SELECT a.node AS x, b.node AS z,
+         |    cast(count(*) AS bigint) AS common
+         |  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+         |  GROUP BY a.node, b.node)
+         |SELECT x, z, common,
+         |  round(cast(common AS double) / cast(dx.d + dz.d - common AS double),
+         |    6) AS jaccard
+         |FROM p JOIN deg dx ON dx.node = x JOIN deg dz ON dz.node = z
+         |ORDER BY jaccard DESC, x, z LIMIT 50""".stripMargin,
     "graph_pagerank" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |$sqlEdges,
