@@ -131,6 +131,45 @@ object Extras28 {
         .orderBy("yr")
     },
 
+    // hapax-legomena share per source: the fraction of a source's
+    // vocabulary that occurs exactly once — the vocabulary-richness /
+    // templating signal (boilerplate sources have few hapaxes). Two
+    // vocabulary-sized aggregates, exact integer division at the end.
+    "text_hapax_ratio" -> { (s, dir) =>
+      val wc = Tables(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " "))
+          .as("word"))
+        .where(col("word") =!= "")
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      wc.groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+          sum(col("c")).as("tokens"))
+        .select(col("source"), col("vocab"), col("hapax"), col("tokens"),
+          round(col("hapax").cast(DoubleType) / col("vocab").cast(DoubleType),
+            6).as("hapax_ratio"))
+        .orderBy("source")
+    },
+
+    // full-row duplication rate — the first number a data profiler
+    // shows: rows vs distinct rows via one content hash (a distinct
+    // over the full row width would shuffle every column; the hash
+    // reduces map-side).
+    "profile_duplicate_rows_rate" -> { (s, dir) =>
+      val e = Tables(s, dir, "events").select(
+        md5(concat_ws("",
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).cast("string"), col("event_type"),
+          floor(col("value") * 1000000.0).cast("long").cast("string")))
+          .as("h"))
+      e.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("h")).as("n_distinct"))
+        .select(col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_duplicate"),
+          round(lit(1.0) - col("n_distinct").cast(DoubleType) /
+            col("n_rows").cast(DoubleType), 6).as("dup_rate"))
+    },
+
     // ordered string aggregation — the reporting concat: per flag, the
     // sorted distinct statuses as one csv plus counts (DuckDB
     // string_agg DISTINCT ORDER BY ≡ Spark sorted collect_set join).
@@ -239,6 +278,30 @@ object Extras28 {
         |  cast(sum(epc * (1000000 - du) * tu) AS double)
         |    / 100000000000000.0 AS tax_amt
         |FROM l GROUP BY yr ORDER BY yr""".stripMargin,
+    "text_hapax_ratio" ->
+      """WITH wc AS (SELECT source, word, cast(count(*) AS bigint) AS c
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY source, word)
+        |SELECT source, cast(count(*) AS bigint) AS vocab,
+        |  cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS bigint) AS hapax,
+        |  cast(sum(c) AS bigint) AS tokens,
+        |  round(cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS double)
+        |    / cast(count(*) AS double), 6) AS hapax_ratio
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin,
+    "profile_duplicate_rows_rate" ->
+      """WITH h AS (SELECT md5(
+        |    cast(event_id AS varchar) || cast(user_id AS varchar)
+        |    || cast(epoch_us(ts) AS varchar) || event_type
+        |    || cast(cast(floor(value * 1000000.0) AS bigint) AS varchar))
+        |    AS h
+        |  FROM events)
+        |SELECT cast(count(*) AS bigint) AS n_rows,
+        |  cast(count(DISTINCT h) AS bigint) AS n_distinct,
+        |  cast(count(*) - count(DISTINCT h) AS bigint) AS n_duplicate,
+        |  round(1.0 - cast(count(DISTINCT h) AS double)
+        |    / cast(count(*) AS double), 6) AS dup_rate
+        |FROM h""".stripMargin,
     "fn_stringagg_suite" ->
       """SELECT l_returnflag, cast(count(*) AS bigint) AS n,
         |  cast(count(DISTINCT l_linestatus) AS bigint) AS n_status,
