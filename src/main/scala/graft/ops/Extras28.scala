@@ -131,6 +131,50 @@ object Extras28 {
         .orderBy("yr")
     },
 
+    // revenue concentration: the top-10 customers' share of total
+    // revenue (key-account risk). Customer-grain exact cents rollup,
+    // top-10 via TakeOrdered (never a global sort), broadcast total.
+    "analytics_customer_concentration" -> { (s, dir) =>
+      val spend = Tables(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+      val top = spend.orderBy(col("cents").desc, col("o_custkey")).limit(10)
+        .agg(sum(col("cents")).as("top_cents"), count(lit(1)).as("k"))
+      val tot = spend.agg(sum(col("cents")).as("tot_cents"),
+        count(lit(1)).as("n_customers"))
+      tot.crossJoin(broadcast(top))
+        .select(col("n_customers"), col("k").as("top_k"),
+          (col("top_cents").cast(DoubleType) / 100.0).as("top_revenue"),
+          round(col("top_cents").cast(DoubleType) /
+            col("tot_cents").cast(DoubleType), 6).as("top_share"))
+    },
+
+    // NOT IN vs NOT EXISTS with a nullable subquery — the null-aware
+    // anti-join operator coverage: one NULL in the subquery makes
+    // ANSI NOT IN return ZERO rows (three-valued logic), while NOT
+    // EXISTS keeps its count; the pair of counts pins the semantics
+    // (and Spark's NullAwareAntiJoin plan) against the oracle.
+    "join_anti_null_aware" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + seq.incrementAndGet()
+      val (vo, vc) = (s"graft_nin_o_$tag", s"graft_nin_c_$tag")
+      Tables(s, dir, "orders").createOrReplaceTempView(vo)
+      Tables(s, dir, "customer").createOrReplaceTempView(vc)
+      try s.sql(
+        s"""WITH bad AS (SELECT c_custkey AS k FROM $vc WHERE c_acctbal < 0
+           |             UNION ALL SELECT CAST(NULL AS BIGINT))
+           |SELECT
+           |  (SELECT count(*) FROM $vo
+           |   WHERE o_custkey NOT IN (SELECT k FROM bad)) AS n_not_in,
+           |  (SELECT count(*) FROM $vo o
+           |   WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.k = o.o_custkey))
+           |    AS n_not_exists,
+           |  (SELECT count(*) FROM bad WHERE k IS NULL) AS n_null_keys
+           |""".stripMargin)
+      finally {
+        s.catalog.dropTempView(vo)
+        s.catalog.dropTempView(vc)
+      }
+    },
+
     // hapax-legomena share per source: the fraction of a source's
     // vocabulary that occurs exactly once — the vocabulary-richness /
     // templating signal (boilerplate sources have few hapaxes). Two
@@ -278,6 +322,34 @@ object Extras28 {
         |  cast(sum(epc * (1000000 - du) * tu) AS double)
         |    / 100000000000000.0 AS tax_amt
         |FROM l GROUP BY yr ORDER BY yr""".stripMargin,
+    "analytics_customer_concentration" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    cast(sum(cast(floor(o_totalprice * 100.0) AS bigint)) AS bigint)
+        |      AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |top AS (SELECT cast(sum(cents) AS bigint) AS top_cents,
+        |    cast(count(*) AS bigint) AS k
+        |  FROM (SELECT cents FROM spend
+        |        ORDER BY cents DESC, o_custkey LIMIT 10)),
+        |tot AS (SELECT cast(sum(cents) AS bigint) AS tot_cents,
+        |    cast(count(*) AS bigint) AS n_customers FROM spend)
+        |SELECT n_customers, k AS top_k,
+        |  cast(top_cents AS double) / 100.0 AS top_revenue,
+        |  round(cast(top_cents AS double) / cast(tot_cents AS double), 6)
+        |    AS top_share
+        |FROM tot CROSS JOIN top""".stripMargin,
+    "join_anti_null_aware" ->
+      """WITH bad AS (SELECT c_custkey AS k FROM customer
+        |             WHERE c_acctbal < 0
+        |             UNION ALL SELECT CAST(NULL AS BIGINT))
+        |SELECT
+        |  (SELECT cast(count(*) AS bigint) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT k FROM bad)) AS n_not_in,
+        |  (SELECT cast(count(*) AS bigint) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.k = o.o_custkey))
+        |    AS n_not_exists,
+        |  (SELECT cast(count(*) AS bigint) FROM bad WHERE k IS NULL)
+        |    AS n_null_keys""".stripMargin,
     "text_hapax_ratio" ->
       """WITH wc AS (SELECT source, word, cast(count(*) AS bigint) AS c
         |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS word
