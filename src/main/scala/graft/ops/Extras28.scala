@@ -131,6 +131,55 @@ object Extras28 {
         .orderBy("yr")
     },
 
+    // trig/inverse-trig function coverage: libm results are NOT
+    // correctly rounded cross-engine, so everything is round-6 with the
+    // signed-zero fence (SURVEY §5) over small derived angles.
+    "fn_trig_suite" -> { (s, dir) =>
+      val a = col("p_size").cast(DoubleType) / 25.0 - 1.0 // in [-1, 1]
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        (round(sin(a), 6) + lit(0.0)).as("sin_a"),
+        (round(cos(a), 6) + lit(0.0)).as("cos_a"),
+        (round(tan(a), 6) + lit(0.0)).as("tan_a"),
+        (round(atan(a), 6) + lit(0.0)).as("atan_a"),
+        (round(atan2(a, lit(2.0)), 6) + lit(0.0)).as("atan2_a2"),
+        (round(degrees(a), 6) + lit(0.0)).as("deg_a"))
+        .orderBy("p_partkey")
+    },
+
+    // repeat-purchase rate per order year: the share of that year's
+    // active customers who ordered more than once — the retention
+    // headline. Two integer aggregates, one division.
+    "analytics_repeat_purchase_rate" -> { (s, dir) =>
+      val perCust = Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+          col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      perCust.groupBy("yr")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("n_orders") >= 2L, 1L).otherwise(0L)).as("n_repeat"))
+        .select(col("yr"), col("n_customers"), col("n_repeat"),
+          round(col("n_repeat").cast(DoubleType) /
+            col("n_customers").cast(DoubleType), 6).as("repeat_rate"))
+        .orderBy("yr")
+    },
+
+    // type-token ratio per document — the lexical-diversity quality
+    // feature (low TTR = repetitive/template text): distinct words /
+    // words, fully map-side array arithmetic, no shuffle at all.
+    "text_ttr_by_doc" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("size(filter(split(lower(text), ' '), w -> w <> ''))")
+            .cast("long").as("n_tokens"),
+          expr("size(array_distinct(filter(split(lower(text), ' '), " +
+            "w -> w <> '')))").cast("long").as("n_types"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 6).as("ttr"))
+        .orderBy("doc_id")
+    },
+
     // revenue concentration: the top-10 customers' share of total
     // revenue (key-account risk). Customer-grain exact cents rollup,
     // top-10 via TakeOrdered (never a global sort), broadcast total.
@@ -322,6 +371,38 @@ object Extras28 {
         |  cast(sum(epc * (1000000 - du) * tu) AS double)
         |    / 100000000000000.0 AS tax_amt
         |FROM l GROUP BY yr ORDER BY yr""".stripMargin,
+    "fn_trig_suite" ->
+      """WITH a AS (SELECT p_partkey,
+        |    cast(p_size AS double) / 25.0 - 1.0 AS a FROM part)
+        |SELECT p_partkey,
+        |  round(sin(a), 6) + 0.0 AS sin_a,
+        |  round(cos(a), 6) + 0.0 AS cos_a,
+        |  round(tan(a), 6) + 0.0 AS tan_a,
+        |  round(atan(a), 6) + 0.0 AS atan_a,
+        |  round(atan2(a, 2.0), 6) + 0.0 AS atan2_a2,
+        |  round(degrees(a), 6) + 0.0 AS deg_a
+        |FROM a ORDER BY p_partkey""".stripMargin,
+    "analytics_repeat_purchase_rate" ->
+      """WITH pc AS (SELECT cast(year(o_orderdate) AS int) AS yr, o_custkey,
+        |    cast(count(*) AS bigint) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT yr, cast(count(*) AS bigint) AS n_customers,
+        |  cast(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_repeat,
+        |  round(cast(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+        |      AS double) / cast(count(*) AS double), 6) AS repeat_rate
+        |FROM pc GROUP BY yr ORDER BY yr""".stripMargin,
+    "text_ttr_by_doc" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '')
+        |      AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(len(toks) AS bigint) AS n_tokens,
+        |  cast(len(list_distinct(toks)) AS bigint) AS n_types,
+        |  round(cast(len(list_distinct(toks)) AS double)
+        |    / cast(len(toks) AS double), 6) AS ttr
+        |FROM t ORDER BY doc_id""".stripMargin,
     "analytics_customer_concentration" ->
       """WITH spend AS (SELECT o_custkey,
         |    cast(sum(cast(floor(o_totalprice * 100.0) AS bigint)) AS bigint)
