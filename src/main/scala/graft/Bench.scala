@@ -102,9 +102,10 @@ object Bench {
         detail.getBytes("UTF-8"))
     } catch { case _: Throwable => }
     System.err.println(detail)
-    // release the dedup stack's persisted relations before shutdown so a
-    // caller embedding the sweep in a longer-lived JVM gets its memory back
+    // release the dedup + graph stacks' persisted relations before shutdown
+    // so a caller embedding the sweep in a longer-lived JVM gets memory back
     try GraftOps.clearDedupCaches(spark) catch { case _: Throwable => }
+    try GraftOps.clearGraphCaches(spark) catch { case _: Throwable => }
     spark.stop()
     val totalR = math.round(total * 1000) / 1000.0
     println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"n_fail":$nFail,"runs_per_query":$runs,"sf":"$sfDir"}""")

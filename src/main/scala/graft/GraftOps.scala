@@ -91,6 +91,11 @@ object GraftOps {
   def clearDedupCaches(session: org.apache.spark.sql.SparkSession): Int =
     llm.Dedup.clearCaches(session)
 
+  /** reclaim the graph family's memoized persists (basket grain + strong
+    * co-purchase edges) for `session`; returns how many were unpersisted. */
+  def clearGraphCaches(session: org.apache.spark.sql.SparkSession): Int =
+    ops.Graph.clearCaches(session)
+
   /** open-vocabulary deterministic string id (polynomial hash, no
     * dictionary state; mirrored exactly by the DuckDB-side list_reduce). */
   def stringId(c: Column): Column = llm.Dedup.shingleId(c)

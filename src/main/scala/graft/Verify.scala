@@ -50,6 +50,9 @@ object Verify {
     try GraftOps.clearDedupCaches(spark) catch { case e: Throwable =>
       System.err.println(s"[verify] cache clear failed: ${e.getMessage}")
     }
+    try GraftOps.clearGraphCaches(spark) catch { case e: Throwable =>
+      System.err.println(s"[verify] graph cache clear failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

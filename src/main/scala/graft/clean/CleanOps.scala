@@ -43,13 +43,30 @@ object CleanOp {
   private[clean] def describeValue(v: Any): String = v match {
     case s: String => describeString(s)
     case xs: Seq[_] =>
-      xs.map(x => describeString(String.valueOf(x))).mkString("[", ",", "]")
+      // only string seqs round-trip ([[Recipe.parse]] unquotes list
+      // elements as strings); a Seq[Int] would come back as Seq[String]
+      // and silently violate parse(describe) == recipe
+      xs.map {
+        case s: String => describeString(s)
+        case other => throw new IllegalArgumentException(
+          s"CleanOp.describe: seq element '$other' (${other.getClass.getName}) " +
+            "is not replayable — only Seq[String] fields round-trip through Recipe.parse")
+      }.mkString("[", ",", "]")
     case l: Long => l.toString + "L"
     case d: Double => d.toString + "D"
     case f: Float => f.toString + "F"
     case i: Int => i.toString
     case b: Boolean => b.toString
-    case other => describeString(String.valueOf(other))
+    // FAIL at export time, not replay time: silently stringifying an
+    // unsupported value (null, a java.sql.Date, …) would make Recipe.parse
+    // return a STRUCTURALLY DIFFERENT recipe (e.g. FillConstant(col, null)
+    // replaying as the string "null") — a broken session that looks fine
+    // until it corrupts data on replay.
+    case null => throw new IllegalArgumentException(
+      "CleanOp.describe: null value is not replayable through Recipe.parse")
+    case other => throw new IllegalArgumentException(
+      s"CleanOp.describe: value '$other' of unsupported type " +
+        s"${other.getClass.getName} is not replayable through Recipe.parse")
   }
   /** Attach 1-row whole-table `stats` to every row via a broadcast
     * cross join. This replaces the empty-`partitionBy()` window form,

@@ -57,16 +57,24 @@ object RecipeQueries {
          |  FROM dropped) WHERE rn = 1)
          |SELECT event_id, user_id, round(v, 6) AS v, et FROM deduped
          |ORDER BY event_id""".stripMargin,
-    // contract oracle: the exact export strings, row for row
-    "recipe_describe" -> {
-      val rows = pipelineRecipe.ops.zipWithIndex.map { case (op, ix) =>
-        def sq(s: String) = "'" + s.replace("'", "''") + "'"
-        s"(${ix + 1}, ${sq(op.describe)}, ${sq(op.code)})"
-      }.mkString(",\n|  ")
-      s"""SELECT cast(step AS bigint) AS step, op_describe, spark_code
-         |FROM (VALUES
-         |  $rows) t(step, op_describe, spark_code)
-         |ORDER BY step""".stripMargin
-    }
+    // contract oracle: the expected export strings PINNED AS LITERALS —
+    // deriving them from op.describe/op.code at runtime (the r9 form)
+    // could never fail, because a format regression changes both engines
+    // identically. With literals, any change to the describe/code
+    // serialization trips the gate (RecipeExportSpec pins the same
+    // constants test-side).
+    "recipe_describe" ->
+      """SELECT cast(step AS bigint) AS step, op_describe, spark_code
+        |FROM (VALUES
+        |  (1, 'FillMean(column="v")',
+        |   'df.crossJoin(broadcast(df.agg(mean))).withColumn("v", coalesce(col("v"), mean))  // exact decimal mean'),
+        |  (2, 'ClipToQuantiles(column="v", pLo=0.01D, pHi=0.99D)',
+        |   'df.withColumn("v", least(greatest(col, p0.01), p0.99))'),
+        |  (3, 'DropNaAny(columns=["et"])',
+        |   'df.na.drop("any", Seq(et))'),
+        |  (4, 'DedupByKey(keys=["event_id"], order=["user_id","v"])',
+        |   'df.groupBy(event_id).agg(min(struct(user_id,v, *rest))).select(unpacked)  // keep-first by order')
+        |) t(step, op_describe, spark_code)
+        |ORDER BY step""".stripMargin
   )
 }

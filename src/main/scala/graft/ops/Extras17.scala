@@ -36,8 +36,9 @@ object Extras17 {
     // empty core (larger SFs spread baskets over more parts) reports
     // (0, 0, null, null) — the certified answer, not an error.
     "graph_kcore" -> { (s, dir) =>
-      var edges = Graph.coOccurrenceEdges(
-          Tables(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2L)
+      // shared memoized edge build (Graph.strongEdgesCached) — the peel
+      // rounds below still localCheckpoint per round to truncate lineage
+      var edges = Graph.strongEdgesCached(s, dir)
         .select("pa", "pb").localCheckpoint(false)
       for (_ <- 1 to kcoreRounds) {
         val deg = edges.select(col("pa").as("p"))

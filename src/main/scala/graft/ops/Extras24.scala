@@ -86,9 +86,9 @@ object Extras24 {
     // over edge endpoint degrees (both orientations) — do hubs link to
     // hubs? The Spearman wide-product template over six integer sums.
     "graph_assortativity" -> { (s, dir) =>
-      val edges = Graph.coOccurrenceEdges(
-          Tables(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2L)
-        .select("pa", "pb").localCheckpoint(false)
+      // shared memoized edge build — the persisted edge table feeds the
+      // degree aggregate and both union orientations without a rebuild
+      val edges = Graph.strongEdgesCached(s, dir).select("pa", "pb")
       val deg = edges.select(col("pa").as("p"))
         .unionAll(edges.select(col("pb").as("p")))
         .groupBy("p").agg(count(lit(1)).as("d"))

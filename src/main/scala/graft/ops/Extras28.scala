@@ -175,8 +175,11 @@ object Extras28 {
           expr("size(array_distinct(filter(split(lower(text), ' '), " +
             "w -> w <> '')))").cast("long").as("n_types"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          // nullif the divisor: a whitespace-only text has 0 tokens, and
+          // Spark's 0.0/0.0 is NaN where DuckDB returns NULL — both
+          // engines must agree on NULL for the empty-doc row
           round(col("n_types").cast(DoubleType) /
-            col("n_tokens").cast(DoubleType), 6).as("ttr"))
+            nullif(col("n_tokens"), lit(0L)).cast(DoubleType), 6).as("ttr"))
         .orderBy("doc_id")
     },
 
@@ -401,7 +404,7 @@ object Extras28 {
         |  cast(len(toks) AS bigint) AS n_tokens,
         |  cast(len(list_distinct(toks)) AS bigint) AS n_types,
         |  round(cast(len(list_distinct(toks)) AS double)
-        |    / cast(len(toks) AS double), 6) AS ttr
+        |    / cast(nullif(len(toks), 0) AS double), 6) AS ttr
         |FROM t ORDER BY doc_id""".stripMargin,
     "analytics_customer_concentration" ->
       """WITH spend AS (SELECT o_custkey,

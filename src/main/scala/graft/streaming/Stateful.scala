@@ -288,7 +288,11 @@ object Stateful {
         OutputMode.Append())
   }
 
-  case class UserEvent(user_id: Long, us: Long, event_type: String, vq: Long)
+  /** `event_id` carries the batch queries' same-timestamp tiebreak
+    * ((us, event_id) — the lag-window sort key of
+    * `events_markov_stationary`); defaults to 0 for feeds without one. */
+  case class UserEvent(user_id: Long, us: Long, event_type: String, vq: Long,
+    event_id: Long = 0L)
   case class FeatureRow(user_id: Long, us: Long, clicks_1h: Long,
     events_24h: Long, vsum_24h_q: Long)
 
@@ -349,7 +353,11 @@ object Stateful {
         (user: Long, it: Iterator[UserEvent], state: GroupState[(Long, String)]) =>
           var prev = state.getOption.orNull
           val out = scala.collection.mutable.ListBuffer.empty[TransitionPair]
-          it.toIndexedSeq.sortBy(e => (e.us, e.event_type)).foreach { e =>
+          // (us, event_id): the SAME tiebreak as the batch lag window
+          // (events_markov_stationary sorts by us, event_id) — sorting by
+          // event_type here would emit different pairs for two same-us
+          // events of one user than the batch twin
+          it.toIndexedSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
             if (prev != null) out += TransitionPair(user, prev._2, e.event_type)
             prev = (e.us, e.event_type)
           }

@@ -79,6 +79,40 @@ class RecipeExportSpec extends SparkSuite {
     intercept[IllegalArgumentException](Recipe.parse("FillMean column v"))
   }
 
+  test("describe FAILS FAST on unreplayable values (null, dates, non-string seqs)") {
+    // silently stringifying these would make Recipe.parse return a
+    // structurally different recipe — the export must throw instead
+    intercept[IllegalArgumentException](FillConstant("c", null).describe)
+    intercept[IllegalArgumentException](
+      FillConstant("c", java.sql.Date.valueOf("2024-01-01")).describe)
+    intercept[IllegalArgumentException](FillConstant("c", Seq(1, 2)).describe)
+  }
+
+  /** the exact strings the recipe_describe ORACLE pins as SQL literals
+    * (RecipeQueries.oracle): a describe/code format change must fail HERE
+    * (and at the oracle gate), not silently reformat both engines. */
+  test("export format contract: pinned describe/code strings for the declared pipeline") {
+    val expected = Seq(
+      FillMean("v") ->
+        ("""FillMean(column="v")""",
+          """df.crossJoin(broadcast(df.agg(mean))).withColumn("v", coalesce(col("v"), mean))  // exact decimal mean"""),
+      ClipToQuantiles("v", 0.01, 0.99) ->
+        ("""ClipToQuantiles(column="v", pLo=0.01D, pHi=0.99D)""",
+          """df.withColumn("v", least(greatest(col, p0.01), p0.99))"""),
+      DropNaAny(Seq("et")) ->
+        ("""DropNaAny(columns=["et"])""",
+          """df.na.drop("any", Seq(et))"""),
+      DedupByKey(Seq("event_id"), Seq("user_id", "v")) ->
+        ("""DedupByKey(keys=["event_id"], order=["user_id","v"])""",
+          """df.groupBy(event_id).agg(min(struct(user_id,v, *rest))).select(unpacked)  // keep-first by order"""))
+    expected.foreach { case (op, (describe, code)) =>
+      assert(op.describe == describe,
+        s"describe format changed for ${op.productPrefix}:\n got ${op.describe}\nwant $describe")
+      assert(op.code == code,
+        s"code format changed for ${op.productPrefix}:\n got ${op.code}\nwant $code")
+    }
+  }
+
   test("undo drops exactly the last op and the export follows") {
     val r = Recipe(Seq(FillMean("v"), FillMode("et")))
     assert(r.undo == Recipe(Seq(FillMean("v"))))

@@ -353,13 +353,20 @@ class StatefulSpec extends SparkSuite {
     // batch boundary: user 1's next transition must use state (click)
     mem.addData(ev(1, 2, "purchase"), ev(2, 1, "view"), ev(2, 2, "view"))
     q.processAllAvailable()
+    // same-us tie: EVENT_ID breaks it (the batch lag window's sort key),
+    // not event_type — "zebra" (id 1) precedes "apple" (id 2)
+    mem.addData(
+      UserEvent(3, t0 + 5000000L, "zebra", 0L, event_id = 1L),
+      UserEvent(3, t0 + 5000000L, "apple", 0L, event_id = 2L))
+    q.processAllAvailable()
     q.stop()
     val got = spark.table("trans")
       .groupBy("from_type", "to_type").count()
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     val expected = Map(
       ("view", "click") -> 1L, ("click", "purchase") -> 1L,
-      ("signup", "view") -> 1L, ("view", "view") -> 1L)
+      ("signup", "view") -> 1L, ("view", "view") -> 1L,
+      ("zebra", "apple") -> 1L)
     assert(got == expected, s"got $got")
   }
 }
