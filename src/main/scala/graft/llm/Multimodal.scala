@@ -9,14 +9,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * with decode/feature-extraction as per-partition batch transforms.
   *
-  * The container has no image/audio codecs, so the DECODE KERNEL IS A
-  * DETERMINISTIC STUB (clearly marked below). Everything around it — the
-  * binary column, the metadata struct schema, the mapPartitions batch
-  * shape, the partition sizing — is the real 100 TB design: payloads stay
-  * opaque bytes end-to-end, metadata travels in a narrow struct column so
-  * filters on width/format prune without touching payload bytes, and the
-  * decoder runs once per partition batch (the JVM analogue of a Pandas-UDF
-  * `mapInPandas` batch loop).
+  * The decode kernel is a REAL pure-JVM image decoder: binary P6 PPM
+  * (netpbm) — ASCII header parse (magic, dims, maxval, comments) + raw
+  * RGB raster — no external codec library needed. The payloads
+  * [[ppmAssets]] builds are genuine PPM files any netpbm tool would
+  * open. The rest is the 100 TB design: payloads stay opaque bytes
+  * end-to-end, metadata travels in a narrow struct column so filters on
+  * width/format prune without touching payload bytes, and the decoder
+  * runs once per partition batch (the JVM analogue of a Pandas-UDF
+  * `mapInPandas` batch loop). Formats with entropy coding (JPEG/PNG)
+  * plug into the same extractFeatures signature.
   */
 object Multimodal {
 
@@ -42,16 +44,48 @@ object Multimodal {
         octet_length(col("text")).cast("long").as("n_bytes"),
         md5(encode(col("text"), "UTF-8")).as("checksum")).as("meta"))
 
-  /** ??? STUB: stands in for a real image/audio decoder (libs absent in
-    * this container). Deterministic fake features: byte histogram moments.
-    * Signature and batch shape are what a real decoder plugs into.
-    * Empty payload → all-zero features (n_bytes 0, no fake count of 1). */
-  private def decodeStub(payload: Array[Byte]): Array[Float] = {
-    if (payload.isEmpty) return Array(0f, 0f, 0f)
+  /** REAL pure-JVM image decode: binary P6 PPM (netpbm). Parses the
+    * ASCII header — magic "P6", whitespace/comment-separated width,
+    * height, maxval, one whitespace byte — then consumes exactly
+    * width·height·3 raw channel bytes. Features are decoded-pixel
+    * statistics: [width, height, n_channel_bytes, mean, mean-square],
+    * all integer byte math until the two float divisions (bit-equal to
+    * DuckDB REAL division — the established float32 parity rule).
+    * Malformed payloads throw IllegalArgumentException: a corrupt image
+    * in a curation pipeline must surface, not silently zero-fill. */
+  def decodePpm(payload: Array[Byte]): Array[Float] = {
+    var i = 0
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    def token(): String = {
+      // netpbm allows '#'-to-end-of-line comments between header tokens
+      var skipping = true
+      while (skipping && i < payload.length) {
+        if (isWs(payload(i))) i += 1
+        else if (payload(i) == '#') {
+          while (i < payload.length && payload(i) != '\n') i += 1
+        } else skipping = false
+      }
+      val start = i
+      while (i < payload.length && !isWs(payload(i))) i += 1
+      require(i > start, "PPM: truncated header")
+      new String(payload, start, i - start, "US-ASCII")
+    }
+    require(token() == "P6", "PPM: bad magic (want P6)")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    require(w > 0 && h > 0, s"PPM: bad dimensions ${w}x$h")
+    require(maxval == 255, s"PPM: unsupported maxval $maxval (want 8-bit)")
+    i += 1 // exactly ONE whitespace byte separates maxval from raster data
+    val n = w * h * 3
+    require(i + n <= payload.length, s"PPM: truncated raster (want $n bytes)")
     var sum = 0L; var sq = 0L
-    payload.foreach { b => val v = b & 0xff; sum += v; sq += v.toLong * v }
-    val n = payload.length
-    Array(n.toFloat, sum.toFloat / n, sq.toFloat / n)
+    var j = i
+    while (j < i + n) {
+      val v = payload(j) & 0xff; sum += v; sq += v.toLong * v; j += 1
+    }
+    Array(w.toFloat, h.toFloat, n.toFloat, sum.toFloat / n, sq.toFloat / n)
   }
 
   val featureSchema: StructType = StructType(Seq(
@@ -64,12 +98,38 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
     df.select(col("doc_id"), col("content"))
       .mapPartitions { rows =>
-        // real impl: initialize codec once here, then stream the batch
+        // decoder state (buffers, codec tables) would initialize once per
+        // partition here, then the batch streams through it
         rows.map { r =>
-          Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1)).toSeq)
+          Row(r.getLong(0), decodePpm(r.getAs[Array[Byte]](1)).toSeq)
         }
       }(enc)
   }
+
+  /** Binary P6 PPM assets: a REAL image file per document — ASCII header
+    * + raw RGB raster — with dimensions derived from the text length
+    * (4+len%5 × 3+(len/5)%4, the aspect_bucket rule) and channel bytes
+    * taken from the text (right-padded with 'x' to the 144-byte max
+    * raster). The decoder does NOT know this construction: it parses
+    * whatever header it finds and reads w·h·3 raster bytes — which is
+    * what lets the DuckDB oracle (which mirrors the construction, not
+    * the decoder) gate the decode end-to-end. */
+  def ppmAssets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(4L) + octet_length(col("text")) % 5L).as("w"),
+        (lit(3L) + expr("(octet_length(text) DIV 5) % 4")).as("h"),
+        col("text"))
+      .select(col("doc_id"),
+        concat(
+          encode(format_string("P6\n%d %d\n255\n", col("w"), col("h")), "UTF-8"),
+          encode(expr("substring(rpad(text, 144, 'x'), 1, cast(w * h * 3 as int))"),
+            "UTF-8")).as("content"))
+      .select(col("doc_id"), col("content"),
+        struct(
+          lit("ppm").as("format"),
+          octet_length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("checksum")).as("meta"))
 
   /** Declared queries: metadata plumbing AND payload byte-ops are fully
     * oracle-checkable (length/md5/byte-slices are engine-independent; the
@@ -105,9 +165,9 @@ object Multimodal {
     // assets group by (width × height) class and each bucket packs into
     // fixed-size batches of 8 (a training batch must be dimensionally
     // uniform; mixing aspect classes forces destructive square crops).
-    // Dims derive deterministically from n_bytes — the clearly-marked
-    // stand-in for the decoder's real dimensions (same contract as
-    // decodeStub) — and the ONLY column read is the metadata struct:
+    // Dims derive deterministically from n_bytes — the same w×h rule
+    // ppmAssets encodes into its PPM headers — and the ONLY column read
+    // is the metadata struct:
     // payload bytes are never touched. Within-bucket positions ride the
     // distributed prefix sum keyed on the bucket (a window partitioned
     // by bucket would put one giant aspect class on one task at 100 TB).
@@ -125,19 +185,23 @@ object Multimodal {
     },
 
     // FEATURE EXTRACTION through the per-partition batch-decode path
-    // (extractFeatures → decodeStub): the one declared query that runs the
-    // mapPartitions decoder kernel, so the oracle gate exercises the real
-    // batch shape, not just the metadata plumbing. The stub's features are
-    // deterministic byte-histogram moments; integer byte sums are exact in
-    // both engines and the float32 divisions reproduce bit-for-bit (JVM
-    // Float ÷ vs DuckDB REAL ÷), surfaced rounded to 3 decimals.
+    // (extractFeatures → decodePpm): the payloads are REAL binary P6 PPM
+    // images ([[ppmAssets]]) and the decoder REALLY parses them — header
+    // scan for magic/width/height/maxval, then exactly w·h·3 raster
+    // bytes. width/height in the output come FROM THE PARSED HEADER;
+    // the oracle mirrors the image construction (not the decoder), so a
+    // decode bug — off-by-one raster offset, mis-parsed dims — breaks
+    // the hash. Integer byte sums are exact in both engines and the
+    // float32 divisions reproduce bit-for-bit (JVM Float ÷ vs DuckDB
+    // REAL ÷), surfaced rounded to 3 decimals.
     "multimodal_feature_extract" -> { (s, dir) =>
-      extractFeatures(assets(s, dir))
+      extractFeatures(ppmAssets(s, dir))
         .select(col("doc_id"),
-          element_at(col("features"), 1).cast("long").as("n_bytes"),
-          round(element_at(col("features"), 2).cast("double"), 3).as("mean_r3"),
-          round(element_at(col("features"), 3).cast("double"), 3).as("meansq_r3"))
-        .where(col("n_bytes") > 0) // empty payloads: no row, same as the oracle
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("n_channel_bytes"),
+          round(element_at(col("features"), 4).cast("double"), 3).as("mean_r3"),
+          round(element_at(col("features"), 5).cast("double"), 3).as("meansq_r3"))
         .orderBy(col("doc_id"))
     },
 
@@ -185,18 +249,23 @@ object Multimodal {
         |WHERE k * 128 + 64 <= strlen(text)
         |ORDER BY doc_id, k""".stripMargin,
     "multimodal_feature_extract" ->
-      """WITH bytes AS (SELECT doc_id, strlen(text) AS n,
-        |  list_transform(range(1, strlen(text)+1),
-        |    i -> cast(ord(substring(text, cast(i as int), 1)) as bigint)) AS l
-        |  FROM documents),
-        |agg AS (SELECT doc_id, n,
+      """WITH dims AS (SELECT doc_id,
+        |    4 + strlen(text) % 5 AS w, 3 + (strlen(text) // 5) % 4 AS h,
+        |    text FROM documents),
+        |px AS (SELECT doc_id, w, h, w * h * 3 AS n,
+        |  list_transform(range(1, cast(w * h * 3 AS int) + 1),
+        |    i -> cast(ord(substring(rpad(text, 144, 'x'), cast(i as int), 1))
+        |      as bigint)) AS l
+        |  FROM dims),
+        |agg AS (SELECT doc_id, w, h, n,
         |  cast(list_sum(l) as bigint) AS s,
         |  cast(list_sum(list_transform(l, x -> x * x)) as bigint) AS q
-        |  FROM bytes)
-        |SELECT doc_id, n AS n_bytes,
+        |  FROM px)
+        |SELECT doc_id, cast(w AS bigint) AS width, cast(h AS bigint) AS height,
+        |  cast(n AS bigint) AS n_channel_bytes,
         |  round(cast(cast(s AS REAL) / cast(n AS REAL) AS DOUBLE), 3) AS mean_r3,
         |  round(cast(cast(q AS REAL) / cast(n AS REAL) AS DOUBLE), 3) AS meansq_r3
-        |FROM agg WHERE n > 0 ORDER BY doc_id""".stripMargin,
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id, (pos - 1) // 16 AS block,
         |sum(ord(substring(text, cast(pos as int), 1))) / 16.0 AS pixel
