@@ -51,6 +51,8 @@ object SparkEntry {
     (ops.Extras26.queries, ops.Extras26.oracle),
     (ops.Extras27.queries, ops.Extras27.oracle),
     (ops.Extras28.queries, ops.Extras28.oracle),
+    (ops.Extras29.queries, ops.Extras29.oracle),
+    (ops.Extras30.queries, ops.Extras30.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),
