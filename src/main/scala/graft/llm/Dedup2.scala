@@ -12,6 +12,36 @@ import org.apache.spark.sql.expressions.Window
 object Dedup2 {
 
   val queries: Map[String, Q] = Map(
+    // THRESHOLD SWEEP over the verified LSH pairs — the eval that picks
+    // the dedup threshold: for each candidate θ, how many pairs survive
+    // and how many documents a keep-smallest-id policy would drop (the
+    // larger-id member per surviving pair, distinct — the single-link
+    // upper bound on removals; the exact figure needs the CC pass the
+    // declared dedup chain runs). ONE pass over the (already LSH-bounded)
+    // verified pairs; θ compares run on the SAME round-6 jaccard both
+    // engines emit, so the bucket edges are exact.
+    "dedup_threshold_sweep" -> { (s, dir) =>
+      val da = Dedup.docArraysCached(s, dir)
+      val scored = Dedup.verifyCandidates(da, Dedup.candidatesFromArrays(da),
+        "jaccard", 0.3, (common, na, nb) =>
+          common.cast("double") / (na + nb - common))
+      val thetas = Seq(0.3, 0.5, 0.7, 0.9)
+      val aggs = thetas.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"p$i"),
+        countDistinct(when(col("jaccard") >= t,
+          greatest(col("doc_a"), col("doc_b")))).as(s"r$i")) }
+      val wide = scored.agg(aggs.head, aggs.tail: _*)
+      val rows = thetas.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col(s"p$i").as("n_pairs"),
+          col(s"r$i").as("n_docs_removed"))
+      }
+      wide.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.threshold").as("threshold"),
+          col("r.n_pairs").as("n_pairs"),
+          col("r.n_docs_removed").as("n_docs_removed"))
+        .orderBy("threshold")
+    },
+
     // exact dedup by content hash: one shuffle on md5(text); keep-min
     // doc_id; clusters with >1 copy. The corpus' planted near-dups are not
     // byte-identical, so exact copies (doc_id+1000000, same text for
@@ -158,6 +188,35 @@ object Dedup2 {
     s"SELECT vec_id, ${Similarity.sqlUnit("embedding")} AS v FROM embeddings"
 
   val oracle: Map[String, String] = Map(
+    "dedup_threshold_sweep" -> {
+      val thetas = Seq("0.3", "0.5", "0.7", "0.9")
+      val rows = thetas.map { t =>
+        s"""SELECT cast($t AS double) AS threshold,
+           |  cast(sum(CASE WHEN jaccard >= $t THEN 1 ELSE 0 END) AS bigint)
+           |    AS n_pairs,
+           |  cast(count(DISTINCT CASE WHEN jaccard >= $t
+           |    THEN greatest(doc_a, doc_b) END) AS bigint) AS n_docs_removed
+           |FROM scored""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${Dedup.sqlBands},
+         |sizes AS (SELECT doc_id, count(*) AS nbg FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+         |  FROM cand c JOIN sh ba ON ba.doc_id = c.doc_a
+         |  JOIN sh bb ON bb.doc_id = c.doc_b AND ba.bg = bb.bg
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT c.doc_a, c.doc_b,
+         |    round(cast(coalesce(m.common, 0) AS double)
+         |      / cast(sa.nbg + sb.nbg - coalesce(m.common, 0) AS double), 6)
+         |      AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  WHERE round(cast(coalesce(m.common, 0) AS double)
+         |      / cast(sa.nbg + sb.nbg - coalesce(m.common, 0) AS double), 6)
+         |    >= 0.3)
+         |SELECT * FROM ($rows) ORDER BY threshold""".stripMargin
+    },
     "text_source_ngram_overlap" ->
       """WITH pos AS (SELECT doc_id, source,
         |    unnest(string_split(lower(text), ' ')) AS word,
