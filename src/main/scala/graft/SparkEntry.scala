@@ -54,6 +54,7 @@ object SparkEntry {
     (ops.Extras29.queries, ops.Extras29.oracle),
     (ops.Extras30.queries, ops.Extras30.oracle),
     (ops.Extras31.queries, ops.Extras31.oracle),
+    (ops.Extras32.queries, ops.Extras32.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

@@ -319,6 +319,28 @@ final case class Standardize(column: String, roundTo: Int = 6) extends CleanOp {
     s"""df.crossJoin(broadcast(df.agg(mean, sd))).withColumn("$column", round((col("$column") - mean) / nullif(sd, 0.0), $roundTo))  // z-score, null on constant column"""
 }
 
+/** Dictionary recode of a categorical column: values in `from` map to the
+  * positionally matching `to`; everything else passes through. The classic
+  * "harmonize the category spellings" fix — kept as parallel Seq[String]
+  * fields (not a Map) so [[CleanOp.describe]] round-trips it exactly. */
+final case class RecodeValues(column: String, from: Seq[String],
+    to: Seq[String]) extends CleanOp {
+  require(from.length == to.length && from.nonEmpty,
+    "RecodeValues needs non-empty, equal-length from/to")
+  require(from.distinct.length == from.length,
+    "RecodeValues: duplicate source value in from")
+  def apply(df: DataFrame): DataFrame = {
+    // one map literal probed per row (codegen'd), null keys pass through
+    // (element_at(map, null) is null → coalesce keeps the original null)
+    val m = map(from.zip(to).flatMap { case (f, t) => Seq(lit(f), lit(t)) }: _*)
+    df.withColumn(column, coalesce(element_at(m, col(column)), col(column)))
+  }
+  def code: String = {
+    val pairs = from.zip(to).map { case (f, t) => s""""$f"->"$t"""" }.mkString(", ")
+    s"""df.withColumn("$column", coalesce(element_at(map($pairs), col("$column")), col("$column")))"""
+  }
+}
+
 /** trim + lower + collapse internal whitespace (pre-clustering normalize). */
 final case class NormalizeWhitespace(column: String) extends CleanOp {
   def apply(df: DataFrame): DataFrame =
@@ -415,6 +437,7 @@ object Recipe {
       case "SafeCastDouble" => SafeCastDouble(s("column"), s("target"))
       case "ParseTimestamp" => ParseTimestamp(s("column"), s("fmt"))
       case "Standardize" => Standardize(s("column"), i("roundTo"))
+      case "RecodeValues" => RecodeValues(s("column"), ss("from"), ss("to"))
       case "NormalizeWhitespace" => NormalizeWhitespace(s("column"))
       case "FingerprintCanonicalize" => FingerprintCanonicalize(s("column"))
       case other => throw new IllegalArgumentException(s"unknown CleanOp: $other")

@@ -31,6 +31,7 @@ class RecipeExportSpec extends SparkSuite {
     Standardize("v", 4),
     SafeCastDouble("s", "double"),
     ParseTimestamp("t", "yyyy-MM-dd HH:mm:ss"),
+    RecodeValues("et", Seq("a,b", "[x]", "\"q\""), Seq("A", "\\y", "=z")),
     NormalizeWhitespace("name"),
     FingerprintCanonicalize("name"))
 
