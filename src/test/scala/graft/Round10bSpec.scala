@@ -79,6 +79,43 @@ class Round10bSpec extends SparkSuite {
     assert(out == Seq(Some("pageview"), Some("tap"), Some("purchase"), None))
   }
 
+  test("GraftExtensions wires rule + SQL functions through spark.sql.extensions") {
+    val base = TestSpark.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // reuses the existing SparkContext. spark.sql.extensions is a
+      // STATIC conf read at SparkContext creation, so the config route
+      // can't engage on a shared test context — withExtensions runs the
+      // SAME class through the SAME injection path the config route uses.
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new plans.GraftExtensions()(_))
+        .getOrCreate()
+      assert(s2 ne base, "expected a fresh session for the extension test")
+      val r = s2.sql(
+        "SELECT graft_jaro_winkler('martha', 'marhta') AS jw, " +
+          "graft_dot(array(cast(1.0 as double), cast(2.0 as double)), " +
+          "array(cast(3.0 as double), cast(4.0 as double))) AS d").head()
+      assert(math.abs(r.getDouble(0) - 0.961111) < 1e-6, s"jw ${r.getDouble(0)}")
+      assert(r.getDouble(1) == 11.0)
+      // bloom build + probe round-trips through the injected SQL forms
+      val b = s2.sql(
+        """WITH keys AS (SELECT explode(array(1L, 2L, 3L)) AS k),
+          |bloom AS (SELECT graft_bloom_build(k, 256, 3) AS bf FROM keys)
+          |SELECT graft_bloom_might_contain(bf, 2L) AS hit,
+          |       graft_bloom_might_contain(bf, 999999L) AS miss
+          |FROM bloom""".stripMargin).head()
+      assert(b.getBoolean(0), "bloom lost a member")
+      // the optimizer rule is installed in the extended batch
+      assert(s2.sessionState.optimizer.extendedOperatorOptimizationRules
+        .contains(plans.JaroWinklerPrefilter),
+        "JaroWinklerPrefilter not injected")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("vocab coverage curve: thresholds nest and never exceed vocab size") {
     val r = SparkEntry.queries("text_vocab_coverage_curve")(spark0, sf).head()
     val (nv, w50, w90, w99) = (r.getLong(0), r.getLong(2), r.getLong(3),
