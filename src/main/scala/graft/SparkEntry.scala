@@ -55,6 +55,7 @@ object SparkEntry {
     (ops.Extras30.queries, ops.Extras30.oracle),
     (ops.Extras31.queries, ops.Extras31.oracle),
     (ops.Extras32.queries, ops.Extras32.oracle),
+    (ops.Extras33.queries, ops.Extras33.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

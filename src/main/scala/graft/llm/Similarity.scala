@@ -547,6 +547,47 @@ object Similarity {
     // rank window — a join-level filter would condition the BNLJ);
     // rank 11 then re-rank after dropping self reproduces exact
     // top-10-excluding-self. All recall arithmetic is integer counts.
+    // the nProbe TUNING CURVE for the IVF index: recall@10 at nProbe ∈
+    // {1, 2, 4} against ONE shared exact ground truth (brute force over
+    // the bounded %250 query batch, checkpointed — it feeds all three
+    // curve points). This is the artifact an index operator actually
+    // reads when sizing nProbe: where the curve saturates is the cheapest
+    // probe count that meets the recall target. Each point is one annIvf
+    // run — probes×assigned equi-joins, never corpus-quadratic.
+    "sim_ann_recall_vs_probes" -> { (s, dir) =>
+      val all = vecs(s, dir).select(col("vec_id"), col("v"))
+      val cents = vecs(s, dir).where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val q = vecs(s, dir).where(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w1 = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val w2 = Window.partitionBy(col("qid")).orderBy(col("rn"))
+      val exact = broadcast(q).crossJoin(all)
+        .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+        .withColumn("rn", row_number().over(w1))
+        .where(col("rn") <= 11)
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("rn2", row_number().over(w2))
+        .where(col("rn2") <= 10)
+        .select(col("qid"), col("vec_id"))
+        .localCheckpoint(false) // ground truth feeds all 3 curve points
+      Seq(1, 2, 4).map { np =>
+        val approx = annIvf(all, q, cents, np, 10)
+          .select(col("qid"), col("vec_id"))
+        val hits = approx.join(exact, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        q.select("qid").join(hits, Seq("qid"), "left_outer")
+          .select(coalesce(col("h"), lit(0L)).as("h"))
+          .agg(count(lit(1)).as("n_queries"),
+            round(sum(col("h")).cast("double") /
+              (count(lit(1)) * 10L).cast("double"), 6).as("mean_recall"),
+            round(min(col("h")).cast("double") / 10.0, 6).as("min_recall"))
+          .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+            col("mean_recall"), col("min_recall"))
+      }.reduce(_ unionAll _).orderBy("nprobe")
+    },
+
     "sim_ann_recall_eval" -> { (s, dir) =>
       val all = vecs(s, dir).select(col("vec_id"), col("v"))
       val cents = vecs(s, dir).where(col("vec_id") % 97 === 0)
@@ -769,6 +810,53 @@ object Similarity {
     // exact side mirrors the engine's rank-11 → drop-self → re-rank
     // construction verbatim; IVF side is the sim_ann_ivf CTE with the
     // %250 query batch and rank <= 10
+    "sim_ann_recall_vs_probes" -> {
+      val points = Seq(1, 2, 4).map { np =>
+        s"""probes$np AS (SELECT qid, qv, cid FROM (
+           |  SELECT q.qid, q.qv, c.cid,
+           |    row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY round(${cosSql("q.qv", "c.cv")}, 6) DESC, c.cid) AS prn
+           |  FROM q CROSS JOIN cents c) WHERE prn <= $np),
+           |approx$np AS (SELECT qid, vec_id FROM (
+           |  SELECT p.qid, a.vec_id,
+           |    row_number() OVER (PARTITION BY p.qid
+           |      ORDER BY round(${cosSql("p.qv", "a.v")}, 6) DESC, a.vec_id)
+           |      AS rank
+           |  FROM probes$np p JOIN assigned a USING (cid)
+           |  WHERE a.vec_id <> p.qid) WHERE rank <= 10),
+           |per$np AS (SELECT q.qid, coalesce(h, 0) AS h FROM q LEFT JOIN (
+           |  SELECT qid, cast(count(*) AS bigint) AS h
+           |  FROM approx$np JOIN exact USING (qid, vec_id) GROUP BY qid)
+           |  USING (qid))""".stripMargin
+      }.mkString(",\n")
+      val rows = Seq(1, 2, 4).map { np =>
+        s"""SELECT ${np}::bigint AS nprobe,
+           |  cast(count(*) AS bigint) AS n_queries,
+           |  round(cast(sum(h) AS double) / cast(count(*) * 10 AS double), 6)
+           |    AS mean_recall,
+           |  round(cast(min(h) AS double) / 10.0, 6) AS min_recall
+           |FROM per$np""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e0 AS ($sqlVecs),
+         |e AS (SELECT vec_id, v FROM e0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id % 97 = 0),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e0 WHERE vec_id % 250 = 0),
+         |scored AS (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(${cosSql("qv", "v")}, 6) DESC, vec_id) AS rn
+         |  FROM q CROSS JOIN e),
+         |exact AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rn) AS rn2
+         |  FROM scored WHERE rn <= 11 AND vec_id <> qid) WHERE rn2 <= 10),
+         |assigned AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC, c.cid) AS arn
+         |  FROM e CROSS JOIN cents c) WHERE arn = 1),
+         |$points
+         |SELECT * FROM ($rows) ORDER BY nprobe""".stripMargin
+    },
     "sim_ann_recall_eval" ->
       s"""WITH e0 AS ($sqlVecs),
          |e AS (SELECT vec_id, v FROM e0),

@@ -56,6 +56,50 @@ object Extras29 {
         (col("n_total") - col("cum_incl") + col("cnt")).as("n_at_risk"))
   }
 
+  /** Shared Holt-fold scaffold: ONE wide 1-row aggregate (every monthly
+    * dsum-exact sum, including the 2001-07 actual the backtest compares
+    * against) → seasonal indices → deseasonalized d1..d6 → the unrolled
+    * α=1/2 β=1/4 fold as named columns l1..l6 / b1..b6.
+    *
+    * EACH step is a named-column select over the previous one — composing
+    * Scala Column vars instead would textually inline every step into the
+    * next (l6/b6 reference l5 three times → the tree grows ~3× per fold
+    * step; the inlined form measured 2.7 s of pure analysis/codegen on a
+    * 1-row frame, the stepwise form ~0.3 s). The IEEE operation tree is
+    * identical either way. */
+  private[ops] def holtFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .as("ym"), col("o_totalprice").as("rev"))
+    val allMonths = monthsSeasonal ++ monthsFold :+ 200107
+    val aggs = allMonths.map(m =>
+      coalesce(sum(when(col("ym") === m, dec(col("rev"))))
+        .cast(DoubleType), lit(0.0)).as(s"m$m"))
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    def c(m: Int): Column = col(s"m$m")
+    val withMean = wide.select(col("*"),
+      (monthsSeasonal.map(c).reduce(_ + _) / 24.0).as("mean24"))
+    // seasonal index per calendar month (two-year mean − grand mean)
+    val withSeas = withMean.select(col("*") +:
+      (1 to 12).map { j =>
+        ((c(199900 + j) + c(200000 + j)) / 2.0 - col("mean24")).as(s"s$j")
+      }: _*)
+    val withD = withSeas.select(col("*") +:
+      (1 to 6).map(j => (c(200100 + j) - col(s"s$j")).as(s"d$j")): _*)
+    // Holt fold, unrolled: l←αd+(1−α)(l+b), b←β(l'−l)+(1−β)b
+    var f = withD.select(col("*"), col("d1").as("l1"),
+      (col("d2") - col("d1")).as("b1"))
+    (2 to 6).foreach { t =>
+      val l0 = col(s"l${t - 1}"); val b0 = col(s"b${t - 1}")
+      val lNew = lit(0.5) * col(s"d$t") + lit(0.5) * (l0 + b0)
+      f = f.select(col("*"), lNew.as(s"l$t"))
+        .select(col("*"),
+          (lit(0.25) * (col(s"l$t") - l0) + lit(0.75) * b0).as(s"b$t"))
+    }
+    f
+  }
+
   /** shared SQL scaffold mirroring [[atRiskTable]]. */
   private[ops] val sqlAtRisk: String =
     """cust AS (SELECT o_custkey,
@@ -121,40 +165,7 @@ object Extras29 {
     // projection + explode. At 100 TB the scan dominates and is fully
     // parallel; there is no shuffle beyond the 1-row aggregate.
     "forecast_holt_winters" -> { (s, dir) =>
-      val o = Tables(s, dir, "orders")
-        .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
-          .as("ym"), col("o_totalprice").as("rev"))
-      val allMonths = monthsSeasonal ++ monthsFold
-      val aggs = allMonths.map(m =>
-        coalesce(sum(when(col("ym") === m, dec(col("rev"))))
-          .cast(DoubleType), lit(0.0)).as(s"m$m"))
-      val wide = o.agg(aggs.head, aggs.tail: _*)
-      def c(m: Int): Column = col(s"m$m")
-      // EACH step below is a named-column select over the previous one —
-      // composing Scala Column vars instead would textually inline every
-      // step into the next (l6/b6 reference l5 three times → the tree
-      // grows ~3× per fold step; the inlined form measured 2.7 s of pure
-      // analysis/codegen on a 1-row frame, the stepwise form ~0.3 s).
-      // The IEEE operation tree is identical either way.
-      val withMean = wide.select(col("*"),
-        (monthsSeasonal.map(c).reduce(_ + _) / 24.0).as("mean24"))
-      // seasonal index per calendar month (two-year mean − grand mean)
-      val withSeas = withMean.select(col("*") +:
-        (1 to 12).map { j =>
-          ((c(199900 + j) + c(200000 + j)) / 2.0 - col("mean24")).as(s"s$j")
-        }: _*)
-      val withD = withSeas.select(col("*") +:
-        (1 to 6).map(j => (c(200100 + j) - col(s"s$j")).as(s"d$j")): _*)
-      // Holt fold, unrolled: l←αd+(1−α)(l+b), b←β(l'−l)+(1−β)b
-      var f = withD.select(col("*"), col("d1").as("l1"),
-        (col("d2") - col("d1")).as("b1"))
-      (2 to 6).foreach { t =>
-        val l0 = col(s"l${t - 1}"); val b0 = col(s"b${t - 1}")
-        val lNew = lit(0.5) * col(s"d$t") + lit(0.5) * (l0 + b0)
-        f = f.select(col("*"), lNew.as(s"l$t"))
-          .select(col("*"),
-            (lit(0.25) * (col(s"l$t") - l0) + lit(0.75) * b0).as(s"b$t"))
-      }
+      val f = holtFrame(s, dir)
       val fc = (1 to 3).map { h =>
         struct(lit(h.toLong).as("h"), lit(200106 + h).as("ym"),
           (col("l6") + lit(h.toDouble) * col("b6") + col(s"s${6 + h}"))
@@ -267,14 +278,16 @@ object Extras29 {
     * (not the same STRINGS: each engine computes its sums from data; only
     * the fold's shape is shared, and HoltSpec pins the Spark fold against
     * hand-computed values). */
-  private def sqlHolt: String = {
-    val sums = (monthsSeasonal ++ monthsFold).map(m =>
+  /** the shared CTE chain (o → wide → mean → seasonals → deseason →
+    * fold f6) both Holt oracles build on. */
+  private[ops] def sqlHoltCtes: String = {
+    val sums = (monthsSeasonal ++ monthsFold :+ 200107).map(m =>
       s"coalesce(cast(sum(cast(o_totalprice AS decimal(18,4))) FILTER (WHERE ym = $m) AS double), 0.0) AS m$m")
-      .mkString(",\n|    ")
+      .mkString(",\n    ")
     val mean24 = monthsSeasonal.map(m => s"m$m").mkString(" + ")
     val seas = (1 to 12).map(j =>
-      s"(m${199900 + j} + m${200000 + j}) / 2.0 - mean24 AS s$j").mkString(",\n|  ")
-    val des = (1 to 6).map(j => s"m${200100 + j} - s$j AS d$j").mkString(",\n|  ")
+      s"(m${199900 + j} + m${200000 + j}) / 2.0 - mean24 AS s$j").mkString(",\n  ")
+    val des = (1 to 6).map(j => s"m${200100 + j} - s$j AS d$j").mkString(",\n  ")
     val folds = (2 to 6).map { t =>
       val prev = if (t == 2) "d1" else s"l${t - 1}"
       val prevB = if (t == 2) "(d2 - d1)" else s"b${t - 1}"
@@ -283,7 +296,7 @@ object Extras29 {
          |  0.25 * ((0.5 * d$t + 0.5 * ($prev + $prevB)) - $prev) + 0.75 * $prevB AS b$t
          |  FROM ${if (t == 2) "des" else s"f${t - 1}"})""".stripMargin
     }.mkString(",\n")
-    s"""WITH o AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+    s"""o AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
        |    o_totalprice FROM orders),
        |wide AS (SELECT
        |    $sums
@@ -295,13 +308,16 @@ object Extras29 {
        |des AS (SELECT *,
        |  $des
        |  FROM sx),
-       |$folds
+       |$folds""".stripMargin
+  }
+
+  private def sqlHolt: String =
+    s"""WITH $sqlHoltCtes
        |SELECT h, ym, forecast FROM (
        |  SELECT 1::bigint AS h, 200107 AS ym, l6 + 1.0 * b6 + s7 AS forecast FROM f6
        |  UNION ALL SELECT 2, 200108, l6 + 2.0 * b6 + s8 FROM f6
        |  UNION ALL SELECT 3, 200109, l6 + 3.0 * b6 + s9 FROM f6)
        |ORDER BY h""".stripMargin
-  }
 
   /** label-propagation rounds, unrolled MATERIALIZED CTEs (the k-core
     * discipline — plain CTEs re-inline per reference). */
