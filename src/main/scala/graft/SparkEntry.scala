@@ -56,6 +56,7 @@ object SparkEntry {
     (ops.Extras31.queries, ops.Extras31.oracle),
     (ops.Extras32.queries, ops.Extras32.oracle),
     (ops.Extras33.queries, ops.Extras33.oracle),
+    (ops.Extras34.queries, ops.Extras34.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

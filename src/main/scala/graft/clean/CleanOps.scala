@@ -319,6 +319,23 @@ final case class Standardize(column: String, roundTo: Int = 6) extends CleanOp {
     s"""df.crossJoin(broadcast(df.agg(mean, sd))).withColumn("$column", round((col("$column") - mean) / nullif(sd, 0.0), $roundTo))  // z-score, null on constant column"""
 }
 
+/** Split one string column into several by regex capture groups (the
+  * reference's "split column" fix): `into(i)` receives capture group
+  * i+1; non-matching rows get empty strings (regexp_extract semantics,
+  * identical in both engines). The source column is kept. */
+final case class SplitColumn(column: String, pattern: String,
+    into: Seq[String]) extends CleanOp {
+  require(into.nonEmpty, "SplitColumn needs at least one target column")
+  def apply(df: DataFrame): DataFrame =
+    into.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
+      d.withColumn(name, regexp_extract(col(column), pattern, i + 1))
+    }
+  def code: String =
+    s"""${into.zipWithIndex.map { case (n, i) =>
+      s"""df.withColumn("$n", regexp_extract(col("$column"), "$pattern", ${i + 1}))"""
+    }.mkString("\n")}"""
+}
+
 /** Dictionary recode of a categorical column: values in `from` map to the
   * positionally matching `to`; everything else passes through. The classic
   * "harmonize the category spellings" fix — kept as parallel Seq[String]
@@ -438,6 +455,7 @@ object Recipe {
       case "ParseTimestamp" => ParseTimestamp(s("column"), s("fmt"))
       case "Standardize" => Standardize(s("column"), i("roundTo"))
       case "RecodeValues" => RecodeValues(s("column"), ss("from"), ss("to"))
+      case "SplitColumn" => SplitColumn(s("column"), s("pattern"), ss("into"))
       case "NormalizeWhitespace" => NormalizeWhitespace(s("column"))
       case "FingerprintCanonicalize" => FingerprintCanonicalize(s("column"))
       case other => throw new IllegalArgumentException(s"unknown CleanOp: $other")

@@ -32,6 +32,7 @@ class RecipeExportSpec extends SparkSuite {
     SafeCastDouble("s", "double"),
     ParseTimestamp("t", "yyyy-MM-dd HH:mm:ss"),
     RecodeValues("et", Seq("a,b", "[x]", "\"q\""), Seq("A", "\\y", "=z")),
+    SplitColumn("name", "^(.*)#([0-9]+)$", Seq("prefix", "num")),
     NormalizeWhitespace("name"),
     FingerprintCanonicalize("name"))
 
