@@ -155,7 +155,8 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     def read(t: String) = spark.read.parquet(s"$base/$t.parquet")
     def maxPlus1(t: String, c: String): Long =
-      read(t).agg(max(col(c))).head().getLong(0) + 1L
+      // schema-width tolerant: testdata may write int32 keys
+      read(t).agg(max(col(c))).head().getAs[Number](0).longValue() + 1L
     val so = maxPlus1("orders", "o_orderkey")
     val sc = maxPlus1("customer", "c_custkey")
     val sp = maxPlus1("part", "p_partkey")

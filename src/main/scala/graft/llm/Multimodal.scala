@@ -78,8 +78,12 @@ object Multimodal {
     require(w > 0 && h > 0, s"PPM: bad dimensions ${w}x$h")
     require(maxval == 255, s"PPM: unsupported maxval $maxval (want 8-bit)")
     i += 1 // exactly ONE whitespace byte separates maxval from raster data
-    val n = w * h * 3
-    require(i + n <= payload.length, s"PPM: truncated raster (want $n bytes)")
+    // raster size in Long: adversarial headers (w=1431655766,h=1) overflow
+    // Int to a small positive n and would pass the truncation check
+    val nL = w.toLong * h * 3L
+    require(nL > 0 && nL <= payload.length.toLong - i,
+      s"PPM: truncated raster (want $nL bytes, have ${payload.length - i})")
+    val n = nL.toInt
     var sum = 0L; var sq = 0L
     var j = i
     while (j < i + n) {

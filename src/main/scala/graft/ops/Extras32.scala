@@ -29,7 +29,7 @@ object Extras32 {
         .where(col("w") =!= "")
         .groupBy("w").agg(count(lit(1)).as("freq"))
       val keyed = words.select(lit(0L).as("__p"),
-        concat(lpad((lit(1000000000L) - col("freq")).cast("string"), 10, "0"),
+        concat(lpad((lit(Long.MaxValue) - col("freq")).cast("string"), 19, "0"),
           lit("|"), col("w")).as("ord"),
         col("freq"))
       val cum = GraftOps.distributedRunningSum(keyed, "__p", "ord", "freq",

@@ -36,6 +36,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(clazz.getName, null, name, usage, ""),
       build)
 
+  /** Evaluate a required integer-literal argument at resolution time with a
+    * named error instead of the opaque ClassCastException a column or
+    * string argument would otherwise raise. */
+  private def intLiteral(fnName: String, argName: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$fnName: $argName must be an integer literal, got non-foldable ${e.sql}"))
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case other =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            s"$fnName: $argName must be an integer literal, got ${Option(other).map(_.getClass.getSimpleName).getOrElse("NULL")}"))
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => JaroWinklerPrefilter)
     ext.injectFunction(fn("graft_jaro_winkler", classOf[JaroWinkler],
@@ -47,8 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_bloom_build", classOf[BloomBuild],
       "graft_bloom_build(key, numBits, numHashes) - bloom filter aggregate",
       exprs => BloomBuild(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())))
+        intLiteral("graft_bloom_build", "numBits", exprs(1)),
+        intLiteral("graft_bloom_build", "numHashes", exprs(2)))))
     ext.injectFunction(fn("graft_bloom_might_contain", classOf[BloomMightContain],
       "graft_bloom_might_contain(bloom, key) - bloom membership probe",
       exprs => BloomMightContain(exprs(0), exprs(1))))
