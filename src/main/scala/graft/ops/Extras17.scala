@@ -135,7 +135,7 @@ object Extras17 {
          |    AND pb IN (SELECT p FROM keep$r))""".stripMargin
     }.mkString(",\n")
     s"""WITH items AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |  SELECT l_orderkey, l_partkey FROM (SELECT l_orderkey, l_partkey, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) WHERE bsz <= 64),
        |p0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
        |    AND a.l_partkey < b.l_partkey),

@@ -181,7 +181,7 @@ object Extras24 {
         |JOIN nation ON nk = n_nationkey
         |ORDER BY n_name""".stripMargin,
     "graph_assortativity" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT l_orderkey, l_partkey, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) WHERE bsz <= 64),
         |p0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
         |    AND a.l_partkey < b.l_partkey),

@@ -331,7 +331,7 @@ object Extras29 {
          |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
          |  FROM c$r) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT l_orderkey, l_partkey, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) WHERE bsz <= 64),
        |edges AS MATERIALIZED (
        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
        |  FROM items a JOIN items b

@@ -11,9 +11,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * from (basket, item) facts, then degree/wedge/triangle statistics.
   *
   * Scale shape: the edge builder's self-join is WITHIN a basket — the
-  * pair expansion is bounded by basket size squared (baskets here are
-  * orders with ≤ 7 items), map-side bounded exactly like the shingle
-  * builders. The `minWeight` filter then shrinks the graph to edges
+  * pair expansion is bounded by basket size squared, and since round 11
+  * that bound is ENFORCED, not assumed: [[MaxBasket]] drops degenerate
+  * mega-baskets before pair expansion (TPC-H orders carry ≤ 7 items so
+  * the cap is invisible on testdata, but a hot orderkey owning 10% of
+  * lineitem OOM'd the pre-cap build in the skew probe). The `minWeight` filter then shrinks the graph to edges
   * observed repeatedly (random one-off co-occurrence is noise at any
   * scale), and every downstream join runs on that reduced edge table —
   * unhinted, so AQE broadcasts while it is small and degrades to shuffle
@@ -121,6 +123,18 @@ object Graph {
     memo.getOrElseUpdate((s, dir, key), trackedPersist(build))
   }
 
+  /** Basket-size cap: baskets above this are dropped before pair
+    * expansion. TPC-H orders carry ≤ 7 lines so the cap never fires on
+    * the testdata, but one HOT orderkey owning a visible share of
+    * lineitem would otherwise materialize a single giant item array and
+    * emit C(n,2) pairs from one row (the round-11 skew probe OOM'd an
+    * executor exactly this way). Dropping degenerate mega-baskets is the
+    * standard market-basket discipline — a basket with thousands of
+    * items contributes no usable co-purchase signal, only quadratic
+    * pairs — and the cap bounds per-row work at C(64,2) = 2016. Mirrored
+    * in every graph-family DuckDB oracle (the capped `items` CTE). */
+  private[ops] val MaxBasket = 64
+
   /** memoized basket grain: ONE lineitem shuffle to (orderkey, sorted
     * distinct items) shared by the edge build and association rules. */
   private[ops] def basketsCached(s: org.apache.spark.sql.SparkSession,
@@ -129,6 +143,7 @@ object Graph {
       .select(col("l_orderkey"), col("l_partkey").cast("long").as("__i"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("__i"))).as("items"))
+      .where(size(col("items")) <= MaxBasket)
   }
 
   /** memoized strong co-purchase edges (pa < pb, weight ≥ 2) — the shared
@@ -282,7 +297,7 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "graph_jaccard_neighbors" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT l_orderkey, l_partkey, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) WHERE bsz <= 64),
          |$sqlEdges,
          |adj AS MATERIALIZED (SELECT pa AS node, pb AS nbr FROM edges
          |  UNION ALL SELECT pb, pa FROM edges),
@@ -298,7 +313,7 @@ object Graph {
          |FROM p JOIN deg dx ON dx.node = x JOIN deg dz ON dz.node = z
          |ORDER BY jaccard DESC, x, z LIMIT 50""".stripMargin,
     "graph_pagerank" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT l_orderkey, l_partkey, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) WHERE bsz <= 64),
          |$sqlEdges,
          |e2 AS (SELECT pa AS src, pb AS dst FROM edges
          |       UNION ALL SELECT pb, pa FROM edges),
@@ -309,7 +324,7 @@ object Graph {
          |$sqlPagerankIters
          |SELECT node, p AS rank FROM p3 ORDER BY rank DESC, node LIMIT 25""".stripMargin,
     "graph_triangle_stats" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT l_orderkey, l_partkey, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) WHERE bsz <= 64),
          |$sqlEdges,
          |nodes AS (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges),
          |deg AS (SELECT p, count(*) AS d FROM nodes GROUP BY 1),
@@ -324,7 +339,7 @@ object Graph {
          |    AS clustering
          |FROM w CROSS JOIN ne CROSS JOIN tri""".stripMargin,
     "graph_association_rules" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT l_orderkey, l_partkey, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) WHERE bsz <= 64),
          |edges AS (
          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
          |  FROM items a JOIN items b
@@ -344,7 +359,7 @@ object Graph {
          |CROSS JOIN nbt
          |ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin,
     "graph_degree_topk" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT l_orderkey, l_partkey, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) WHERE bsz <= 64),
          |$sqlEdges,
          |nodes AS (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
          |SELECT p, count(*) AS degree FROM nodes GROUP BY 1
