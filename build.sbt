@@ -39,3 +39,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Escape hatch for stress sweeps (e.g. forcing operator spills to prove
+// hash determinism survives UnsafeExternalSorter paths) without editing
+// this file: space-separated JVM options appended to every forked run.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import graft.functions.{BloomBuild, BloomMightContain, DotProduct, JaroWinkler}
 
 /** The Spark-native installation path for everything graft adds to
@@ -71,5 +72,87 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_bloom_might_contain", classOf[BloomMightContain],
       "graft_bloom_might_contain(bloom, key) - bloom membership probe",
       exprs => BloomMightContain(exprs(0), exprs(1))))
+
+    // ---- table functions: the big Scala kernels, SQL-callable ----------
+    // `SELECT * FROM graft_ntile('t', 'price,id', 10, 'decile')` — the
+    // view/table name and column args arrive as string literals; the
+    // builder assembles the SAME DataFrame kernel a Scala caller gets and
+    // hands its (unresolved) logical plan to the outer query's analyzer,
+    // so a shared-cluster SQL user rides the identical two-level
+    // prefix-sum / LSH / carry-forward plans — never a fallback window.
+    ext.injectTableFunction(tfn("graft_ntile",
+      "graft_ntile(table, orderColsCsv, k, outCol) - distributed ntile " +
+        "over a unique order composite (two-level prefix sum)",
+      exprs => {
+        val f = "graft_ntile"
+        graft.GraftOps.distributedNtile(
+          SparkSession.active.table(strLiteral(f, "table", exprs(0))),
+          strLiteral(f, "orderColsCsv", exprs(1)).split(",").map(_.trim).toSeq,
+          intLiteral(f, "k", exprs(2)),
+          strLiteral(f, "outCol", exprs(3))).queryExecution.logical
+      }))
+    ext.injectTableFunction(tfn("graft_minhash_candidates",
+      "graft_minhash_candidates(table, idCol, textCol, shingleWidth) - " +
+        "LSH-bucketed near-duplicate candidate pairs (id_a, id_b)",
+      exprs => {
+        val f = "graft_minhash_candidates"
+        val spark = SparkSession.active
+        graft.GraftOps.minhashCandidates(graft.GraftOps.shingleSet(
+          spark.table(strLiteral(f, "table", exprs(0))),
+          strLiteral(f, "idCol", exprs(1)),
+          strLiteral(f, "textCol", exprs(2)),
+          intLiteral(f, "shingleWidth", exprs(3)))).queryExecution.logical
+      }))
+    ext.injectTableFunction(tfn("graft_asof_join",
+      "graft_asof_join(leftTable, rightTable, keyCol, leftTime, rightTime, " +
+        "payloadColsCsv) - latest right payload at-or-before each left row",
+      exprs => {
+        val f = "graft_asof_join"
+        val spark = SparkSession.active
+        graft.GraftOps.asofJoin(
+          spark.table(strLiteral(f, "leftTable", exprs(0))),
+          spark.table(strLiteral(f, "rightTable", exprs(1))),
+          strLiteral(f, "keyCol", exprs(2)),
+          strLiteral(f, "leftTime", exprs(3)),
+          strLiteral(f, "rightTime", exprs(4)),
+          strLiteral(f, "payloadColsCsv", exprs(5)).split(",").map(_.trim).toSeq)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction(tfn("graft_quota_per_group",
+      "graft_quota_per_group(table, groupCol, orderCol, quotasTable) - keep " +
+        "<= quota(group) rows per group in ascending order",
+      exprs => {
+        val f = "graft_quota_per_group"
+        val spark = SparkSession.active
+        graft.GraftOps.quotaPerGroup(
+          spark.table(strLiteral(f, "table", exprs(0))),
+          strLiteral(f, "groupCol", exprs(1)),
+          strLiteral(f, "orderCol", exprs(2)),
+          spark.table(strLiteral(f, "quotasTable", exprs(3))))
+          .queryExecution.logical
+      }))
+  }
+
+  private def tfn(name: String, usage: String,
+      build: Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, null, name, usage, ""),
+      build)
+
+  /** Evaluate a required string-literal argument at resolution time. */
+  private def strLiteral(fnName: String, argName: String, e: Expression): String = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$fnName: $argName must be a string literal, got non-foldable ${e.sql}"))
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            s"$fnName: $argName must be a string literal, got ${Option(other).map(_.getClass.getSimpleName).getOrElse("NULL")}"))
+    }
   }
 }

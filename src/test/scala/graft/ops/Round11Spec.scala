@@ -76,12 +76,91 @@ class Round11Spec extends SparkSuite {
     assert(got == Seq("b", "d", "e", "c", "a"))
   }
 
-  test("graft_bloom_build names the offending argument on a non-literal") {
+  test("rank sketch bounds rank error on heavy-tailed data in the compression regime") {
+    // 200k rows, x = u^10 — the distribution shape that defeats the
+    // equi-width histogram sketch (one bucket owns most of the mass);
+    // shards of ~6250 rows give k ≈ 12, so the sketch actually compresses
+    val n = 200000L
+    val df = spark0.range(n).select(
+      pow((col("id") % 9973L).cast("double") / 9973.0, 10.0).as("x"),
+      col("id").as("event_id"))
+    val s = 32
+    val samples = Extras36.rankSamples(df, "x", "event_id", s, 512)
+    val nSamples = samples.count()
+    assert(nSamples < n / 8, s"no compression: $nSamples samples of $n rows")
+    val bound = samples.select("shard", "w").distinct()
+      .agg(sum(col("w")) + max(col("w"))).head().getLong(0)
+    val cum = graft.GraftOps.distributedRunningSum(
+      samples.select(lit(0L).as("__p"), col("x"), col("w")),
+      "__p", "x", "w", "cumw")
+    for (q <- Seq(0.5, 0.9, 0.99)) {
+      val target = math.ceil(q * n).toLong
+      val est = cum.where(col("cumw") >= target).agg(min(col("x")))
+        .head().getDouble(0)
+      val estRank = df.where(col("x") <= est).count()
+      assert(math.abs(estRank - target) <= bound,
+        s"q=$q: rank error ${math.abs(estRank - target)} > bound $bound")
+    }
+  }
+
+  private def extensionsSession(): org.apache.spark.sql.SparkSession = {
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()
-    val s2 = org.apache.spark.sql.SparkSession.builder()
+    org.apache.spark.sql.SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
+  }
+
+  test("big kernels are SQL-callable as injected table functions") {
+    val s2 = extensionsSession()
+    import s2.implicits._
+
+    // distributedNtile: 100 unique (x, id) rows → 4 exact quartiles
+    (1 to 100).map(i => (i.toLong, (i * 37 % 101).toDouble))
+      .toDF("id", "x").createOrReplaceTempView("g_nt")
+    val nt = s2.sql("SELECT * FROM graft_ntile('g_nt', 'x,id', 4, 'q')")
+    assert(nt.count() == 100)
+    assert(nt.groupBy("q").count().orderBy("q")
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1)))
+      .toSeq == Seq((1L, 25L), (2L, 25L), (3L, 25L), (4L, 25L)))
+
+    // asofJoin: latest right value at-or-before each left time, per key
+    Seq((1L, 10L), (1L, 25L), (2L, 5L)).toDF("k", "t")
+      .createOrReplaceTempView("g_al")
+    Seq((1L, 8L, "a"), (1L, 20L, "b"), (2L, 9L, "c")).toDF("k", "rt", "v")
+      .createOrReplaceTempView("g_ar")
+    val aj = s2.sql(
+      "SELECT * FROM graft_asof_join('g_al', 'g_ar', 'k', 't', 'rt', 'v')")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(aj.toSeq == Seq((1L, 10L, Some("a")), (1L, 25L, Some("b")),
+      (2L, 5L, None)))
+
+    // minhash LSH candidates: two near-identical docs bucket together
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    Seq((1L, base), (2L, base + " tailword"), (3L, (1 to 40)
+      .map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+      .createOrReplaceTempView("g_md")
+    val mc = s2.sql(
+      "SELECT * FROM graft_minhash_candidates('g_md', 'doc_id', 'text', 3)")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mc.contains((1L, 2L)), s"near-dup pair missing: ${mc.mkString(",")}")
+    assert(!mc.contains((1L, 3L)) && !mc.contains((2L, 3L)))
+
+    // quotaPerGroup: per-group row caps from a quotas relation
+    (1 to 10).map(i => (if (i <= 7) "a" else "b", i.toLong))
+      .toDF("g", "o").createOrReplaceTempView("g_qd")
+    Seq(("a", 2L), ("b", 5L)).toDF("g", "quota")
+      .createOrReplaceTempView("g_qq")
+    val qp = s2.sql(
+      "SELECT * FROM graft_quota_per_group('g_qd', 'g', 'o', 'g_qq')")
+      .groupBy("g").count().collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(qp.toSeq == Seq(("a", 2L), ("b", 3L)), qp.mkString(","))
+  }
+
+  test("graft_bloom_build names the offending argument on a non-literal") {
+    val s2 = extensionsSession()
     val e = intercept[Exception] {
       s2.sql("SELECT graft_bloom_build(k, k, 3) FROM (SELECT 1L AS k) t")
         .collect()
