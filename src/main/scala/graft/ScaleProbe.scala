@@ -131,8 +131,10 @@ object ScaleProbe {
     }
     val out = s"""{"factor":$factor,"runs":$runs,"base_dir":${js(baseDir)},""" +
       s""""scaled_dir":${js(scaledDir)},"results":[${rows.mkString(",")}]}"""
+    // deep-factor follow-ups write beside the canonical 10x artifact
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_PROBE.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALE_PROBE.json"), out.getBytes("UTF-8"))
+      java.nio.file.Paths.get(outPath), out.getBytes("UTF-8"))
     try GraftOps.clearDedupCaches(spark) catch { case _: Throwable => }
     try GraftOps.clearGraphCaches(spark) catch { case _: Throwable => }
     spark.stop()

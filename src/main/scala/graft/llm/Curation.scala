@@ -330,7 +330,7 @@ object Curation {
     // sim_ann_ivf; production uses ivfCentroids(√N).
     "sim_ann_ivf_pq" -> { (s, dir) =>
       val all = quantized(s, dir)
-      val cents = all.where(col("vec_id") % 97 === 0)
+      val cents = all.where(col("vec_id") % 97 === 0 && col("vec_id") < 99328L)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val probesQ = all.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -467,7 +467,7 @@ object Curation {
          |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
          |qq AS (SELECT vec_id, label, v, s,
          |    list_transform(v, x -> round(x / s)) AS q FROM qz),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0 AND vec_id < 99328),
          |assigned AS (SELECT a.vec_id, a.v, a.cid, x.s, x.q FROM (
          |  SELECT e.vec_id, e.v, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id

@@ -4,7 +4,7 @@ import graft._
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Sparse-text retrieval over the documents corpus — the token-space
   * complement of the embedding-space sim_* family:
@@ -95,28 +95,26 @@ object Retrieval {
         .limit(20)
     },
 
-    // blocked TF-IDF cosine pairs ≥ 0.8, dense-vector formulation: this
-    // corpus's vocabulary is BOUNDED (31 words — and at 100 TB a
-    // df-capped/top-V feature vocabulary is bounded by construction), so
-    // each doc folds to one dense L2-normalized Array[Double] and the
-    // (lang, source)-blocked pair join runs the native codegen
-    // [[graft.functions.DotProduct]] — one fused multiply-add loop per
-    // pair, no per-term shuffle. The alternative inverted-index
-    // formulation (explode postings, equi-join on term, per-pair decimal
-    // sum) is the unbounded-vocabulary shape but shuffles
-    // O(pairs·shared_terms) rows — measured 10× slower here (5.4 s vs
-    // 0.5 s at sf0.1). Block key bounds the pair count; vector ids come
-    // from the distributed rank, never a single-partition window.
-    // Cross-engine: DotProduct sums in ascending index order, exactly
-    // DuckDB's list_dot_product over the same dense layout (padding
-    // zeros are exact no-ops in IEEE addition), so raw doubles match
-    // before the house round-6. The tiny per-doc map→dense transform is
-    // an interpreted HOF but runs once per DOC, not per pair.
+    // blocked TF-IDF cosine pairs ≥ 0.8, prefix-filtered sparse
+    // formulation (round 11). The r10 dense form joined all pairs within
+    // a (lang, source) block; block size grows WITH the corpus (the
+    // lang×source grid is fixed), so the candidate stage was quadratic —
+    // masked at the 10× probe (exponent 0.86, fixed overhead) and
+    // catastrophic at 100× (the dense vectors also carried |vocab| dims,
+    // which grows with the corpus). The scale-safe exact shape is the
+    // AllPairs/PPJoin prefix filter: for L2-normalized vectors, a pair
+    // can reach cos ≥ θ only if it shares a term in each side's PREFIX
+    // (any per-doc term subset whose complement has norm < θ — here the
+    // highest-weight-first head, the smallest such set). Candidates =
+    // prefix-postings ⋈ full-postings (superset of qualifying pairs, so
+    // results are IDENTICAL to all-pairs); exact cosine then sums
+    // floor-quantized shared-term products per candidate (integer sum —
+    // order-free, bit-equal in both engines; products are ≥ 0 because
+    // idf = ln(n/df) ≥ 0). Under corpus growth the shuffle is O(tokens)
+    // + O(candidates·shared_terms): cross-copy vocabularies don't
+    // overlap, so candidates track TRUE near-pairs, not block size².
     "text_tfidf_cosine_pairs" -> { (s, dir) =>
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      // tf feeds the weights, the df counts, and the vocabulary;
-      // vecs feeds both pair-join sides — checkpoint both so the corpus
-      // is tokenized once and the dense vectors are built once
+      val theta = 0.8
       val tf = termFreqs(s, dir).localCheckpoint(false)
       val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
       val w = tf.join(tf.groupBy("word").agg(count(lit(1)).as("df")), "word")
@@ -126,30 +124,40 @@ object Retrieval {
       val norm = w.groupBy("doc_id")
         .agg(sum((col("wgt") * col("wgt")).cast(DecimalType(24, 8)))
           .cast(DoubleType).as("n2"))
+      // feeds the prefix flags and BOTH product sides — build once
       val wn = w.join(norm, "doc_id")
         .select(col("doc_id"), col("lang"), col("source"), col("word"),
           (col("wgt") / sqrt(col("n2"))).as("wn"))
-      val vocab = GraftOps.distributedRank(
-        tf.select("word").distinct(), Seq("word"), "vid")
-      val vsize = vocab.agg(count(lit(1)).as("v"))
-      val vecs = wn.join(broadcast(vocab), "word")
-        .groupBy("doc_id", "lang", "source")
-        .agg(map_from_entries(collect_list(struct(col("vid"), col("wn")))).as("m"))
-        .crossJoin(broadcast(vsize))
-        .select(col("doc_id"), col("lang"), col("source"),
-          transform(sequence(lit(1L), col("v")),
-            i => coalesce(element_at(col("m"), i), lit(0.0))).as("vec"))
         .localCheckpoint(false)
-      val a = vecs.select(col("doc_id").as("doc_a"), col("lang"),
-        col("source"), col("vec").as("va"))
-      val bb = vecs.select(col("doc_id").as("doc_b"), col("lang"),
-        col("source"), col("vec").as("vb"))
-      val dot = ColumnBridge.column(graft.functions.DotProduct(
-        ColumnBridge.expression(col("va")), ColumnBridge.expression(col("vb"))))
-      a.join(bb, Seq("lang", "source"))
-        .where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), round(dot, 6).as("cos"))
-        .where(col("cos") >= 0.8)
+      // prefix = highest-weight-first head; a term stays while the
+      // exclusive squared mass before it is < 1 − θ² (plus float slack —
+      // over-inclusion is sound, exclusion must never be wrong)
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("wn").desc, col("word"))
+      val pref = wn
+        .withColumn("csq", sum(col("wn") * col("wn")).over(
+          byDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)))
+        .where(coalesce(col("csq"), lit(0.0)) <
+          lit(1.0 - theta * theta + 1e-9))
+        .select(col("doc_id").as("pd"), col("lang"), col("source"), col("word"))
+      val full = wn.select(col("doc_id").as("fd"), col("lang"),
+        col("source"), col("word"))
+      val cand = pref.join(full, Seq("lang", "source", "word"))
+        .where(col("pd") =!= col("fd"))
+        .select(least(col("pd"), col("fd")).as("doc_a"),
+          greatest(col("pd"), col("fd")).as("doc_b"))
+        .distinct()
+      val pa = wn.select(col("doc_id").as("doc_a"), col("word"),
+        col("wn").as("wa"))
+      val pb = wn.select(col("doc_id").as("doc_b"), col("word"),
+        col("wn").as("wb"))
+      cand.join(pa, "doc_a").join(pb, Seq("doc_b", "word"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(floor(col("wa") * col("wb") * 1e12).cast(LongType)).as("q"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("q").cast(DoubleType) / 1e12, 6).as("cos"))
+        .where(col("cos") >= theta)
         .orderBy("doc_a", "doc_b")
     }
   )
@@ -191,24 +199,14 @@ object Retrieval {
          |         FROM w GROUP BY doc_id),
          |wn AS (SELECT w.doc_id, lang, source, word, wgt / sqrt(n2) AS wn
          |       FROM w JOIN norm ON w.doc_id = norm.doc_id),
-         |vocab AS (SELECT word, cast(row_number() OVER (ORDER BY word) AS bigint) AS vid
-         |          FROM (SELECT DISTINCT word FROM toks)),
-         |wnv AS (SELECT doc_id, lang, source, vid, wn
-         |        FROM wn JOIN vocab ON wn.word = vocab.word),
-         |docs_ AS (SELECT DISTINCT doc_id, lang, source FROM toks),
-         |spine AS (SELECT d.doc_id, d.lang, d.source, v.vid
-         |          FROM docs_ d CROSS JOIN vocab v),
-         |dense AS (SELECT s.doc_id, s.lang, s.source, s.vid,
-         |            coalesce(wnv.wn, 0.0) AS wn
-         |          FROM spine s LEFT JOIN wnv
-         |            ON s.doc_id = wnv.doc_id AND s.vid = wnv.vid),
-         |vecs AS (SELECT doc_id, lang, source, list(wn ORDER BY vid) AS vec
-         |         FROM dense GROUP BY doc_id, lang, source)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       round(list_dot_product(a.vec, b.vec), 6) AS cos
-         |FROM vecs a JOIN vecs b ON a.lang = b.lang AND a.source = b.source
-         |  AND a.doc_id < b.doc_id
-         |WHERE round(list_dot_product(a.vec, b.vec), 6) >= 0.8
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        cast(floor(a.wn * b.wn * 1000000000000.0) AS bigint) AS q
+         |      FROM wn a JOIN wn b ON a.lang = b.lang AND a.source = b.source
+         |        AND a.word = b.word AND a.doc_id < b.doc_id),
+         |c AS (SELECT doc_a, doc_b,
+         |        round(cast(sum(q) AS double) / 1000000000000.0, 6) AS cos
+         |      FROM p GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, cos FROM c WHERE cos >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -385,9 +385,17 @@ object Similarity {
     // exact decimal folds and the mean-vs-mean cosine quantizes its 64
     // products to DECIMAL(18,12) (a raw double dot over ROWS would be
     // partition-order-dependent).
+    // CODEBOOK BOUND (round 11): every %97 pseudo-codebook is capped at
+    // 1024 ids (vec_id < 97·1024 = 99328) — invisible at the oracle SFs
+    // (max vec_id 2000) but load-bearing at scale: an IVF coarse codebook
+    // is FIXED index config, while "every 97th vector" grows with the
+    // corpus and turns brute-force assignment into N×(N/97) — the 100×
+    // probe measured exactly that (sim_centroid_drift exponent 1.07,
+    // 241 s for 200k vectors, pre-cap). With the cap, assignment is
+    // N×1024 — linear, the production IVF shape.
     "sim_centroid_drift" -> { (s, dir) =>
       val all = vecs(s, dir)
-      val cents = all.where(col("vec_id") % 97 === 0)
+      val cents = all.where(col("vec_id") % 97 === 0 && col("vec_id") < 99328L)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       // (cluster × dim)-sized means checkpointed: each feeds the join
       // AND the final aggregate, and re-evaluating a side re-runs its
@@ -488,13 +496,13 @@ object Similarity {
     },
 
     // IVF-style ANN through the [[annIvf]] kernel; the DECLARED query pins
-    // centroids = vec_id % 97 = 0 so the DuckDB oracle is deterministic —
+    // centroids = vec_id % 97 = 0 AND vec_id < 99328 so the DuckDB oracle is deterministic —
     // the kernel itself takes ANY centroid set, and the production choice
     // is [[ivfCentroids]](vectors, ≈√N), whose size does not grow with the
     // table (GraftOpsSpec exercises a non-default count).
     "sim_ann_ivf" -> { (s, dir) =>
       val all = vecs(s, dir)
-      val cents = all.where(col("vec_id") % 97 === 0)
+      val cents = all.where(col("vec_id") % 97 === 0 && col("vec_id") < 99328L)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val probesQ = all.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -508,7 +516,7 @@ object Similarity {
     // rows); empty clusters are absent by the Lloyd contract.
     "sim_kmeans_update" -> { (s, dir) =>
       val all = vecs(s, dir)
-      val cents = all.where(col("vec_id") % 97 === 0)
+      val cents = all.where(col("vec_id") % 97 === 0 && col("vec_id") < 99328L)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       kmeansUpdate(all.select(col("vec_id"), col("v")), cents)
         .orderBy(col("cid"), col("pos"))
@@ -521,7 +529,7 @@ object Similarity {
     // quality-evaluation query (ANN recall, dedup recall, purity).
     "sim_cluster_purity" -> { (s, dir) =>
       val all = vecs(s, dir)
-      val cents = all.where(col("vec_id") % 97 === 0)
+      val cents = all.where(col("vec_id") % 97 === 0 && col("vec_id") < 99328L)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val assigned = assignToCentroids(all.select(col("vec_id"), col("v")),
         cents)
@@ -556,7 +564,7 @@ object Similarity {
     // run — probes×assigned equi-joins, never corpus-quadratic.
     "sim_ann_recall_vs_probes" -> { (s, dir) =>
       val all = vecs(s, dir).select(col("vec_id"), col("v"))
-      val cents = vecs(s, dir).where(col("vec_id") % 97 === 0)
+      val cents = vecs(s, dir).where(col("vec_id") % 97 === 0 && col("vec_id") < 99328L)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val q = vecs(s, dir).where(col("vec_id") % 250 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -590,7 +598,7 @@ object Similarity {
 
     "sim_ann_recall_eval" -> { (s, dir) =>
       val all = vecs(s, dir).select(col("vec_id"), col("v"))
-      val cents = vecs(s, dir).where(col("vec_id") % 97 === 0)
+      val cents = vecs(s, dir).where(col("vec_id") % 97 === 0 && col("vec_id") < 99328L)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val q = vecs(s, dir).where(col("vec_id") % 250 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -631,7 +639,7 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double") * 1.01))
         .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("v"))
       val all = base.unionByName(copies).select(col("vec_id"), col("v"))
-      val cents = base.where(col("vec_id") % 97 === 0)
+      val cents = base.where(col("vec_id") % 97 === 0 && col("vec_id") < 99328L)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       semanticDedup(all, cents, 0.95).orderBy(col("vec_id"))
     },
@@ -640,7 +648,7 @@ object Similarity {
     // sim_ann_ivf — the diversity dashboard for that index
     "sim_cluster_stats" -> { (s, dir) =>
       val all = vecs(s, dir)
-      val cents = all.where(col("vec_id") % 97 === 0)
+      val cents = all.where(col("vec_id") % 97 === 0 && col("vec_id") < 99328L)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       ivfClusterStats(all.select(col("vec_id"), col("v")), cents)
         .orderBy(col("cid"))
@@ -651,7 +659,7 @@ object Similarity {
     "sim_centroid_drift" ->
       s"""WITH e AS MATERIALIZED ($sqlVecs),
          |cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
-         |  WHERE vec_id % 97 = 0),
+         |  WHERE vec_id % 97 = 0 AND vec_id < 99328),
          |asg AS MATERIALIZED (SELECT vec_id, v, cid, vec_id % 2 AS half
          |  FROM (
          |  SELECT e.vec_id, e.v, c.cid,
@@ -769,7 +777,7 @@ object Similarity {
          |ORDER BY id_a, id_b""".stripMargin,
     "sim_ann_ivf" ->
       s"""WITH e AS ($sqlVecs),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0 AND vec_id < 99328),
          |assigned AS (SELECT vec_id, v, cid FROM (
          |  SELECT e.vec_id, e.v, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id
@@ -792,7 +800,7 @@ object Similarity {
     "sim_cluster_purity" ->
       s"""WITH e0 AS ($sqlVecs),
          |e AS (SELECT vec_id, v FROM e0),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id % 97 = 0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id % 97 = 0 AND vec_id < 99328),
          |assigned AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id
@@ -839,7 +847,7 @@ object Similarity {
       }.mkString("\nUNION ALL\n")
       s"""WITH e0 AS ($sqlVecs),
          |e AS (SELECT vec_id, v FROM e0),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id % 97 = 0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id % 97 = 0 AND vec_id < 99328),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e0 WHERE vec_id % 250 = 0),
          |scored AS (SELECT qid, vec_id,
          |    row_number() OVER (PARTITION BY qid
@@ -860,7 +868,7 @@ object Similarity {
     "sim_ann_recall_eval" ->
       s"""WITH e0 AS ($sqlVecs),
          |e AS (SELECT vec_id, v FROM e0),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id % 97 = 0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id % 97 = 0 AND vec_id < 99328),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e0 WHERE vec_id % 250 = 0),
          |scored AS (SELECT qid, vec_id,
          |    row_number() OVER (PARTITION BY qid
@@ -902,7 +910,7 @@ object Similarity {
     // lambda index → pos = i − 1) under the decimal(18,12) davg discipline
     "sim_kmeans_update" ->
       s"""WITH e AS ($sqlVecs),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0 AND vec_id < 99328),
          |assigned AS (SELECT vec_id, v, cid FROM (
          |  SELECT e.vec_id, e.v, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id
@@ -926,7 +934,7 @@ object Similarity {
          |    ${sqlUnit("list_transform(embedding, x -> cast(x as double) * 1.01)")} AS v
          |  FROM embeddings WHERE vec_id % 10 = 0),
          |e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM copies),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 97 = 0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 97 = 0 AND vec_id < 99328),
          |assigned AS (SELECT vec_id, v, cid FROM (
          |  SELECT e.vec_id, e.v, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id
@@ -952,7 +960,7 @@ object Similarity {
     // engine's max_by/max pair; empty clusters survive the left join
     "sim_cluster_stats" ->
       s"""WITH e AS ($sqlVecs),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0 AND vec_id < 99328),
          |assigned AS (SELECT vec_id, cid, ccos FROM (
          |  SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS ccos,
          |    row_number() OVER (PARTITION BY e.vec_id

@@ -45,7 +45,11 @@ object SubstrDedup {
     * out: one row per document — (doc_id, n_words, n_spans,
     * n_removed, clean_text), clean_text = '' when the whole document is
     * repeated content. */
-  def substrDedup(docs: DataFrame, minWords: Int): DataFrame = {
+  /** Maximal repeated spans per document: (doc_id, st, en) — every word
+    * position in [st, en) is inside some `minWords`-gram that occurs ≥ 2
+    * times corpus-wide. Shared by the dedup cut and the per-source
+    * duplication profile. */
+  def repeatedSpans(docs: DataFrame, minWords: Int): DataFrame = {
     require(minWords >= 2, s"minWords must be >= 2, got $minWords")
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val grams = ColumnBridge.column(graft.functions.WordNgrams(
@@ -60,7 +64,7 @@ object SubstrDedup {
     // gaps-islands over seed positions: seed intervals [p, p+minWords)
     // merge while p <= previous running end (overlap or exact adjacency)
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
-    val spans = seeds
+    seeds
       .withColumn("pm", max(col("p")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("nw", when(col("pm").isNull
@@ -69,6 +73,11 @@ object SubstrDedup {
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("p")).as("st"), (max(col("p")) + minWords).as("en"))
+      .select("doc_id", "st", "en")
+  }
+
+  def substrDedup(docs: DataFrame, minWords: Int): DataFrame = {
+    val spans = repeatedSpans(docs, minWords)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("st"), col("en"))).as("spans"),
         count(lit(1)).as("n_spans"))
