@@ -60,6 +60,7 @@ object SparkEntry {
     (ops.Extras35.queries, ops.Extras35.oracle),
     (ops.Extras36.queries, ops.Extras36.oracle),
     (ops.Extras37.queries, ops.Extras37.oracle),
+    (ops.Extras38.queries, ops.Extras38.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

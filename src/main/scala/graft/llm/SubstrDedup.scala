@@ -117,6 +117,47 @@ object SubstrDedup {
           concat(lit(" tail"), col("doc_id").cast("string"), lit("x")))
           .as("text"))
       substrDedup(base.unionByName(copies), 20).orderBy(col("doc_id"))
+    },
+
+    // recall eval on the planted spans: every eligible copy (original has
+    // ≥ 30 words, so the embedded slice is ≥ 20 words) must have its
+    // planted range fully covered by detected spans — recall 1.0 is the
+    // CONTRACT (each planted 20-gram occurs in both documents by
+    // construction), so any drop means the seed/extension machinery
+    // regressed. One summary row: eligible copies, fully-cut count,
+    // doc-level recall, planted-token recall.
+    "dedup_substr_recall_eval" -> { (s, dir) =>
+      val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = base.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        concat(
+          concat(lit("head"), col("doc_id").cast("string"), lit("x ")),
+          array_join(slice(split(col("text"), " "), 11, 40), " "),
+          concat(lit(" tail"), col("doc_id").cast("string"), lit("x")))
+          .as("text"))
+      val spans = repeatedSpans(base.unionByName(copies), 20)
+      // planted range inside each copy: positions [1, 1 + slice_len)
+      val planted = base.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        least(lit(40), greatest(lit(0),
+          size(split(col("text"), " ")) - 10)).as("slice_len"))
+        .where(col("slice_len") >= 20)
+      val cov = planted.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("slice_len"),
+          when(col("st").isNull, 0)
+            .otherwise(greatest(lit(0),
+              least(col("en"), col("slice_len") + 1) -
+                greatest(col("st"), lit(1)))).as("cov"))
+        .groupBy("doc_id", "slice_len")
+        .agg(sum(col("cov")).as("covered"))
+      cov.agg(count(lit(1)).as("n_eligible"),
+        sum(when(col("covered") >= col("slice_len"), 1L).otherwise(0L))
+          .as("n_fully_cut"),
+        round(sum(when(col("covered") >= col("slice_len"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("recall"),
+        round(sum(col("covered")).cast("double") /
+          sum(col("slice_len")).cast("double"), 6).as("token_recall"))
     }
   )
 
@@ -175,6 +216,63 @@ object SubstrDedup {
         |  coalesce(string_agg(CASE WHEN k.keep THEN k.w END,
         |    ' ' ORDER BY k.pos), '') AS clean_text
         |FROM kw k LEFT JOIN spa ON k.doc_id = spa.doc_id
-        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
+
+    "dedup_substr_recall_eval" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    'head' || cast(doc_id AS varchar) || 'x ' ||
+        |    coalesce(array_to_string(string_split(text, ' ')[11:50], ' '), '')
+        |    || ' tail' || cast(doc_id AS varchar) || 'x' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |w AS (
+        |  SELECT d.doc_id, u.el.i - 1 AS pos, u.el.s AS w
+        |  FROM d, unnest(list_transform(string_split(d.text, ' '),
+        |    (s0, i) -> struct_pack(s := s0, i := i))) AS u(el)),
+        |g AS (
+        |  SELECT a.doc_id, a.pos AS p,
+        |    md5(string_agg(b.w, ' ' ORDER BY b.pos)) AS h
+        |  FROM w a JOIN w b ON a.doc_id = b.doc_id
+        |    AND b.pos BETWEEN a.pos AND a.pos + 19
+        |  GROUP BY a.doc_id, a.pos HAVING count(*) = 20),
+        |seeds AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt FROM g)
+        |  WHERE cnt >= 2),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    sum(CASE WHEN pm IS NULL OR p > pm + 20 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p,
+        |      max(p) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |    FROM seeds)),
+        |sp AS (
+        |  SELECT doc_id, island, min(p) AS st, max(p) + 20 AS en
+        |  FROM isl GROUP BY doc_id, island),
+        |ple AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id + 2000000 AS doc_id,
+        |      least(40, greatest(0, len(string_split(text, ' ')) - 10))
+        |        AS slice_len
+        |    FROM documents WHERE doc_id % 10 = 0)
+        |  WHERE slice_len >= 20),
+        |cov AS (
+        |  SELECT ple.doc_id, ple.slice_len,
+        |    sum(CASE WHEN sp.st IS NULL THEN 0
+        |      ELSE greatest(0, least(sp.en, ple.slice_len + 1)
+        |        - greatest(sp.st, 1)) END) AS covered
+        |  FROM ple LEFT JOIN sp ON ple.doc_id = sp.doc_id
+        |  GROUP BY ple.doc_id, ple.slice_len)
+        |SELECT cast(count(*) AS bigint) AS n_eligible,
+        |  cast(sum(CASE WHEN covered >= slice_len THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_fully_cut,
+        |  round(cast(sum(CASE WHEN covered >= slice_len THEN 1 ELSE 0 END)
+        |    AS double) / cast(count(*) AS double), 6) AS recall,
+        |  round(cast(sum(covered) AS double) /
+        |    cast(sum(slice_len) AS double), 6) AS token_recall
+        |FROM cov""".stripMargin
   )
 }
