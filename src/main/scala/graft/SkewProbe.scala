@@ -80,7 +80,16 @@ object SkewProbe {
     // hot embedding cluster
     "sim_label_centroids" -> "hot_label",
     "dedup_semantic_clustered" -> "hot_label",
-    // the pre-flight diagnostic a pipeline runs before the joins above
+    // round-11 additions: the reworked prefix-filtered cosine pairs (the
+    // hot LSH bucket's 500 template docs share words, so its candidate
+    // stage is the stress), the exact-substring family (hot duplicate
+    // blocks multiply seed-group sizes), and the new monitors
+    "text_tfidf_cosine_pairs" -> "hot_lsh_bucket",
+    "text_substr_dedup" -> "hot_dup_blocks",
+    "text_substr_dup_profile" -> "hot_dup_blocks",
+    "stream_key_skew_monitor" -> "hot_user",
+    // the pre-flight diagnostics a pipeline runs before the joins above
+    "profile_key_concentration" -> "diagnostic",
     "profile_join_key_skew" -> "diagnostic")
 
   def main(args: Array[String]): Unit = {

@@ -63,6 +63,33 @@ object StreamOps {
       .select(col("w.start").as("ws"), col("event_type"),
         col("approx_users"), col("n"))
 
+  /** Streaming twin of `stream_key_skew_monitor`: per 1-hour event-time
+    * window, the hottest user's event share, the effective user count
+    * (N²/Σc²), and the raw counts — the skew alert a pipeline fires
+    * BEFORE a hot key reaches its batch joins. Two CHAINED event-time
+    * aggregations (Spark ≥ 3.4 multi-stateful-operator support): state
+    * is one (window, user) count per active user per watermark horizon,
+    * then one row per open window — both bounded. Same definition runs
+    * on a batch frame (StreamingSpec pins batch parity). */
+  def keySkewMonitor(events: DataFrame): DataFrame = {
+    val uw = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    uw.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cnt")).as("n_events"),
+        max(col("cnt")).as("max_cnt"),
+        sum((col("cnt") * col("cnt"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("c2"))
+      .select(col("w.start").as("ws"), col("n_users"), col("n_events"),
+        col("max_cnt"),
+        (col("max_cnt").cast("double") / col("n_events").cast("double"))
+          .as("top_share"),
+        ((col("n_events").cast("double") * col("n_events").cast("double")) /
+          col("c2").cast("double")).as("eff_users"))
+  }
+
   /** Drop duplicate event_ids within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events

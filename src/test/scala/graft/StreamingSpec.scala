@@ -87,6 +87,31 @@ class StreamingSpec extends SparkSuite {
     assert(batch == 3L)
   }
 
+  test("keySkewMonitor reports per-window hot-user share across micro-batches") {
+    // hour 0: user 1 fires 3 of 4 events (across two batches — the
+    // chained aggs must merge cross-batch counts before the share)
+    val out = runStream(Seq(
+      Seq(Ev(1, t(5), 1, "click", 1.0), Ev(2, t(10), 2, "click", 1.0)),
+      Seq(Ev(3, t(20), 1, "click", 1.0), Ev(4, t(25), 1, "click", 1.0)),
+      Seq(Ev(5, t(300), 9, "click", 1.0)) // advance watermark, close hour 0
+    ), StreamOps.keySkewMonitor, OutputMode.Append())
+    val hour0 = out.where("ws = timestamp'2024-01-01 00:00:00'").collect()
+    assert(hour0.length == 1)
+    val r = hour0.head
+    assert(r.getAs[Long]("n_users") == 2L && r.getAs[Long]("n_events") == 4L
+      && r.getAs[Long]("max_cnt") == 3L)
+    assert(r.getAs[Double]("top_share") == 0.75)
+    // eff_users = 16 / (9 + 1) = 1.6 — the window "behaves like" 1.6 users
+    assert(math.abs(r.getAs[Double]("eff_users") - 1.6) < 1e-12)
+    // batch parity: identical definition over a batch frame
+    val batch = StreamOps.keySkewMonitor(Seq(
+      (1L, t(5), 1L, "click", 1.0), (2L, t(10), 2L, "click", 1.0),
+      (3L, t(20), 1L, "click", 1.0), (4L, t(25), 1L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .where("ws = timestamp'2024-01-01 00:00:00'").collect()
+    assert(batch.length == 1 && batch.head.getAs[Double]("top_share") == 0.75)
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val out = runStream(Seq(
       Seq(Ev(1, t(0), 1, "click", 1.0), Ev(1, t(1), 1, "click", 1.0)),
