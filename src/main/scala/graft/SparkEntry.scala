@@ -68,6 +68,7 @@ object SparkEntry {
     (llm.Dedup2.queries, llm.Dedup2.oracle),
     (llm.LineDedup.queries, llm.LineDedup.oracle),
     (llm.SubstrDedup.queries, llm.SubstrDedup.oracle),
+    (llm.Funnel.queries, llm.Funnel.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
     (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),
     (clean.Missing.queries, clean.Missing.oracle),

@@ -189,6 +189,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("text_tfidf_cosine_pairs candidate joins key on word, never the block alone") {
+    // the r10 form joined all pairs within (lang, source) — a fixed-
+    // cardinality block key whose size grows with the corpus (quadratic;
+    // unfinishable at the 100x probe). Every join touching the block
+    // columns must also carry the word key (the prefix-postings shape).
+    val p = plan("text_tfidf_cosine_pairs")
+    p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("lang"))
+      .foreach { l =>
+        assert(l.contains("word"), s"block-only pair join resurfaced: $l")
+      }
+  }
+
+  test("text_substr_dedup's duplicate verdict shuffles on the gram hash") {
+    // the count() window's partitions must be the duplicate groups
+    // themselves (bounded by the duplication factor), never doc- or
+    // corpus-grain
+    assert(plan("text_substr_dedup").contains("hashpartitioning(h#"),
+      "seed-duplicate window not keyed on the gram hash")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
