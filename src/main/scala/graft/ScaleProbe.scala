@@ -68,7 +68,12 @@ object ScaleProbe {
     "dedup_semantic_clustered", "sim_centroid_drift",
     // join-heavy analytics + events
     "analytics_market_share", "join_star_denormalize",
-    "analytics_large_orders", "events_sessionize")
+    "analytics_large_orders", "events_sessionize",
+    // round-11 operators
+    "text_substr_dedup", "text_substr_dup_profile",
+    "pipeline_text_cleaning_funnel", "profile_quantile_sketch_rank",
+    "profile_quantile_sketch_rank_by_group", "profile_key_concentration",
+    "stream_key_skew_monitor", "dedup_substr_recall_eval")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
