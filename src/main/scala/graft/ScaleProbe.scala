@@ -151,7 +151,15 @@ object ScaleProbe {
     if (d.isNaN || d.isInfinite) "null"
     else (math.round(d * 1000) / 1000.0).toString
   private def js(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** Synthesize the key-shifted `factor`× corpus at `out` if absent. */
   def buildIfAbsent(spark: SparkSession, base: String, out: String,

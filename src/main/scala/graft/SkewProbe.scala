@@ -222,7 +222,15 @@ object SkewProbe {
     if (d.isNaN || d.isInfinite) "null"
     else (math.round(d * 1000) / 1000.0).toString
   private def js(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** Re-key the scaled corpus so each skew dimension has one hot key;
     * volume, schemas, and all non-skewed tables are unchanged. */

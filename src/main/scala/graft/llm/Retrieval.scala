@@ -130,8 +130,14 @@ object Retrieval {
           (col("wgt") / sqrt(col("n2"))).as("wn"))
         .localCheckpoint(false)
       // prefix = highest-weight-first head; a term stays while the
-      // exclusive squared mass before it is < 1 − θ² (plus float slack —
-      // over-inclusion is sound, exclusion must never be wrong)
+      // exclusive squared mass before it is < 1 − θ'² (over-inclusion is
+      // sound, exclusion must never be wrong). θ' = θ − 1e-6, NOT θ: the
+      // final filter accepts round(cos, 6) ≥ θ, which admits raw cosines
+      // down to θ − 5e-7, so the prefix bound must be derived from the
+      // post-rounding threshold or a boundary pair whose shared terms all
+      // sit outside both prefixes would be pruned here yet emitted by the
+      // all-pairs oracle. The extra 1e-9 absorbs the csq float error.
+      val thetaEff = theta - 1e-6
       val byDoc = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("wn").desc, col("word"))
       val pref = wn
@@ -139,7 +145,7 @@ object Retrieval {
           byDoc.rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, -1)))
         .where(coalesce(col("csq"), lit(0.0)) <
-          lit(1.0 - theta * theta + 1e-9))
+          lit(1.0 - thetaEff * thetaEff + 1e-9))
         .select(col("doc_id").as("pd"), col("lang"), col("source"), col("word"))
       val full = wn.select(col("doc_id").as("fd"), col("lang"),
         col("source"), col("word"))

@@ -68,9 +68,14 @@ object Extras36 {
         .agg((sum(col("w")) + max(col("w"))).as("rank_bound"))
       val nSamp = samples.agg(count(lit(1)).as("n_samples"))
       val qs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+      // coalesce fallback: the retained weight Σ k·⌊n_s/k⌋ can fall short
+      // of ceil(q·N) for q near 1 (deficit ≈ N/budget), in which case no
+      // sample crosses the threshold — the max retained sample is then
+      // the correct order-statistics answer, not NULL. Same rank bound.
       val estAggs = qs.zipWithIndex.map { case (q, i) =>
-        min(when(col("cumw") >= ceil(lit(q) * col("n_total")), col("x")))
-          .as(s"est$i")
+        coalesce(
+          min(when(col("cumw") >= ceil(lit(q) * col("n_total")), col("x"))),
+          max(col("x"))).as(s"est$i")
       }
       val est = cum.crossJoin(broadcast(tot))
         .agg(estAggs.head, estAggs.tail: _*)
@@ -122,7 +127,7 @@ object Extras36 {
     "profile_quantile_sketch_rank" -> {
       val qs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
       val ests = qs.zipWithIndex.map { case (q, i) =>
-        s"min(CASE WHEN cumw >= ceil(cast($q AS double) * n_total) THEN x END) AS est$i"
+        s"coalesce(min(CASE WHEN cumw >= ceil(cast($q AS double) * n_total) THEN x END), max(x)) AS est$i"
       }.mkString(", ")
       val exacts = qs.zipWithIndex.map { case (q, i) =>
         s"quantile_disc(x, cast($q AS double)) AS e$i"

@@ -21,8 +21,9 @@ object Extras37 {
     // key count N²/Σc² (inverse Simpson — "how many keys does the shuffle
     // BEHAVE like"), the single hottest key's share, and the share of the
     // top 0.1% of keys. The sorted cumulative rides distributedRank
-    // (never a single-partition window); Σc² is summed in DECIMAL(38,0)
-    // (exact at any scale — c² overflows int64 once a key owns ~3B rows);
+    // (never a single-partition window); the cast to DECIMAL(38,0) happens
+    // BEFORE the multiply so c² itself never wraps int64 (a key owning
+    // ~3B rows would overflow a long·long product);
     // all divisions are single IEEE ops over exactly-representable
     // integer sums, so raw doubles hash-match.
     "profile_key_concentration" -> { (s, dir) =>
@@ -34,7 +35,7 @@ object Extras37 {
           Seq("nc", "k"), "i")
         val tots = counts.agg(count(lit(1)).as("n_keys"),
           sum(col("cnt")).as("n_rows"),
-          sum((col("cnt") * col("cnt")).cast(DecimalType(38, 0)))
+          sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt"))
             .cast(DoubleType).as("c2"),
           max(col("cnt")).as("max_cnt"))
         ranked.crossJoin(broadcast(tots))
@@ -98,7 +99,7 @@ object Extras37 {
            |  cast(count(*) AS bigint) AS n_keys,
            |  cast(sum(cnt) AS bigint) AS n_rows,
            |  (cast(sum(cnt) AS double) * cast(sum(cnt) AS double)) /
-           |    cast(sum(cnt * cnt) AS double) AS eff_keys,
+           |    cast(sum(cast(cnt AS hugeint) * cnt) AS double) AS eff_keys,
            |  cast(max(cnt) AS double) / cast(sum(cnt) AS double)
            |    AS top1_share,
            |  cast(sum(CASE WHEN rn <= ceil(cast(0.001 AS double) * nk)

@@ -47,12 +47,16 @@ object Extras38 {
       val qs = Seq(0.5, 0.95)
       val est = cum.withColumnRenamed("__p", "g").join(broadcast(tot), "g")
         .groupBy("g")
+        // coalesce fallback: budget 256 leaves only ~8× margin at q=0.95
+        // (deficit ≈ N/256 per group); if the retained weight falls short
+        // of ceil(q·N) the max retained sample is the right readout, not
+        // NULL (same deterministic rank bound applies)
         .agg(qs.zipWithIndex.map { case (q, i) =>
-          min(when(col("cumw") >= ceil(lit(q) * col("n_total")), col("x")))
-            .as(s"est$i")
+          coalesce(min(when(col("cumw") >= ceil(lit(q) * col("n_total")),
+            col("x"))), max(col("x"))).as(s"est$i")
         }.head, qs.zipWithIndex.tail.map { case (q, i) =>
-          min(when(col("cumw") >= ceil(lit(q) * col("n_total")), col("x")))
-            .as(s"est$i")
+          coalesce(min(when(col("cumw") >= ceil(lit(q) * col("n_total")),
+            col("x"))), max(col("x"))).as(s"est$i")
         }: _*)
       val ranks = x.join(broadcast(est), "g")
         .groupBy("g")
@@ -108,7 +112,7 @@ object Extras38 {
           (max(col("cnt")).cast(DoubleType) /
             sum(col("cnt")).cast(DoubleType)).as("top_share"),
           ((sum(col("cnt")).cast(DoubleType) * sum(col("cnt")).cast(DoubleType)) /
-            sum((col("cnt") * col("cnt")).cast(DecimalType(38, 0)))
+            sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt"))
               .cast(DoubleType)).as("eff_users"))
         .orderBy("ws")
     }
@@ -118,7 +122,7 @@ object Extras38 {
     "profile_quantile_sketch_rank_by_group" -> {
       val qs = Seq(0.5, 0.95)
       val ests = qs.zipWithIndex.map { case (q, i) =>
-        s"min(CASE WHEN cumw >= ceil(cast($q AS double) * n_total) THEN x END) AS est$i"
+        s"coalesce(min(CASE WHEN cumw >= ceil(cast($q AS double) * n_total) THEN x END), max(x)) AS est$i"
       }.mkString(", ")
       val exacts = qs.zipWithIndex.map { case (q, i) =>
         s"quantile_disc(x, cast($q AS double)) AS e$i"
@@ -177,7 +181,7 @@ object Extras38 {
         |  cast(max(cnt) AS bigint) AS max_cnt,
         |  cast(max(cnt) AS double) / cast(sum(cnt) AS double) AS top_share,
         |  (cast(sum(cnt) AS double) * cast(sum(cnt) AS double)) /
-        |    cast(sum(cnt * cnt) AS double) AS eff_users
+        |    cast(sum(cast(cnt AS hugeint) * cnt) AS double) AS eff_users
         |FROM uw GROUP BY ws ORDER BY ws""".stripMargin
   )
 }

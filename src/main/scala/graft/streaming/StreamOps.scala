@@ -80,8 +80,8 @@ object StreamOps {
       .agg(count(lit(1)).as("n_users"),
         sum(col("cnt")).as("n_events"),
         max(col("cnt")).as("max_cnt"),
-        sum((col("cnt") * col("cnt"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("c2"))
+        sum(col("cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("cnt")).as("c2"))
       .select(col("w.start").as("ws"), col("n_users"), col("n_events"),
         col("max_cnt"),
         (col("max_cnt").cast("double") / col("n_events").cast("double"))
