@@ -70,14 +70,35 @@ object Windows {
         .orderBy(col("d"))
     },
 
-    // ntile / percent_rank / cume_dist over account balance
+    // ntile / percent_rank / cume_dist over account balance. Through
+    // round 11 this was the one declared query with a FACT-SIZED global
+    // window (ntile(4) OVER (ORDER BY ...) — all customers into one
+    // partition, the classic single-node bottleneck at scale). Round 12
+    // reworks it onto the distributedRank prefix-sum kernel: with a
+    // UNIQUE order composite (c_acctbal, c_custkey), SQL's ntile /
+    // percent_rank / cume_dist are pure arithmetic on the global rank —
+    //   ntile(k): first n%k buckets get ⌈n/k⌉ rows (the SQL bucket rule),
+    //   percent_rank = (rn−1)/(n−1)  (0 when n = 1),
+    //   cume_dist   = rn/n           (unique order ⇒ no tie plateau) —
+    // so output is row-for-row identical to the window form (the DuckDB
+    // oracle still runs the plain window SQL) at shard parallelism.
     "window_ntile_percent" -> { (s, dir) =>
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables(s, dir, "customer")
+      val c = Tables(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      GraftOps.distributedRank(c, Seq("c_acctbal", "c_custkey"), "__rn")
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("__n"))))
+        .withColumn("__q", expr("__n DIV 4"))
+        .withColumn("__r", expr("__n % 4"))
         .select(col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).as("quartile"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+          // coalesce keeps the bucket non-nullable (see distributedNtile)
+          coalesce(
+            when(col("__rn") <= (col("__q") + 1) * col("__r"),
+              expr("(__rn - 1) DIV (__q + 1) + 1"))
+              .otherwise(expr("__r + (__rn - (__q + 1) * __r - 1) DIV __q + 1"))
+              .cast("int"),
+            lit(-1)).as("quartile"),
+          when(col("__n") > 1, (col("__rn") - 1).cast("double") /
+            (col("__n") - 1).cast("double")).otherwise(0.0).as("pr"),
+          (col("__rn").cast("double") / col("__n").cast("double")).as("cd"))
         .orderBy(col("c_custkey"))
     }
   )
