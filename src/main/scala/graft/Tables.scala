@@ -15,7 +15,40 @@ import org.apache.spark.sql.types._
   * produce bit-identical doubles.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+
+  /** Retry-determinism chaos mode (SPARK_GRAFT_CHAOS=1): every table read
+    * gains a map-side shim that THROWS on attempt 0 of every 5th scan
+    * partition, forcing the real task-retry machinery to re-execute those
+    * partitions (run under master local[n, maxFailures>1], see Verify).
+    * The retried attempt passes the rows through untouched, so a green
+    * oracle gate under chaos proves every declared query's output is
+    * bit-stable under task retries — the determinism axis spills can't
+    * cover. Diagnostic only: the shim inserts a row-codec boundary that
+    * blocks pushdown, so never enable it for benchmarks. The injection
+    * counter is JVM-global (valid in local mode, where executors share
+    * the driver JVM). */
+  private[graft] val chaosInjected = new java.util.concurrent.atomic.AtomicLong(0)
+  private val chaosOn: Boolean = sys.env.get("SPARK_GRAFT_CHAOS").contains("1")
+
+  private def chaosWrap(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() % 5 == 0) {
+        chaosInjected.incrementAndGet()
+        throw new RuntimeException(
+          s"graft-chaos: injected attempt-0 failure, partition ${tc.partitionId()}")
+      }
+      it
+    }(enc)
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val base = load(spark, dir, name)
+    if (chaosOn) chaosWrap(base) else base
+  }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped in two parquet encodings across driver
       // testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized

@@ -37,8 +37,20 @@ sealed trait CleanOp extends Product {
 }
 
 object CleanOp {
+  // \n/\r/\t get named escapes (Recipe.parse splits the serialization on
+  // LINES, so a raw newline inside a value would shear the op in two —
+  // found by the round-12 round-trip property, not by the fixed-list
+  // spec); other control chars round-trip as \uXXXX.
   private[clean] def describeString(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   private[clean] def describeValue(v: Any): String = v match {
     case s: String => describeString(s)
@@ -489,12 +501,22 @@ object Recipe {
   private def unquote(s: String): String = {
     require(s.length >= 2 && s.head == '"' && s.last == '"',
       s"expected quoted string, got: $s")
+    val body = s.substring(1, s.length - 1)
     val b = new StringBuilder
-    var esc = false
-    s.substring(1, s.length - 1).foreach { ch =>
-      if (esc) { b += ch; esc = false }
-      else if (ch == '\\') esc = true
-      else b += ch
+    var i = 0
+    while (i < body.length) {
+      val ch = body(i)
+      if (ch == '\\' && i + 1 < body.length) {
+        body(i + 1) match {
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' if i + 5 < body.length =>
+            b += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => b += other; i += 2 // \\ and \" (and any literal)
+        }
+      } else { b += ch; i += 1 }
     }
     b.result()
   }

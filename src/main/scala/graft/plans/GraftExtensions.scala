@@ -118,6 +118,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strLiteral(f, "payloadColsCsv", exprs(5)).split(",").map(_.trim).toSeq)
           .queryExecution.logical
       }))
+    ext.injectTableFunction(tfn("graft_substr_dedup",
+      "graft_substr_dedup(table, idCol, textCol, minWords) - exact-" +
+        "substring dedup (Lee et al., equi-join form): per-doc cleaned " +
+        "text with every repeated >= minWords-token span removed",
+      exprs => {
+        val f = "graft_substr_dedup"
+        val spark = SparkSession.active
+        import org.apache.spark.sql.functions.col
+        graft.llm.SubstrDedup.substrDedup(
+          spark.table(strLiteral(f, "table", exprs(0)))
+            .select(col(strLiteral(f, "idCol", exprs(1))).as("doc_id"),
+              col(strLiteral(f, "textCol", exprs(2))).as("text")),
+          intLiteral(f, "minWords", exprs(3))).queryExecution.logical
+      }))
+    ext.injectTableFunction(tfn("graft_line_dedup",
+      "graft_line_dedup(table, idCol, textCol, blockWords) - corpus-level " +
+        "block/line dedup: keep each blockWords-word block's FIRST " +
+        "occurrence, return per-doc cleaned text + survival stats",
+      exprs => {
+        val f = "graft_line_dedup"
+        val spark = SparkSession.active
+        import org.apache.spark.sql.functions.col
+        graft.GraftOps.lineDedup(
+          spark.table(strLiteral(f, "table", exprs(0)))
+            .select(col(strLiteral(f, "idCol", exprs(1))).as("doc_id"),
+              col(strLiteral(f, "textCol", exprs(2))).as("text")),
+          intLiteral(f, "blockWords", exprs(3))).queryExecution.logical
+      }))
+    ext.injectTableFunction(tfn("graft_scd2_history",
+      "graft_scd2_history(table, keyCol, tsCol[, tieColsCsv]) - collapse a " +
+        "change feed into SCD2 validity intervals (valid_from/valid_to/" +
+        "is_current) per key",
+      exprs => {
+        val f = "graft_scd2_history"
+        val spark = SparkSession.active
+        val ties =
+          if (exprs.length > 3)
+            strLiteral(f, "tieColsCsv", exprs(3)).split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+          else Nil
+        graft.GraftOps.scd2History(
+          spark.table(strLiteral(f, "table", exprs(0))),
+          strLiteral(f, "keyCol", exprs(1)),
+          strLiteral(f, "tsCol", exprs(2)), ties).queryExecution.logical
+      }))
     ext.injectTableFunction(tfn("graft_quota_per_group",
       "graft_quota_per_group(table, groupCol, orderCol, quotasTable) - keep " +
         "<= quota(group) rows per group in ascending order",
