@@ -61,6 +61,7 @@ object SparkEntry {
     (ops.Extras36.queries, ops.Extras36.oracle),
     (ops.Extras37.queries, ops.Extras37.oracle),
     (ops.Extras38.queries, ops.Extras38.oracle),
+    (ops.Extras39.queries, ops.Extras39.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

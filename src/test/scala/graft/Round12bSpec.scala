@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-12 batch (Extras39): privacy audits,
+  * frequency encoding, multi-lag ACF. Each test recomputes the query's
+  * contract from the raw table through an INDEPENDENT formulation and
+  * asserts equality — the cross-engine hash gate is tools/check.py.
+  */
+class Round12bSpec extends SparkSuite {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("profile_k_anonymity: per-k rows are consistent and monotone") {
+    val rows = q("profile_k_anonymity").collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(2, 5, 10))
+    val nCustomers = spark.read.parquet(s"$sf/customer.parquet").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nCustomers)
+      assert(r.getAs[Long]("groups_below") <= r.getAs[Long]("n_groups"))
+      assert(r.getAs[Long]("rows_below") <= r.getAs[Long]("n_rows"))
+      val share = r.getAs[Double]("at_risk_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    // rows at risk can only grow as the privacy bar k rises
+    val below = rows.map(_.getAs[Long]("rows_below")).toSeq
+    assert(below == below.sorted, s"rows_below not monotone in k: $below")
+    // independent recount of the k=2 row: singleton QI groups
+    val sizes = spark.read.parquet(s"$sf/customer.parquet")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 100))
+      .count()
+    val singletons = sizes.where(col("count") === 1).count()
+    assert(rows.head.getAs[Long]("groups_below") == singletons)
+    assert(rows.head.getAs[Long]("rows_below") == singletons)
+    assert(rows.head.getAs[Long]("min_group_size") >= 1L)
+  }
+
+  test("profile_l_diversity: histogram partitions all customers and blocks") {
+    val rows = q("profile_l_diversity").collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == cust.count())
+    val blocks = cust.groupBy(col("c_nationkey"),
+      floor(col("c_acctbal") / 500)).count().count()
+    assert(rows.map(_.getAs[Long]("n_groups")).sum == blocks)
+    val nSegments = cust.select("c_mktsegment").distinct().count()
+    assert(rows.map(_.getAs[Long]("l")).max <= nSegments)
+    assert(rows.map(_.getAs[Long]("l")).min >= 1L)
+  }
+
+  test("encode_frequency: census counts are exact and shares sum to ~1") {
+    val out = q("encode_frequency")
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+    assert(out.count() == parts.count())
+    val expected = parts.groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.select("p_brand", "brand_cnt").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    val shareSum = out.select("p_brand", "brand_freq").distinct().collect()
+      .map(_.getDouble(1)).sum
+    // round-6 truncation over ~|brands| terms
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"freqs sum to $shareSum")
+  }
+
+  test("timeseries_acf_lags matches a driver-side exact recompute") {
+    val out = q("timeseries_acf_lags").collect()
+      .map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    assert(out.nonEmpty && out.keySet.subsetOf((1 to 7).toSet))
+    out.values.foreach { case (_, acf) =>
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9) }
+    // independent recompute: collect the (tiny) daily series as exact
+    // integer ten-thousandths and apply the same exact-then-double
+    // formula per lag in BigInt arithmetic
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)")) * 10000)
+        .cast("long").as("rev"))
+      .collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        BigInt(r.getLong(1))).toMap
+    (1 to 7).foreach { lag =>
+      val pairs = daily.toSeq.flatMap { case (d, x) =>
+        daily.get(d - lag).map(y => (x, y)) }
+      if (pairs.size >= 3) {
+        val n = pairs.size.toDouble
+        def dbl(b: BigInt) = b.toDouble
+        val sx = dbl(pairs.map(_._1).sum)
+        val sy = dbl(pairs.map(_._2).sum)
+        val sxy = dbl(pairs.map(p => p._1 * p._2).sum)
+        val sx2 = dbl(pairs.map(p => p._1 * p._1).sum)
+        val sy2 = dbl(pairs.map(p => p._2 * p._2).sum)
+        val acf = (n * sxy - sx * sy) /
+          (math.sqrt(n * sx2 - sx * sx) * math.sqrt(n * sy2 - sy * sy))
+        assert(out.contains(lag), s"lag $lag missing from output")
+        assert(out(lag)._1 == pairs.size.toLong)
+        assert(math.abs(out(lag)._2 - acf) < 1e-5,
+          s"lag $lag: got ${out(lag)._2}, recomputed $acf")
+      } else assert(!out.contains(lag))
+    }
+  }
+}
