@@ -70,6 +70,7 @@ object SparkEntry {
     (llm.LineDedup.queries, llm.LineDedup.oracle),
     (llm.SubstrDedup.queries, llm.SubstrDedup.oracle),
     (llm.Funnel.queries, llm.Funnel.oracle),
+    (llm.Curriculum.queries, llm.Curriculum.oracle),
     (sources.Sources.queries, sources.Sources.oracle),
     (clean.ProfileQueries.queries, clean.ProfileQueries.oracle),
     (clean.Missing.queries, clean.Missing.oracle),

@@ -35,6 +35,31 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All character n-grams of a string in one codegen'd flat loop
+  * ([[TextKernels.charNgrams]]) — replaces the interpreted
+  * transform(sequence(1, len−n+1), i → substring(text, i, n)) HOF whose
+  * per-gram lambda dispatch (plus substring's O(pos) re-scan) dominates
+  * a corpus-wide character-statistics pass. Output is identical to the
+  * HOF form (ExpressionsSpec pins it), so DuckDB substr oracles keep
+  * matching. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"CharNgrams needs n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charNgrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.charNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Consecutive `n`-word blocks of a token array (last may be partial),
   * each joined by single spaces — the map-side splitter of the
   * line-level dedup family ([[graft.llm.LineDedup]]). Replaces the

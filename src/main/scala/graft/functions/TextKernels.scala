@@ -45,6 +45,37 @@ object TextKernels {
     }
   }
 
+  /** all character n-grams of a string, code-point indexed exactly like
+    * SQL substring(text, i, n) / DuckDB substr — ONE pass precomputes
+    * the char→byte offset table, so the whole gram set is O(bytes)
+    * instead of substring's O(pos) re-scan per gram. Empty array (not
+    * an error) when the string is shorter than n. */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val nChars = s.numChars()
+    val out = nChars - n + 1
+    if (out <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val bytes = s.getBytes
+      val offs = new Array[Int](nChars + 1)
+      var i = 0
+      var c = 0
+      while (i < bytes.length && c < nChars) {
+        offs(c) = i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        c += 1
+      }
+      offs(nChars) = bytes.length
+      val res = new Array[Any](out)
+      var g = 0
+      while (g < out) {
+        res(g) = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, offs(g), offs(g + n)))
+        g += 1
+      }
+      new GenericArrayData(res)
+    }
+  }
+
   /** consecutive `n`-word blocks of a token array (last block may be
     * partial), each joined by single spaces — the line-dedup block
     * splitter ([[graft.llm.LineDedup]]). Null tokens are skipped within

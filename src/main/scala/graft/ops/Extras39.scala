@@ -135,6 +135,41 @@ object Extras39 {
               sqrt(col("n_pairs") * col("sy2") - col("sy") * col("sy"))), 6)
             + lit(0.0)).as("acf"))
         .orderBy("lag")
+    },
+
+    // inter-arrival burstiness per user (Goh–Barabási B = (σ−μ)/(σ+μ)
+    // over the gap distribution): B→−1 for metronome traffic, 0 for
+    // Poisson, →1 for bursty — the behavioral signature behind bot
+    // detection and rate-limit sizing. Gaps are exact integer seconds
+    // from a per-user window (partitions are users — shard-parallel);
+    // sufficient statistics Σg and Σg² in DECIMAL(38,0) (long g² wraps at
+    // ~3e9 s — the round-11 advisor lesson); doubles only in the final
+    // closed-form (single IEEE ops on identical exact integers
+    // cross-engine). Tie order within an equal timestamp cannot change
+    // the gap MULTISET (sorted values are identical), so the stats are
+    // deterministic without a tiebreaker column.
+    "events_inter_arrival_burstiness" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
+      val w = Window.partitionBy("user_id").orderBy("t")
+      val gaps = ev.withColumn("g", col("t") - lag(col("t"), 1).over(w))
+        .where(col("g").isNotNull)
+      val gd = col("g").cast(DecimalType(38, 0))
+      val stats = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(gd).cast(DoubleType).as("s1"),
+          sum(gd * col("g")).cast(DoubleType).as("s2"))
+        .where(col("n_gaps") >= 5)
+      val n = col("n_gaps").cast(DoubleType)
+      val mean = col("s1") / n
+      val std = sqrt((n * col("s2") - col("s1") * col("s1")) /
+        (n * (n - lit(1.0))))
+      stats.select(col("user_id"), col("n_gaps"),
+          (round(mean, 6) + lit(0.0)).as("mean_gap_s"),
+          (round(std, 6) + lit(0.0)).as("std_gap_s"),
+          (round((std - mean) / (std + mean), 6) + lit(0.0)).as("burstiness"))
+        .orderBy("user_id")
     }
   )
 
@@ -213,6 +248,30 @@ object Extras39 {
         |  round((n_pairs * sxy - sx * sy) /
         |    (sqrt(n_pairs * sx2 - sx * sx) * sqrt(n_pairs * sy2 - sy * sy)),
         |    6) + 0.0 AS acf
-        |FROM s WHERE n_pairs >= 3 ORDER BY lag""".stripMargin
+        |FROM s WHERE n_pairs >= 3 ORDER BY lag""".stripMargin,
+    "events_inter_arrival_burstiness" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |    cast(epoch(date_trunc('second', cast(ts AS timestamp)))
+        |      AS bigint) AS t
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY t) AS g
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |    cast(sum(cast(g AS hugeint)) AS double) AS s1,
+        |    cast(sum(cast(g AS hugeint) * g) AS double) AS s2
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  round(s1 / n_gaps, 6) + 0.0 AS mean_gap_s,
+        |  round(sqrt((n_gaps * s2 - s1 * s1) / (n_gaps * (n_gaps - 1.0))), 6)
+        |    + 0.0 AS std_gap_s,
+        |  round((sqrt((n_gaps * s2 - s1 * s1) / (n_gaps * (n_gaps - 1.0)))
+        |      - s1 / n_gaps) /
+        |    (sqrt((n_gaps * s2 - s1 * s1) / (n_gaps * (n_gaps - 1.0)))
+        |      + s1 / n_gaps), 6) + 0.0 AS burstiness
+        |FROM s WHERE n_gaps >= 5 ORDER BY user_id""".stripMargin
   )
 }

@@ -196,6 +196,44 @@ class ExpressionsSpec extends SparkSuite {
     assert(exploded.exceptAll(native).count() == 0)
   }
 
+  test("CharNgrams equals the transform/substring HOF form, incl. multi-byte") {
+    val df = Seq("spark analytics", "abc", "ab", "", "héllo wörld")
+      .toDF("text")
+    val hof = expr(
+      "transform(sequence(1, greatest(char_length(text) - 2, 1)), " +
+        "i -> substring(text, i, 3))")
+    val out = df
+      .withColumn("native", ColumnBridge.column(graft.functions.CharNgrams(
+        ColumnBridge.expression(col("text")), 3)))
+      .withColumn("hof", when(length(col("text")) >= 3, hof)
+        .otherwise(expr("array()")))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](r.fieldIndex("native")) ==
+        r.getSeq[String](r.fieldIndex("hof")), s"for '${r.getString(0)}'")
+    }
+  }
+
+  test("CharNgrams survives whole-stage codegen") {
+    val df = Tables(spark, sf, "documents")
+      .withColumn("g", ColumnBridge.column(graft.functions.CharNgrams(
+        ColumnBridge.expression(col("text")), 3)))
+      .select(sum(size(col("g"))).as("n"))
+    val expected = Tables(spark, sf, "documents")
+      .select(sum(greatest(length(col("text")) - 2, lit(0)))).head().getLong(0)
+    // collect() drives THIS dataset's QueryExecution (head() would build
+    // a separate limit-1 execution and leave df's AQE plan unfinalized)
+    assert(df.collect()(0).getLong(0) == expected)
+    // the AQE final plan only materializes after execution (round-6
+    // lesson), and the final-plan rendering marks codegen stages with
+    // "*(n)" rather than the literal WholeStageCodegen node name — the
+    // charngrams Project must carry the marker (i.e. not fall back to
+    // an interpreted span)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[charngrams""".r.findFirstIn(plan).isDefined,
+      plan.take(600))
+  }
+
   test("WordNgrams returns empty (not an error) when the doc is shorter than n") {
     val out = Seq("x y", "solo").toDF("text")
       .withColumn("toks", split(col("text"), " "))

@@ -100,4 +100,82 @@ class Round12bSpec extends SparkSuite {
       } else assert(!out.contains(lag))
     }
   }
+
+  test("pipeline_curriculum_stages: 4 balanced stages with ordered score spans") {
+    val rows = q("pipeline_curriculum_stages").collect()
+    assert(rows.map(_.getAs[Int]("stage")).toSeq == Seq(1, 2, 3, 4))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // SQL-ntile balance: bucket sizes differ by at most one
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced stages: ${sizes.toSeq}")
+    // stages are ordered by score: span i ends no later than span i+1 starts
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("score_hi") <= b.getAs[Long]("score_lo"),
+        s"stage ${a.getAs[Int]("stage")} overlaps ${b.getAs[Int]("stage")}")
+    }
+  }
+
+  test("text_length_histogram_by_source: buckets are exact binary lengths") {
+    val rows = q("text_length_histogram_by_source").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("n_chars") > 0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // independent recount in the driver
+    val expected = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0),
+        java.lang.Long.toBinaryString(r.getLong(1)).length))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = rows.map(r => (r.getString(0), r.getAs[Int]("bucket")) ->
+      r.getAs[Long]("n_docs")).toMap
+    assert(got == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_e6") >= 0 &&
+        r.getAs[Long]("share_e6") <= 1000000L)
+    }
+  }
+
+  test("text_char_trigram_entropy: bounds and exact gram totals") {
+    val rows = q("text_char_trigram_entropy").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(length(col("text")) >= 3)
+    val expTotals = docs.groupBy("lang")
+      .agg(sum(length(col("text")) - 2).as("g")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == expTotals.keySet)
+    rows.foreach { r =>
+      val (lang, nGrams, nDistinct, h) = (r.getString(0), r.getAs[Long](1),
+        r.getAs[Long](2), r.getAs[Double](3))
+      assert(nGrams == expTotals(lang))
+      assert(nDistinct >= 1 && nDistinct <= nGrams)
+      // 0 ≤ H ≤ ln(n_distinct) (uniform bound), slack for per-term rounding
+      assert(h >= 0.0 && h <= math.log(nDistinct.toDouble) + 1e-6,
+        s"$lang entropy $h outside [0, ln($nDistinct)]")
+    }
+  }
+
+  test("events_inter_arrival_burstiness matches a driver-side recompute") {
+    val rows = q("events_inter_arrival_burstiness").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      assert(b >= -1.0 - 1e-9 && b <= 1.0 + 1e-9, s"burstiness $b out of range")
+      assert(r.getAs[Long]("n_gaps") >= 5L)
+    }
+    // recompute one user end-to-end with BigInt sufficient statistics
+    val uid = rows.head.getAs[Long]("user_id")
+    val ts = Tables(spark, sf, "events")
+      .where(col("user_id") === uid)
+      .select(unix_timestamp(col("ts")).as("t"))
+      .collect().map(_.getLong(0)).sorted
+    val gaps = ts.sliding(2).map(p => BigInt(p(1) - p(0))).toSeq
+    val n = gaps.size.toDouble
+    val s1 = gaps.sum.toDouble
+    val s2 = gaps.map(g => g * g).sum.toDouble
+    val mean = s1 / n
+    val std = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0)))
+    val expB = (std - mean) / (std + mean)
+    assert(rows.head.getAs[Long]("n_gaps") == gaps.size.toLong)
+    assert(math.abs(rows.head.getAs[Double]("burstiness") - expB) < 1e-5)
+  }
 }
