@@ -196,6 +196,44 @@ object Graph {
         .limit(50)
     },
 
+    // weighted modularity of the BRAND partition over the strong
+    // co-purchase graph — how much more co-purchasing happens within a
+    // brand than a random degree-preserving rewiring would produce
+    // (Newman Q, per-community contribution e_c/W − (S_c/2W)²). A fixed
+    // attribute partition keeps the oracle honest (community detection
+    // itself isn't SQL-expressible; its quality METRIC is). All three
+    // statistics (within-weight, weighted degree mass, node count) ride
+    // the shared memoized edge build + two broadcast brand joins; sums
+    // stay integral until the two IEEE divisions per community.
+    "graph_modularity_partition" -> { (s, dir) =>
+      val edges = strongEdges(s, dir)
+      val br = Tables(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("p"), col("p_brand"))
+      val eb = edges
+        .join(broadcast(br.select(col("p").as("pa"), col("p_brand").as("ca"))), "pa")
+        .join(broadcast(br.select(col("p").as("pb"), col("p_brand").as("cb"))), "pb")
+      val wTot = edges.agg(sum(col("w")).as("tw"))
+      val eIn = eb.where(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(sum(col("w")).as("e_within"))
+      val deg = eb.select(col("ca").as("community"), col("w"))
+        .unionByName(eb.select(col("cb").as("community"), col("w")))
+        .groupBy("community").agg(sum(col("w")).as("s_degree"))
+      val nn = eb.select(col("pa").as("p"), col("ca").as("community"))
+        .unionByName(eb.select(col("pb").as("p"), col("cb").as("community")))
+        .distinct()
+        .groupBy("community").agg(count(lit(1)).as("n_nodes"))
+      val dW = col("tw").cast("double")
+      val ratio = col("s_degree").cast("double") / (lit(2.0) * dW)
+      deg.join(nn, "community").join(eIn, Seq("community"), "left")
+        .crossJoin(broadcast(wTot))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("e_within"), lit(0L)).as("e_within"), col("s_degree"),
+          (round(coalesce(col("e_within"), lit(0L)).cast("double") / dW -
+            ratio * ratio, 6) + lit(0.0)).as("contribution"))
+        .orderBy("community")
+    },
+
     // association rules over the strong co-purchase pairs: support,
     // directional confidence, lift — the Apriori-style output a
     // recommender's candidate generator consumes. Item frequencies and
@@ -296,6 +334,36 @@ object Graph {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "graph_modularity_partition" ->
+      s"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT l_orderkey, l_partkey, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) WHERE bsz <= 64),
+         |we AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |br AS (SELECT p_partkey AS p, p_brand FROM part),
+         |eb AS (SELECT pa, pb, w, ba.p_brand AS ca, bb.p_brand AS cb
+         |  FROM we JOIN br ba ON we.pa = ba.p JOIN br bb ON we.pb = bb.p),
+         |wt AS (SELECT cast(sum(w) AS bigint) AS tw FROM we),
+         |ein AS (SELECT ca AS community, cast(sum(w) AS bigint) AS e_within
+         |  FROM eb WHERE ca = cb GROUP BY 1),
+         |deg AS (SELECT community, cast(sum(w) AS bigint) AS s_degree FROM (
+         |  SELECT ca AS community, w FROM eb
+         |  UNION ALL SELECT cb, w FROM eb) GROUP BY 1),
+         |nn AS (SELECT community, cast(count(*) AS bigint) AS n_nodes FROM (
+         |  SELECT DISTINCT p, community FROM (
+         |    SELECT pa AS p, ca AS community FROM eb
+         |    UNION ALL SELECT pb, cb FROM eb)) GROUP BY 1)
+         |SELECT deg.community AS community, n_nodes,
+         |  coalesce(e_within, cast(0 AS bigint)) AS e_within, s_degree,
+         |  round(cast(coalesce(e_within, cast(0 AS bigint)) AS double)
+         |      / cast(tw AS double) -
+         |    (cast(s_degree AS double) / (2.0 * cast(tw AS double))) *
+         |    (cast(s_degree AS double) / (2.0 * cast(tw AS double))), 6)
+         |    + 0.0 AS contribution
+         |FROM deg JOIN nn ON deg.community = nn.community
+         |LEFT JOIN ein ON deg.community = ein.community CROSS JOIN wt
+         |ORDER BY community""".stripMargin,
     "graph_jaccard_neighbors" ->
       s"""WITH items AS (SELECT l_orderkey, l_partkey FROM (SELECT l_orderkey, l_partkey, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) WHERE bsz <= 64),
          |$sqlEdges,

@@ -178,4 +178,52 @@ class Round12bSpec extends SparkSuite {
     assert(rows.head.getAs[Long]("n_gaps") == gaps.size.toLong)
     assert(math.abs(rows.head.getAs[Double]("burstiness") - expB) < 1e-5)
   }
+
+  test("profile_t_closeness: thresholds monotone, t bounded by [0,1]") {
+    val rows = q("profile_t_closeness").collect()
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq == Seq(0.2, 0.35, 0.5))
+    val maxT = rows.head.getAs[Double]("max_t")
+    assert(maxT >= 0.0 && maxT <= 1.0, s"max TV distance $maxT outside [0,1]")
+    // rows/blocks above a RISING threshold can only shrink
+    val blocks = rows.map(_.getAs[Long]("blocks_above")).toSeq
+    assert(blocks == blocks.sorted.reverse, s"not monotone: $blocks")
+    val above = rows.map(_.getAs[Long]("rows_above")).toSeq
+    assert(above == above.sorted.reverse, s"not monotone: $above")
+    // a threshold above max_t admits no blocks
+    rows.filter(_.getAs[Double]("threshold") > maxT).foreach { r =>
+      assert(r.getAs[Long]("blocks_above") == 0L)
+    }
+  }
+
+  test("events_type_affinity_jaccard matches a driver-side recompute") {
+    val rows = q("events_type_affinity_jaccard").collect()
+    assert(rows.nonEmpty)
+    val sets = Tables(spark, sf, "events")
+      .select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val inter = sets(a).intersect(sets(b)).size
+      assert(r.getAs[Long]("n_a") == sets(a).size.toLong)
+      assert(r.getAs[Long]("n_b") == sets(b).size.toLong)
+      assert(r.getAs[Long]("n_both") == inter.toLong)
+      val expJ = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      assert(math.abs(r.getAs[Double]("jaccard") - expJ) < 1e-5)
+    }
+  }
+
+  test("graph_modularity_partition: contributions sum to a valid Q") {
+    val rows = q("graph_modularity_partition").collect()
+    assert(rows.nonEmpty)
+    val qMod = rows.map(_.getAs[Double]("contribution")).sum
+    // Newman bound: Q ∈ [−1/2, 1); slack for per-row rounding
+    assert(qMod >= -0.5 - 1e-4 && qMod < 1.0, s"modularity $qMod out of range")
+    // degree mass identity: Σ_c S_c = 2W, and e_within ≤ S_c/2
+    val sDeg = rows.map(_.getAs[Long]("s_degree")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("e_within") * 2 <= r.getAs[Long]("s_degree")) }
+    val w = rows.map(_.getAs[Long]("e_within")).sum
+    assert(sDeg % 2 == 0 && w <= sDeg / 2)
+  }
 }
