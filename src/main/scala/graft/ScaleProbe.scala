@@ -73,7 +73,14 @@ object ScaleProbe {
     "text_substr_dedup", "text_substr_dup_profile",
     "pipeline_text_cleaning_funnel", "profile_quantile_sketch_rank",
     "profile_quantile_sketch_rank_by_group", "profile_key_concentration",
-    "stream_key_skew_monitor", "dedup_substr_recall_eval")
+    "stream_key_skew_monitor", "dedup_substr_recall_eval",
+    // round-12 operators (privacy trio, curriculum/census, burstiness,
+    // affinity, modularity, multi-lag ACF)
+    "profile_k_anonymity", "profile_l_diversity", "profile_t_closeness",
+    "encode_frequency", "timeseries_acf_lags",
+    "events_inter_arrival_burstiness", "pipeline_curriculum_stages",
+    "text_length_histogram_by_source", "text_char_trigram_entropy",
+    "events_type_affinity_jaccard", "graph_modularity_partition")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -90,7 +90,15 @@ object SkewProbe {
     "stream_key_skew_monitor" -> "hot_user",
     // the pre-flight diagnostics a pipeline runs before the joins above
     "profile_key_concentration" -> "diagnostic",
-    "profile_join_key_skew" -> "diagnostic")
+    "profile_join_key_skew" -> "diagnostic",
+    // round-12 additions: the burstiness window sorts the hot user's
+    // ~10% event share in ONE partition (the inherent per-key-sequence
+    // shape — measure, don't assume); the affinity self-join keys on
+    // user_id but distinct (type,user) caps the hot user's fan-out at
+    // |types|²; modularity shuffles the hot orderkey's capped basket
+    "events_inter_arrival_burstiness" -> "hot_user",
+    "events_type_affinity_jaccard" -> "hot_user",
+    "graph_modularity_partition" -> "hot_orderkey")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(

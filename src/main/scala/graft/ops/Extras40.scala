@@ -88,6 +88,89 @@ object Extras40 {
             (col("n_a") + col("n_b") - col("n_both")).cast(DoubleType), 6)
             + lit(0.0)).as("jaccard"))
         .orderBy("type_a", "type_b")
+    },
+
+    // interpolated (SQL percentile_cont) per-group quantiles — the whole
+    // existing quantile family is DISCrete (always a stored element);
+    // the interpolated form is the one numeric consumers (SLA dashboards,
+    // z-binning) usually mean. Positions ride a per-group row_number
+    // (partitions are event types — shard-parallel); the lerp
+    // x_lo + frac·(x_hi − x_lo) is written IDENTICALLY in both engines
+    // (built-in quantile_cont is deliberately NOT used in the oracle —
+    // its interpolation form is an engine detail; the manual mirror is
+    // the contract). Ties in x don't need a tiebreaker: the value at a
+    // sorted position is multiset-deterministic.
+    "agg_percentile_cont_by_group" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val qs = Seq(0.25, 0.5, 0.75, 0.9)
+      // null-proof: Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST —
+      // excluding them keeps the rank positions engine-identical on any
+      // future testdata generation (none exist today)
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+        .where(col("value").isNotNull)
+      val ranked = ev.withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("value")))
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val j = ranked.join(broadcast(n), "event_type")
+      val aggs = qs.zipWithIndex.flatMap { case (q, i) =>
+        val pos = (col("n") - 1).cast(DoubleType) * q
+        val k = floor(pos)
+        Seq(min(when(col("rn") === k + 1, col("value"))).as(s"lo$i"),
+          min(when(col("rn") === least(k + 2, col("n").cast(DoubleType)),
+            col("value"))).as(s"hi$i"),
+          min(pos - k).as(s"frac$i"))
+      }
+      val rows = qs.zipWithIndex.map { case (q, i) =>
+        struct(lit(q).as("q"),
+          (round(col(s"lo$i") + col(s"frac$i") * (col(s"hi$i") - col(s"lo$i")),
+            6) + lit(0.0)).as("p_cont"))
+      }
+      val allAggs = min(col("n")).as("n") +: aggs
+      j.groupBy("event_type")
+        .agg(allAggs.head, allAggs.tail: _*)
+        .select(col("event_type"), col("n"), explode(array(rows: _*)).as("r"))
+        .select(col("event_type"), col("r.q").as("q"), col("n"),
+          col("r.p_cont").as("p_cont"))
+        .orderBy("event_type", "q")
+    },
+
+    // Neyman-allocation stratified sampling design: allocate a fixed
+    // sample budget across strata ∝ N_h·S_h (minimum-variance allocation
+    // for a fixed total n — the survey-sampling optimum). Strata stats
+    // come from ONE fact aggregate over exact integer cents (Σv and Σv²
+    // in DECIMAL(38,0) — the overflow-proof discipline); the allocation
+    // arithmetic runs on the strata-count-sized frame. Report per
+    // stratum: population, std, Neyman share, allocated n, achieved
+    // sampling fraction — the design table a sampling job executes with
+    // the quota kernel.
+    "sample_stratified_neyman" -> { (s, dir) =>
+      val nTarget = 1000
+      // integer ten-thousandths: DECIMAL(18,4)·10⁴ is exact (no rounding
+      // at the scale-0 cast — cents via ·100 would ROUND the residual
+      // two decimals, and Spark HALF_UP vs DuckDB's cast need not agree)
+      val o = Tables(s, dir, "orders").select(col("o_orderpriority"),
+        (dec(col("o_totalprice")) * 10000).cast(DecimalType(38, 0)).as("v"))
+      val st = o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_pop"),
+          sum(col("v")).cast(DoubleType).as("s1"),
+          sum(col("v") * col("v")).cast(DoubleType).as("s2"))
+      val nD = col("n_pop").cast(DoubleType)
+      val stdH = sqrt((nD * col("s2") - col("s1") * col("s1")) /
+        (nD * (nD - lit(1.0)))) / lit(10000.0)
+      val w = st.withColumn("std_h", stdH)
+        .withColumn("w_h", col("n_pop").cast(DoubleType) * col("std_h"))
+      val tot = w.agg(sum(col("w_h")).as("w_tot"))
+      w.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"), col("n_pop"),
+          (round(col("std_h"), 6) + lit(0.0)).as("std_h"),
+          (round(col("w_h") / col("w_tot"), 6) + lit(0.0)).as("neyman_share"),
+          floor(lit(nTarget.toDouble) * col("w_h") / col("w_tot"))
+            .cast(LongType).as("alloc_n"),
+          (round(floor(lit(nTarget.toDouble) * col("w_h") / col("w_tot")) /
+            col("n_pop").cast(DoubleType), 6) + lit(0.0))
+            .as("sampling_fraction"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -148,6 +231,55 @@ object Extras40 {
         |    cast(ta.n + tb.n - n_both AS double), 6) + 0.0 AS jaccard
         |FROM co JOIN tt ta ON co.type_a = ta.event_type
         |  JOIN tt tb ON co.type_b = tb.event_type
-        |ORDER BY type_a, type_b""".stripMargin
+        |ORDER BY type_a, type_b""".stripMargin,
+    "agg_percentile_cont_by_group" -> {
+      val qs = Seq(0.25, 0.5, 0.75, 0.9)
+      val aggs = qs.zipWithIndex.map { case (q, i) =>
+        s"""min(CASE WHEN rn = floor((n - 1.0) * $q) + 1 THEN value END)
+           |    AS lo$i,
+           |  min(CASE WHEN rn = least(floor((n - 1.0) * $q) + 2,
+           |    cast(n AS double)) THEN value END) AS hi$i,
+           |  min((n - 1.0) * $q - floor((n - 1.0) * $q)) AS frac$i"""
+          .stripMargin
+      }.mkString(",\n  ")
+      val perQ = qs.zipWithIndex.map { case (q, i) =>
+        s"""SELECT event_type, cast($q AS double) AS q, n,
+           |  round(lo$i + frac$i * (hi$i - lo$i), 6) + 0.0 AS p_cont
+           |FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events WHERE value IS NOT NULL),
+         |a AS (SELECT event_type, cast(min(n) AS bigint) AS n,
+         |  $aggs
+         |  FROM r GROUP BY event_type)
+         |$perQ
+         |ORDER BY event_type, q""".stripMargin
+    },
+    "sample_stratified_neyman" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    cast(cast(o_totalprice AS decimal(18,4)) * 10000 AS hugeint)
+        |      AS v
+        |  FROM orders),
+        |st AS (SELECT o_orderpriority, cast(count(*) AS bigint) AS n_pop,
+        |    cast(sum(v) AS double) AS s1,
+        |    cast(sum(v * v) AS double) AS s2
+        |  FROM o GROUP BY 1),
+        |w AS (SELECT *,
+        |    sqrt((n_pop * s2 - s1 * s1) / (n_pop * (n_pop - 1.0))) / 10000.0
+        |      AS std_h
+        |  FROM st),
+        |w2 AS (SELECT *, cast(n_pop AS double) * std_h AS w_h FROM w),
+        |tot AS (SELECT sum(w_h) AS w_tot FROM w2)
+        |SELECT o_orderpriority, n_pop,
+        |  round(std_h, 6) + 0.0 AS std_h,
+        |  round(w_h / w_tot, 6) + 0.0 AS neyman_share,
+        |  cast(floor(1000.0 * w_h / w_tot) AS bigint) AS alloc_n,
+        |  round(floor(1000.0 * w_h / w_tot) / cast(n_pop AS double), 6)
+        |    + 0.0 AS sampling_fraction
+        |FROM w2 CROSS JOIN tot ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -46,11 +46,22 @@ object Extras7 {
       struct(orderCols.map(col): _*).as("__nk"), lit(1L).as("__nv"))
     val ranked = graft.llm.Chunking
       .distributedRunningSum(lite, "__np", "__nk", "__nv", outCol)
-    // null-safe equality: a null in any order column makes plain struct
-    // equality NULL and would silently drop the row from the output —
-    // <=> keeps null keys (the window form ranks them too)
-    df.join(ranked.select(col("__nk"), col(outCol)),
-      struct(orderCols.map(col): _*) <=> col("__nk")).drop("__nk")
+    if (df.columns.toSet == orderCols.toSet) {
+      // JOIN-BACK ELIMINATION: every output column already rides inside
+      // the rank struct, so re-matching the fact rows would re-attach
+      // nothing — unpacking the struct saves a full fact-fact
+      // sort-merge join (the round-12 10x probe read exponent 1.21 on
+      // encode_quantile_binning through the join-back path; 60M-row
+      // rank = 3 extra fact-sized sorts). No row can drop from a
+      // projection, so the <=> null-key guarantee holds trivially.
+      ranked.select(df.columns.toSeq.map(c =>
+        col("__nk").getField(c).as(c)) :+ col(outCol): _*)
+    } else
+      // null-safe equality: a null in any order column makes plain struct
+      // equality NULL and would silently drop the row from the output —
+      // <=> keeps null keys (the window form ranks them too)
+      df.join(ranked.select(col("__nk"), col(outCol)),
+        struct(orderCols.map(col): _*) <=> col("__nk")).drop("__nk")
   }
 
   /** PUBLIC API: distributed ntile — `ntile(k).over(orderBy(orderCols))`

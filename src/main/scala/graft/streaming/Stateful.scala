@@ -366,6 +366,62 @@ object Stateful {
       }
   }
 
+  case class BurstState(lastSec: Long, n: Long, s1: Long,
+    s2: java.math.BigDecimal)
+  case class BurstPoint(user_id: Long, n_gaps: Long, mean_gap_s: Double,
+    std_gap_s: Double, burstiness: Double)
+
+  /** PUBLIC API: CONTINUOUS per-user inter-arrival burstiness — the
+    * streaming twin of the declared `events_inter_arrival_burstiness`
+    * (Goh–Barabási B = (σ−μ)/(σ+μ)). State per user is FOUR numbers
+    * (last event second, gap count, Σg, Σg² — Σg² as an exact
+    * DECIMAL, the batch query's DECIMAL(38,0) overflow discipline), so
+    * each arriving event costs O(1) and no history is re-read: the
+    * moment-statistics form is exactly what makes this metric
+    * stream-maintainable. One snapshot per (user, micro-batch) emits
+    * once ≥ 5 gaps exist. Gap seconds are computed batch-identically:
+    * epoch seconds FLOOR first (unix_timestamp semantics), then
+    * subtract. Requires per-user event-time order across batches (the
+    * same assumption as every lag-window twin); StatefulSpec pins the
+    * final snapshot bit-equal to the declared query. */
+  def burstinessStream(events: Dataset[UserEvent]): Dataset[BurstPoint] = {
+    implicit val encOut = Encoders.product[BurstPoint]
+    implicit val encState = Encoders.kryo[BurstState]
+    def round6(x: Double): Double =
+      // Spark round(col, 6): BigDecimal HALF_UP on the double's SHORTEST
+      // decimal form (valueOf = Double.toString — new BigDecimal(x) would
+      // tie-break on the exact binary expansion instead and diverge);
+      // +0.0 normalizes -0.0 exactly like the batch query
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[BurstState, BurstPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[BurstState]) =>
+          var st = state.getOption.getOrElse(
+            BurstState(Long.MinValue, 0L, 0L, java.math.BigDecimal.ZERO))
+          it.toIndexedSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            val sec = e.us / 1000000L // floor-to-second BEFORE the diff
+            if (st.lastSec != Long.MinValue) {
+              val g = sec - st.lastSec
+              st = BurstState(sec, st.n + 1, st.s1 + g,
+                st.s2.add(java.math.BigDecimal.valueOf(g)
+                  .multiply(java.math.BigDecimal.valueOf(g))))
+            } else st = st.copy(lastSec = sec)
+          }
+          state.update(st)
+          if (st.n >= 5) {
+            val (n, s1, s2) = (st.n.toDouble, st.s1.toDouble,
+              st.s2.doubleValue())
+            val mean = s1 / n
+            val std = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0)))
+            Iterator.single(BurstPoint(user, st.n, round6(mean), round6(std),
+              round6((std - mean) / (std + mean))))
+          } else Iterator.empty
+      }
+  }
+
   def approxTopValuesStream(rows: Dataset[GroupValue], capacity: Int,
       k: Int): Dataset[TopValue] = {
     require(capacity >= 1 && k >= 1, "need capacity >= 1 and k >= 1")

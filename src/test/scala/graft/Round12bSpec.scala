@@ -226,4 +226,52 @@ class Round12bSpec extends SparkSuite {
     val w = rows.map(_.getAs[Long]("e_within")).sum
     assert(sDeg % 2 == 0 && w <= sDeg / 2)
   }
+
+  test("agg_percentile_cont_by_group matches a driver-side lerp recompute") {
+    val rows = q("agg_percentile_cont_by_group").collect()
+    val byType = rows.groupBy(_.getString(0))
+    assert(byType.nonEmpty)
+    byType.foreach { case (tpe, rs) =>
+      assert(rs.map(_.getAs[Double]("q")).sorted.toSeq ==
+        Seq(0.25, 0.5, 0.75, 0.9))
+      val xs = Tables(spark, sf, "events")
+        .where(col("event_type") === tpe)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n") == xs.length.toLong)
+        val pos = (xs.length - 1).toDouble * r.getAs[Double]("q")
+        val k = math.floor(pos).toInt
+        val hi = math.min(k + 1, xs.length - 1)
+        val exp = xs(k) + (pos - k) * (xs(hi) - xs(k))
+        assert(math.abs(r.getAs[Double]("p_cont") - exp) < 1e-5,
+          s"$tpe q=${r.getAs[Double]("q")}: ${r.getAs[Double]("p_cont")} vs $exp")
+      }
+    }
+  }
+
+  test("sample_stratified_neyman: shares sum to 1, budget respected") {
+    val rows = q("sample_stratified_neyman").collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("neyman_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+    val alloc = rows.map(_.getAs[Long]("alloc_n")).sum
+    // floor() loses at most one unit per stratum off the 1000 budget
+    assert(alloc <= 1000L && alloc >= 1000L - rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("std_h") >= 0.0)
+      assert(r.getAs[Long]("alloc_n") >= 0L)
+    }
+    // driver-side recompute of one stratum's std over exact BigInt sums
+    val pri = rows.head.getString(0)
+    val vs = Tables(spark, sf, "orders")
+      .where(col("o_orderpriority") === pri)
+      .select((col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("decimal(38,0)").as("v"))
+      .collect().map(r => BigInt(r.getDecimal(0).toBigInteger))
+    val n = vs.size.toDouble
+    val (s1, s2) = (vs.sum.toDouble, vs.map(v => v * v).sum.toDouble)
+    val expStd = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) / 10000.0
+    assert(math.abs(rows.head.getAs[Double]("std_h") - expStd) < 1e-4,
+      s"$pri: ${rows.head.getAs[Double]("std_h")} vs $expStd")
+  }
 }

@@ -369,4 +369,40 @@ class StatefulSpec extends SparkSuite {
       ("zebra", "apple") -> 1L)
     assert(got == expected, s"got $got")
   }
+
+  test("burstinessStream: final snapshot bit-equal to the declared batch query") {
+    import graft.streaming.Stateful.UserEvent
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    // the real corpus, in event-time order, split into 3 micro-batches
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"))
+      .collect()
+      .map(r => UserEvent(r.getLong(0), r.getLong(1) * 1000000L, "e", 0L,
+        r.getLong(2)))
+      .sortBy(e => (e.us, e.event_id))
+    val thirds = ev.grouped(math.max(1, (ev.length + 2) / 3)).toSeq
+    val mem = MemoryStream[UserEvent]
+    val q = Stateful.burstinessStream(mem.toDS())
+      .writeStream.format("memory").queryName("burst_s")
+      .outputMode("append").start()
+    thirds.foreach { b => mem.addData(b.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    // last emitted snapshot per user (batchId-free: Append emits one row
+    // per (user, batch) with monotone n_gaps — max n_gaps wins)
+    val got = spark.table("burst_s").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    val batch = SparkEntry.queries("events_inter_arrival_burstiness")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getAs[Double]("mean_gap_s"),
+        r.getAs[Double]("std_gap_s"), r.getAs[Double]("burstiness")))).toMap
+    assert(batch.nonEmpty && got.keySet == batch.keySet,
+      s"users: stream=${got.size} batch=${batch.size}")
+    batch.foreach { case (u, b) =>
+      assert(got(u) == b, s"user $u: stream ${got(u)} != batch $b")
+    }
+  }
 }
