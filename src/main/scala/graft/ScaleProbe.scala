@@ -80,7 +80,8 @@ object ScaleProbe {
     "encode_frequency", "timeseries_acf_lags",
     "events_inter_arrival_burstiness", "pipeline_curriculum_stages",
     "text_length_histogram_by_source", "text_char_trigram_entropy",
-    "events_type_affinity_jaccard", "graph_modularity_partition")
+    "events_type_affinity_jaccard", "graph_modularity_partition",
+    "agg_percentile_cont_by_group", "sample_stratified_neyman")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

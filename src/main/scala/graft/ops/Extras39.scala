@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * encoding (the count-statistics feature encoder), and multi-lag ACF
   * (the seasonality screen behind lag selection for forecasting).
   *
-  * Scale shapes: every query reduces the fact table with ONE hash
-  * aggregate keyed on the quasi-identifier / category / day; everything
-  * downstream runs on dimension-sized frames (≤ a few thousand rows at
-  * any corpus size), joined back map-side by broadcast where a fact-grain
-  * output is required. No windows, no self-joins on fact grain.
+  * Scale shapes: the profiling/encoding/ACF queries reduce the fact
+  * table with ONE hash aggregate keyed on the quasi-identifier /
+  * category / day and keep everything downstream dimension-sized
+  * (joined back map-side by broadcast where a fact-grain output is
+  * required). The one exception is burstiness, whose per-USER lag
+  * window is shard-parallel (partitions = users, fact-cardinality
+  * keys) — measured bounded under the hot-user skew probe.
   */
 object Extras39 {
 
@@ -85,7 +87,8 @@ object Extras39 {
     "encode_frequency" -> { (s, dir) =>
       val parts = Tables(s, dir, "part")
       val census = parts.groupBy("p_brand").agg(count(lit(1)).as("brand_cnt"))
-      val total = parts.agg(count(lit(1)).as("n_total"))
+      // total from the ~25-row census, not a second fact scan
+      val total = census.agg(sum(col("brand_cnt")).as("n_total"))
       parts.select("p_partkey", "p_brand")
         .join(broadcast(census), "p_brand")
         .join(broadcast(total))

@@ -5,9 +5,14 @@ import graft.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Round 12 batch 3: t-closeness (completing the k-anonymity /
-  * l-diversity privacy-audit trio) and event-type affinity — both
-  * one-fact-shuffle reports with dimension-sized downstream frames.
+/** Round 12 batch 3/4: t-closeness (completing the k-anonymity /
+  * l-diversity privacy-audit trio), event-type affinity, interpolated
+  * per-group percentiles, and Neyman sample allocation. The t-closeness
+  * / affinity / Neyman queries are one-fact-shuffle reports with
+  * dimension-sized downstream frames; percentile_cont rides the
+  * distributed prefix-sum kernel for its per-group positions (a plain
+  * per-type window would funnel ~1/|types| of the fact through one
+  * task).
   */
 object Extras40 {
 
@@ -93,15 +98,18 @@ object Extras40 {
     // interpolated (SQL percentile_cont) per-group quantiles — the whole
     // existing quantile family is DISCrete (always a stored element);
     // the interpolated form is the one numeric consumers (SLA dashboards,
-    // z-binning) usually mean. Positions ride a per-group row_number
-    // (partitions are event types — shard-parallel); the lerp
-    // x_lo + frac·(x_hi − x_lo) is written IDENTICALLY in both engines
-    // (built-in quantile_cont is deliberately NOT used in the oracle —
-    // its interpolation form is an engine detail; the manual mirror is
-    // the contract). Ties in x don't need a tiebreaker: the value at a
-    // sorted position is multiset-deterministic.
+    // z-binning) usually mean. Positions ride the distributed prefix-sum
+    // kernel (running count partitioned by event_type) — a plain
+    // row_number window partitioned by a HANDFUL of event types would
+    // sort ~1/|types| of the whole fact in one task, the exact shape
+    // window_ntile_percent was reworked off this round (review-caught).
+    // The lerp x_lo + frac·(x_hi − x_lo) is written IDENTICALLY in both
+    // engines (built-in quantile_cont is deliberately NOT used in the
+    // oracle — its interpolation form is an engine detail; the manual
+    // mirror is the contract). Ties in x don't need a tiebreaker: the
+    // value at a sorted position is multiset-deterministic, and the
+    // kernel's per-row cumulative count IS row_number semantics.
     "agg_percentile_cont_by_group" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val qs = Seq(0.25, 0.5, 0.75, 0.9)
       // null-proof: Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST —
       // excluding them keeps the rank positions engine-identical on any
@@ -109,8 +117,11 @@ object Extras40 {
       val ev = Tables(s, dir, "events")
         .select(col("event_type"), col("value"))
         .where(col("value").isNotNull)
-      val ranked = ev.withColumn("rn",
-        row_number().over(Window.partitionBy("event_type").orderBy("value")))
+      // exactly (part, order, value): the kernel's single-exchange
+      // structural-reuse contract (see distributedRunningSum)
+      val ranked = graft.llm.Chunking.distributedRunningSum(
+        ev.withColumn("__one", lit(1L)), "event_type", "value", "__one", "rn")
+        .drop("__one")
       val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
       val j = ranked.join(broadcast(n), "event_type")
       val aggs = qs.zipWithIndex.flatMap { case (q, i) =>

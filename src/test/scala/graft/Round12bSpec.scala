@@ -235,7 +235,7 @@ class Round12bSpec extends SparkSuite {
       assert(rs.map(_.getAs[Double]("q")).sorted.toSeq ==
         Seq(0.25, 0.5, 0.75, 0.9))
       val xs = Tables(spark, sf, "events")
-        .where(col("event_type") === tpe)
+        .where(col("event_type") === tpe && col("value").isNotNull)
         .select("value").collect().map(_.getDouble(0)).sorted
       rs.foreach { r =>
         assert(r.getAs[Long]("n") == xs.length.toLong)

@@ -167,17 +167,29 @@ class Round8cSpec extends SparkSuite {
   }
 
   test("distributedRank keeps rows with NULL order keys (null-safe join-back)") {
-    val df = Seq[(java.lang.Long, String)](
-      (null, "a"), (3L, "b"), (1L, "c"), (null, "d"), (2L, "e"))
-      .toDF("x", "id")
+    // `payload` is NOT an order column, so this df takes the JOIN-BACK
+    // path (round 12 added a projection shortcut when columns == order
+    // cols — without the extra column this test would silently stop
+    // covering the <=> null-safe join it is named for, review-caught)
+    val df = Seq[(java.lang.Long, String, String)](
+      (null, "a", "pa"), (3L, "b", "pb"), (1L, "c", "pc"),
+      (null, "d", "pd"), (2L, "e", "pe"))
+      .toDF("x", "id", "payload")
     val ranked = GraftOps.distributedRank(df, Seq("x", "id"), "r")
     assert(ranked.count() == 5, "null order keys must not drop rows")
+    assert(ranked.columns.contains("payload"), "join-back lost the payload col")
     val ranks = ranked.select("r").collect().map(_.getLong(0)).sorted
     assert(ranks.sameElements(Array(1L, 2L, 3L, 4L, 5L)), "ranks not a permutation")
     // nulls-first like the window form
     val nullRanks = ranked.where(col("x").isNull)
       .select("r").collect().map(_.getLong(0)).toSet
     assert(nullRanks == Set(1L, 2L), s"null keys should rank first: $nullRanks")
+    // the projection shortcut must agree with the join-back row-for-row
+    val viaProjection = GraftOps.distributedRank(
+      df.select("x", "id"), Seq("x", "id"), "r")
+    val a = ranked.select("x", "id", "r").collect().map(_.toSeq).toSet
+    val b = viaProjection.select("x", "id", "r").collect().map(_.toSeq).toSet
+    assert(a == b, "projection path disagrees with join-back path")
   }
 
   test("overlapSelfJoin equals the theta join, pairs exactly once") {
