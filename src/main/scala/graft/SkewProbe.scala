@@ -98,7 +98,19 @@ object SkewProbe {
     // |types|²; modularity shuffles the hot orderkey's capped basket
     "events_inter_arrival_burstiness" -> "hot_user",
     "events_type_affinity_jaccard" -> "hot_user",
-    "graph_modularity_partition" -> "hot_orderkey")
+    "graph_modularity_partition" -> "hot_orderkey",
+    // round-13 additions (r12 verdict #5): the TPC-H analytics join
+    // graphs had never seen a planted hot key — Q10/Q3/Q4/Q9/Q8 shapes
+    // shuffle lineitem on l_orderkey (the ~10% hot order), Q13 joins
+    // orders on o_custkey (the ~10% hot customer); Q18/Q21 shapes were
+    // already covered above (analytics_large_orders /
+    // analytics_waiting_suppliers)
+    "analytics_returned_items" -> "hot_orderkey",
+    "analytics_shipping_priority" -> "hot_orderkey",
+    "analytics_order_priority_check" -> "hot_orderkey",
+    "analytics_product_profit" -> "hot_orderkey",
+    "analytics_market_share" -> "hot_orderkey",
+    "analytics_customer_distribution" -> "hot_custkey")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(

@@ -27,8 +27,13 @@ object Curriculum {
     // from. The unique order composite makes the staging deterministic
     // and the ntile kernel keeps it shard-parallel.
     "pipeline_curriculum_stages" -> { (s, dir) =>
+      // lazy localCheckpoint: distributedNtile fans `scored` into three
+      // plan branches (rank kernel input, join-back side, broadcast count)
+      // — without it the full quality-scoring fact scan re-executes per
+      // branch (the rfm/pareto discipline)
       val scored = Text.qualityScored(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("n_chars"), col("score_e6"))
+        .localCheckpoint(false)
       GraftOps.distributedNtile(scored, Seq("score_e6", "doc_id"), 4, "stage")
         .groupBy("stage")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),

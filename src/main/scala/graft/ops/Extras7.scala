@@ -33,7 +33,13 @@ object Extras7 {
     * broadcast shard offsets); parallelism is the shard count, never
     * one task. `orderCols` must be a UNIQUE composite (append a key
     * column as tiebreak, exactly as a deterministic row_number window
-    * would). */
+    * would). If the input violates that contract with duplicate FULL
+    * rows, the two code paths below diverge: the projection shortcut
+    * (all columns inside the rank struct) emits m rows with m distinct
+    * ranks — the row_number-faithful behavior — while the join-back
+    * path would cross-match them into m² rows. Don't rely on the old
+    * join-back multiplication; the projection semantics are the
+    * contract going forward. */
   def distributedRank(df: org.apache.spark.sql.DataFrame, orderCols: Seq[String],
       outCol: String): org.apache.spark.sql.DataFrame = {
     require(orderCols.nonEmpty, "distributedRank needs at least one order column")

@@ -152,6 +152,71 @@ object StreamOps {
         unix_micros(col("ts_buy")).as("t_buy"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[intervalJoin]] plus the
+    * null-emission contract: a view with no purchase in its 10-minute
+    * horizon is emitted with `t_buy = NULL` once the GLOBAL watermark
+    * (min over both inputs) passes `ts_view + 10 min + watermark delay`,
+    * i.e. once Spark has PROVED no future purchase can still match — the
+    * same moment the buffered view row is evicted from state. The
+    * two-sided event-time bound is what makes both the null decision and
+    * the state cleanup possible; without it the left rows would wait
+    * forever. State stays bounded on both sides exactly as in the inner
+    * form (one watermark horizon of rows each). */
+  def intervalJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("ts_view"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("ts_buy"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("ts_buy") >= col("ts_view") &&
+        col("ts_buy") <= col("ts_view") + expr("interval 10 minutes"),
+        "left_outer")
+      .select(col("user_id"), unix_micros(col("ts_view")).as("t_view"),
+        unix_micros(col("ts_buy")).as("t_buy"))
+  }
+
+  /** EXACTLY-ONCE-effect sink: an idempotent keyed upsert behind
+    * foreachBatch. foreachBatch delivers AT-LEAST-ONCE — after a failure
+    * the same epoch (batchId) is re-delivered with identical contents —
+    * so a sink gets exactly-once EFFECT by making re-application a no-op.
+    * Two independent layers provide that here, matching the two
+    * production failure modes:
+    *
+    *  1. EPOCH FENCE: the sink remembers the last committed batchId and
+    *     skips any batch at-or-below it (the transactional-sink pattern —
+    *     in production the fence lives in the sink's own transaction,
+    *     e.g. `(table, batchId)` committed atomically with the data).
+    *  2. ALGEBRAIC IDEMPOTENCE: the merge itself is latest-wins-per-key
+    *     ([[GraftOps.upsertLatestWins]] — max_by over a UNIQUE version),
+    *     so even a re-applied epoch (fence lost, e.g. sink state rebuilt
+    *     from an older snapshot) converges to the same table: upsert of
+    *     rows already reflected changes nothing.
+    *
+    *  The state advances by localCheckpoint per epoch (batch-sized
+    *  materialization, lineage truncated — per-epoch cost ∝ batch + the
+    *  keyed table, never the input history). `current()` reads the
+    *  committed table; micro-batches arrive serially per query, so no
+    *  lock. The batch twin `stream_upsert_exactly_once` oracle-pins the
+    *  algebra (a duplicated epoch leaves the final table unchanged). */
+  final class IdempotentUpsertSink(initial: DataFrame, keyCol: String,
+      versionCol: String) {
+    private var state: DataFrame = initial.localCheckpoint()
+    private var lastCommitted: Long = -1L
+    private var skipped: Long = 0L
+    def committedEpochs: Long = lastCommitted + 1
+    def redeliveriesSkipped: Long = skipped
+    def current(): DataFrame = state
+    def apply(batch: DataFrame, batchId: Long): Unit =
+      if (batchId <= lastCommitted) { skipped += 1 } // epoch fence: no-op
+      else {
+        state = graft.GraftOps
+          .upsertLatestWins(state, batch.select(state.columns.map(col): _*),
+            keyCol, versionCol)
+          .localCheckpoint()
+        lastCommitted = batchId
+      }
+  }
+
   /** CONTINUOUS corpus ingestion with near-dup rejection — the streaming
     * form of [[graft.llm.Curation.dedupIncremental]], packaged as a
     * `foreachBatch` function: each micro-batch is (1) self-deduped (two

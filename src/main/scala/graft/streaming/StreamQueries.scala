@@ -69,6 +69,50 @@ object StreamQueries {
         .orderBy(col("user_id"))
     },
 
+    // batch form of StreamOps.intervalJoinOuter: LEFT OUTER interval join
+    // — views with no purchase in their 10-min horizon survive with NULL
+    // t_buy (in the stream, emitted on watermark expiry; here, the left
+    // join's null row). Per-user aggregate keeps the result dimension-
+    // sized; min/max lag are NULL for all-unmatched users in BOTH engines.
+    "stream_join_interval_outer" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("t").as("t_view"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("t").as("t_buy"))
+      v.join(p, col("user_id") === col("p_user") &&
+          col("t_buy").between(col("t_view"), col("t_view") + 600000000L),
+          "left_outer")
+        .groupBy(col("user_id"))
+        .agg(count(col("t_buy")).as("n_pairs"),
+          count(when(col("t_buy").isNull, lit(1))).as("n_unmatched_views"),
+          min(col("t_buy") - col("t_view")).as("min_lag_us"),
+          max(col("t_buy") - col("t_view")).as("max_lag_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // batch twin of StreamOps.IdempotentUpsertSink's ALGEBRAIC layer: the
+    // event log with one epoch RE-DELIVERED (every 5th hour appended a
+    // second time — foreachBatch's at-least-once failure mode), folded
+    // through the latest-wins keyed upsert. The ORACLE aggregates the
+    // CLEAN log — hash equality IS the exactly-once-effect proof: the
+    // duplicated epoch changed nothing. Key = event_id (unique), so the
+    // re-delivered rows tie on version with IDENTICAL payloads —
+    // deterministic under any partitioning.
+    "stream_upsert_exactly_once" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("v"))
+      val redelivered = ev.where(expr("(v DIV 3600000000) % 5 = 0"))
+      GraftOps.upsertLatestWins(ev, redelivered, "event_id", "v")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          max(col("v")).as("last_us"))
+        .orderBy(col("user_id"))
+    },
+
     // duplicate-drop: events ∪ injected duplicate rows, keep one per id
     "stream_dedup_watermark" -> { (s, dir) =>
       val ev = Tables(s, dir, "events")
@@ -143,6 +187,23 @@ object StreamQueries {
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND t_buy BETWEEN t_view AND t_view + 600000000
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "stream_join_interval_outer" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_us(cast(ts AS timestamp)) AS t FROM events),
+        |v AS (SELECT user_id, t AS t_view FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, t AS t_buy FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT v.user_id, count(t_buy) AS n_pairs,
+        |  count(CASE WHEN t_buy IS NULL THEN 1 END) AS n_unmatched_views,
+        |  min(t_buy - t_view) AS min_lag_us, max(t_buy - t_view) AS max_lag_us
+        |FROM v LEFT JOIN p ON v.user_id = p.p_user
+        |  AND t_buy BETWEEN t_view AND t_view + 600000000
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "stream_upsert_exactly_once" ->
+      """SELECT user_id, count(*) AS n_events,
+        |count(DISTINCT event_type) AS n_types,
+        |max(epoch_us(cast(ts AS timestamp))) AS last_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup_watermark" ->
       """WITH u AS (
         |  SELECT event_id, user_id, event_type FROM events

@@ -159,6 +159,80 @@ class StreamingSpec extends SparkSuite {
     assert(rows == Set((1L, 0, "a b"), (1L, 1, "c d"), (2L, 1, "e f")))
   }
 
+  test("outer interval join emits NULL for expired unmatched views and evicts state") {
+    implicit val sc = spark.sqlContext
+    val vm = MemoryStream[Ev]
+    val pm = MemoryStream[Ev]
+    sinkId += 1
+    val name = s"sink_$sinkId"
+    val q = StreamOps.intervalJoinOuter(vm.toDF(), pm.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    vm.addData(
+      Ev(1, t(0), 1, "view", 1.0),  // matched by the t(5) purchase
+      Ev(2, t(0), 2, "view", 1.0))  // never matched → NULL on expiry
+    pm.addData(Ev(3, t(5), 1, "purchase", 5.0))
+    q.processAllAvailable()
+    // advance BOTH inputs' event time so the GLOBAL watermark (min over
+    // inputs) passes t(0) + 10 min horizon + 10 min delay — only then can
+    // Spark prove user 2's view has no future match and emit its null row
+    vm.addData(Ev(6, t(60), 9, "view", 0.0))
+    pm.addData(Ev(7, t(60), 9, "purchase", 0.0)) // in-horizon match at t(60)
+    q.processAllAvailable()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, t(0).getTime * 1000L, t(5).getTime * 1000L),  // inner match
+      (2L, t(0).getTime * 1000L, -1L),                   // null emission
+      (9L, t(60).getTime * 1000L, t(60).getTime * 1000L)))
+    // state cleanup: after the watermark advance only the t(60) rows may
+    // remain buffered — the t(0)/t(5) rows must be evicted (5 rows entered;
+    // a leak would read >= 5)
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsTotal)
+    q.stop()
+    assert(lastState.exists(_ <= 4), s"join state not evicted: $lastState")
+  }
+
+  test("IdempotentUpsertSink: epoch fence skips re-delivery; replay is algebraically a no-op") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val empty = Seq.empty[(Long, Long, String, Long)]
+      .toDF("event_id", "user_id", "event_type", "v")
+    val sink = new StreamOps.IdempotentUpsertSink(empty, "event_id", "v")
+    val q = mem.toDF()
+      .select($"event_id", $"user_id", $"event_type",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("v"))
+      .writeStream.foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.apply(df, id)).start()
+    mem.addData(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(0), 2, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, t(5), 1, "purchase", 2.0)) // same key, later version
+    q.processAllAvailable()
+    q.stop()
+    def snapshot() = sink.current()
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    val committed = snapshot()
+    assert(committed == Set(
+      (1L, "purchase", t(5).getTime * 1000L), (2L, "view", t(0).getTime * 1000L)))
+    assert(sink.committedEpochs == 2)
+    // layer 1 — epoch fence: re-delivering an already-committed batchId
+    // (foreachBatch's at-least-once contract after a failure) is skipped
+    val epoch1 = Seq((1L, 1L, "purchase", t(5).getTime * 1000L))
+      .toDF("event_id", "user_id", "event_type", "v")
+    sink.apply(epoch1, 1L)
+    assert(sink.redeliveriesSkipped == 1 && snapshot() == committed)
+    // layer 2 — fence lost (sink state rebuilt from an older snapshot):
+    // replaying epoch 0's rows as a NEW epoch still changes nothing —
+    // latest-wins upsert of already-reflected (or older) rows is a no-op
+    val epoch0 = Seq((1L, 1L, "click", t(0).getTime * 1000L),
+      (2L, 2L, "view", t(0).getTime * 1000L))
+      .toDF("event_id", "user_id", "event_type", "v")
+    sink.apply(epoch0, 2L)
+    assert(snapshot() == committed)
+    assert(sink.committedEpochs == 3)
+  }
+
   test("streaming and batch tumbling forms agree on the events table") {
     val batch = StreamOps.tumbling(Tables(spark, sf, "events"))
     val viaQuery = SparkEntry.queries("stream_tumbling_agg")(spark, sf)
