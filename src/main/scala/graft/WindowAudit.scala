@@ -31,16 +31,26 @@ object WindowAudit {
   }
 
   /** (windowExec, childRowCount) for every empty-partitionSpec WindowExec
-    * in df's plan — child row counts measured by executing the child. */
-  def globalWindows(df: org.apache.spark.sql.DataFrame): Seq[(WindowExec, Long)] =
-    allNodes(df.queryExecution.executedPlan).collect {
+    * in df's plan. The plan is executed ONCE in full (so AQE stages
+    * materialize), then each global window's input size is read from the
+    * `numOutputRows` metric of its nearest aggregate-side descendant —
+    * executing the child subtree standalone fails under AQE for plans
+    * with reused exchanges, which is why the old path read -1 at 10x. */
+  def globalWindows(df: org.apache.spark.sql.DataFrame): Seq[(WindowExec, Long)] = {
+    val qe = df.queryExecution
+    try qe.executedPlan.execute().count() catch { case _: Throwable => }
+    allNodes(qe.executedPlan).collect {
       case w: WindowExec if w.partitionSpec.isEmpty =>
-        val n = try {
-          // count the rows that would cross the single partition
-          w.child.execute().count()
-        } catch { case _: Throwable => -1L }
+        val n = allNodes(w.child)
+          .find(p => p.metrics.contains("numOutputRows") &&
+            p.metrics("numOutputRows").value > 0)
+          .map(_.metrics("numOutputRows").value)
+          .getOrElse {
+            try w.child.execute().count() catch { case _: Throwable => -1L }
+          }
         (w, n)
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -49,9 +49,14 @@ object Extras34 {
           floor((col("detrended") - col("s")) * 1000.0).as("rq"),
           floor(col("detrended") * 1000.0).as("sq"),
           floor((col("y") - col("s")) * 1000.0).as("tq"))
+      // squares summed in DECIMAL(38,0): at sf1 the quantized daily
+      // residuals reach ~5e8, squares ~2.5e17, and the year-long sum
+      // passes Long.Max (the sf1 gate caught the ANSI overflow). The
+      // decimal sum is exact; DuckDB's bigint sum is already HUGEINT,
+      // so both engines cast the SAME exact integer to double.
       def varNum(c: String) =
         count(lit(1)).cast(DoubleType) *
-          sum(col(c) * col(c)).cast(DoubleType) -
+          sum(col(c).cast(DecimalType(38, 0)) * col(c)).cast(DoubleType) -
           sum(col(c)).cast(DoubleType) * sum(col(c)).cast(DoubleType)
       withS.agg(count(lit(1)).as("n_days"),
           varNum("rq").as("vr"), varNum("sq").as("vs"), varNum("tq").as("vt"))
@@ -126,9 +131,9 @@ object Extras34 {
         |    cast(floor((y - s) * 1000.0) AS bigint) AS tq
         |  FROM det JOIN seas ON det.day % 7 = seas.phase),
         |sums AS (SELECT cast(count(*) AS bigint) AS n,
-        |    cast(sum(rq*rq) AS bigint) AS r2, cast(sum(rq) AS bigint) AS r1,
-        |    cast(sum(sq*sq) AS bigint) AS s2, cast(sum(sq) AS bigint) AS s1,
-        |    cast(sum(tq*tq) AS bigint) AS t2, cast(sum(tq) AS bigint) AS t1
+        |    sum(rq*rq) AS r2, cast(sum(rq) AS bigint) AS r1,
+        |    sum(sq*sq) AS s2, cast(sum(sq) AS bigint) AS s1,
+        |    sum(tq*tq) AS t2, cast(sum(tq) AS bigint) AS t1
         |  FROM q)
         |SELECT n AS n_days,
         |  round(greatest(0.0, 1.0 -

@@ -137,18 +137,24 @@ object Extras9 {
             (lit(2L) * col("cb") + col("cnt") + lit(1L)).as(out))
       }
       val ranked = li.join(rank2("x", "rx2"), "x").join(rank2("y", "ry2"), "y")
+      // rank-product sums in DECIMAL(38,0): at sf1 (6M fact rows) the
+      // doubled ranks reach ~1.2e7, their squares ~1.4e14, and the sum
+      // ~8.6e20 — past Long.Max (the sf1 gate caught the ANSI overflow).
+      // Decimal sums are exact and associative; DuckDB's bigint sum is
+      // already HUGEINT, so widening Spark keeps the engines identical.
+      val d38 = DecimalType(38, 0)
       val sums = ranked.agg(count(lit(1)).as("n"),
         sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
-        sum(col("rx2") * col("rx2")).as("sxx"),
-        sum(col("ry2") * col("ry2")).as("syy"),
-        sum(col("rx2") * col("ry2")).as("sxy"))
+        sum(col("rx2").cast(d38) * col("rx2")).as("sxx"),
+        sum(col("ry2").cast(d38) * col("ry2")).as("syy"),
+        sum(col("rx2").cast(d38) * col("ry2")).as("sxy"))
       val dn = DecimalType(12, 0)
-      val ds = DecimalType(18, 0)
-      val num = col("n").cast(dn) * col("sxy").cast(ds) -
+      val ds = DecimalType(20, 0)
+      val num = col("n").cast(dn) * col("sxy") -
         col("sx").cast(ds) * col("sy").cast(ds)
-      val dx = col("n").cast(dn) * col("sxx").cast(ds) -
+      val dx = col("n").cast(dn) * col("sxx") -
         col("sx").cast(ds) * col("sx").cast(ds)
-      val dy = col("n").cast(dn) * col("syy").cast(ds) -
+      val dy = col("n").cast(dn) * col("syy") -
         col("sy").cast(ds) * col("sy").cast(ds)
       sums.select(col("n"),
         // + 0.0 normalizes IEEE -0.0 on a near-zero rho
@@ -224,9 +230,9 @@ object Extras9 {
         |j AS (SELECT rx2, ry2 FROM li JOIN wx USING (x) JOIN wy USING (y)),
         |s AS (SELECT cast(count(*) AS bigint) AS n,
         |        cast(sum(rx2) AS bigint) AS sx, cast(sum(ry2) AS bigint) AS sy,
-        |        cast(sum(rx2 * rx2) AS bigint) AS sxx,
-        |        cast(sum(ry2 * ry2) AS bigint) AS syy,
-        |        cast(sum(rx2 * ry2) AS bigint) AS sxy
+        |        sum(rx2 * rx2) AS sxx,
+        |        sum(ry2 * ry2) AS syy,
+        |        sum(rx2 * ry2) AS sxy
         |      FROM j)
         |SELECT n,
         |  round(cast(cast(n AS hugeint) * cast(sxy AS hugeint)
