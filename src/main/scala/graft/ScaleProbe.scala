@@ -81,7 +81,12 @@ object ScaleProbe {
     "events_inter_arrival_burstiness", "pipeline_curriculum_stages",
     "text_length_histogram_by_source", "text_char_trigram_entropy",
     "events_type_affinity_jaccard", "graph_modularity_partition",
-    "agg_percentile_cont_by_group", "sample_stratified_neyman")
+    "agg_percentile_cont_by_group", "sample_stratified_neyman",
+    // round-13 operators (Extras41)
+    "graph_adamic_adar", "encode_target_loo",
+    "profile_functional_dependencies", "stats_cramers_v_matrix",
+    "stats_split_gain", "stats_theil_sen_by_group",
+    "sample_balanced_downsample", "agg_incremental_maintenance")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

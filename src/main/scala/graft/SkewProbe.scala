@@ -110,7 +110,13 @@ object SkewProbe {
     "analytics_order_priority_check" -> "hot_orderkey",
     "analytics_product_profit" -> "hot_orderkey",
     "analytics_market_share" -> "hot_orderkey",
-    "analytics_customer_distribution" -> "hot_custkey")
+    "analytics_customer_distribution" -> "hot_custkey",
+    // round-13 operators: Adamic-Adar rides the basket build (MaxBasket
+    // caps the hot orderkey before pair expansion — same contract as
+    // kcore/pagerank); Theil-Sen joins orders on the hot o_custkey
+    // before the month-grain reduction
+    "graph_adamic_adar" -> "hot_orderkey",
+    "stats_theil_sen_by_group" -> "hot_custkey")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(

@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--json <outPath>]
 
 Loads oracle_sql.json, registers each testdata parquet as a DuckDB view,
 runs every oracle query, reads the Spark parquet dump for the same key,
 sorts columns by name (as the driver does), and compares values exactly.
-Exit code 0 iff every query matches.
+Exit code 0 iff every query matches. With --json, also writes a
+CORRECTNESS-style per-query artifact (rows/schema/value match flags) —
+used for the off-driver sf1-scale gate.
 """
 import json, math, sys
 from pathlib import Path
@@ -35,6 +37,18 @@ def cell_eq(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+    report = {}
+
+    def record(name, rows=None, schema=None, value=None, err=None,
+               spark_rows=None, oracle_rows=None):
+        report[name] = {
+            "rows_match": rows, "schema_match": schema,
+            "hash_match": value, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -52,6 +66,7 @@ def main():
         spark_path = Path(out_dir) / name
         if not spark_path.exists():
             failures.append((name, "NO SPARK DUMP"))
+            record(name, err="NO SPARK DUMP")
             n_fail += 1
             continue
         try:
@@ -60,15 +75,20 @@ def main():
             want = con.sql(oracle[name]).df()
         except Exception as e:
             failures.append((name, f"EXEC ERROR: {e}"))
+            record(name, err=f"EXEC ERROR: {e}")
             n_fail += 1
             continue
         got, want = canon(got), canon(want)
         if list(got.columns) != list(want.columns):
             failures.append((name, f"SCHEMA: spark={list(got.columns)} oracle={list(want.columns)}"))
+            record(name, rows=len(got) == len(want), schema=False,
+                   spark_rows=len(got), oracle_rows=len(want))
             n_fail += 1
             continue
         if len(got) != len(want):
             failures.append((name, f"ROWS: spark={len(got)} oracle={len(want)}"))
+            record(name, rows=False, schema=True,
+                   spark_rows=len(got), oracle_rows=len(want))
             n_fail += 1
             continue
         # dtype-kind compare — the driver hashes value reprs, so int-vs-float
@@ -81,6 +101,8 @@ def main():
                   if got.dtypes[c].kind != want.dtypes[c].kind]
         if dt_bad:
             failures.append((name, f"DTYPE: {dt_bad}"))
+            record(name, rows=True, schema=False,
+                   spark_rows=len(got), oracle_rows=len(want))
             n_fail += 1
             continue
         # dtype report (informational) + exact value compare
@@ -96,12 +118,18 @@ def main():
                 break
         if bad:
             failures.append((name, f"VALUE row={bad[0]} col={bad[1]}: spark={bad[2]!r}({bad[4]}) oracle={bad[3]!r}({bad[5]})"))
+            record(name, rows=True, schema=True, value=False,
+                   spark_rows=len(got), oracle_rows=len(want))
             n_fail += 1
         else:
             n_pass += 1
+            record(name, rows=True, schema=True, value=True,
+                   spark_rows=len(got), oracle_rows=len(want))
             print(f"PASS {name} ({len(got)} rows)")
     for name, why in failures:
         print(f"FAIL {name}: {why}")
+    if json_out:
+        Path(json_out).write_text(json.dumps(report, indent=1))
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 
