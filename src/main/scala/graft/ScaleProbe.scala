@@ -86,7 +86,9 @@ object ScaleProbe {
     "graph_adamic_adar", "encode_target_loo",
     "profile_functional_dependencies", "stats_cramers_v_matrix",
     "stats_split_gain", "stats_theil_sen_by_group",
-    "sample_balanced_downsample", "agg_incremental_maintenance")
+    "sample_balanced_downsample", "agg_incremental_maintenance",
+    "stats_kendall_tau_by_group", "events_dau_mau_stickiness",
+    "graph_degree_powerlaw_fit")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -64,6 +64,7 @@ object SparkEntry {
     (ops.Extras39.queries, ops.Extras39.oracle),
     (ops.Extras40.queries, ops.Extras40.oracle),
     (ops.Extras41.queries, ops.Extras41.oracle),
+    (ops.Extras42.queries, ops.Extras42.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

@@ -116,6 +116,47 @@ class Round13Spec extends SparkSuite {
       again.map(_.getAs[Long]("id_checksum")).toSeq)
   }
 
+  test("stats_kendall_tau_by_group: tau bounded, pair accounting closed") {
+    val rows = q("stats_kendall_tau_by_group").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, d) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("concordant"),
+        r.getAs[Long]("discordant"))
+      assert(c + d <= n, "concordant + discordant must not exceed pairs")
+      val tau = r.getAs[Double]("kendall_tau")
+      assert(tau >= -1.0 && tau <= 1.0)
+    }
+  }
+
+  test("encode_target_james_stein: codes shrink group means toward the global mean") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val global = c.agg(avg("c_acctbal")).head().getDouble(0)
+    q("encode_target_james_stein").collect().foreach { r =>
+      val (mg, code) = (r.getAs[Double]("mean_g"), r.getAs[Double]("js_code"))
+      val (lo, hi) = (math.min(mg, global), math.max(mg, global))
+      assert(code >= lo - 1e-6 && code <= hi + 1e-6,
+        s"${r.getString(0)}: code $code outside [$lo, $hi]")
+    }
+  }
+
+  test("events_dau_mau_stickiness: stickiness in (0, 1], avg_dau <= mau") {
+    val rows = q("events_dau_mau_stickiness").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s0 = r.getAs[Double]("stickiness")
+      assert(s0 > 0.0 && s0 <= 1.0 + 1e-9, s"ym ${r.get(0)}: stickiness $s0")
+      assert(r.getAs[Double]("avg_dau") <= r.getAs[Long]("mau") + 1e-9)
+    }
+  }
+
+  test("graph_degree_powerlaw_fit: alpha > 1 on a non-empty tail") {
+    val r = q("graph_degree_powerlaw_fit").head()
+    if (!r.isNullAt(r.fieldIndex("alpha"))) {
+      assert(r.getAs[Long]("n_tail") >= 1)
+      assert(r.getAs[Double]("alpha") > 1.0)
+    }
+  }
+
   test("graph_adamic_adar: only non-adjacent pairs, scores descend, hubs discounted") {
     val rows = q("graph_adamic_adar").collect()
     assert(rows.nonEmpty)

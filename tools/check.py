@@ -40,6 +40,10 @@ def main():
     json_out = None
     if "--json" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json") + 1]
+    only = None
+    if "--only" in sys.argv:
+        import re
+        only = re.compile(sys.argv[sys.argv.index("--only") + 1])
     report = {}
 
     def record(name, rows=None, schema=None, value=None, err=None,
@@ -50,6 +54,19 @@ def main():
             "oracle_rows": oracle_rows, "err": err,
         }
     con = duckdb.connect()
+    # Off-driver scaled-corpus gates: without a cap DuckDB grows until
+    # std::bad_alloc on the window/self-join oracles at sf1 — cap memory
+    # and give it a spill directory instead. Driver behavior unchanged
+    # (env unset there).
+    import os
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"PRAGMA threads={thr}")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.is_dir():
@@ -63,6 +80,8 @@ def main():
     n_pass = n_fail = 0
     failures = []
     for name in sorted(oracle):
+        if only and not only.search(name):
+            continue
         spark_path = Path(out_dir) / name
         if not spark_path.exists():
             failures.append((name, "NO SPARK DUMP"))
