@@ -62,8 +62,11 @@ def main():
     mem = os.environ.get("GRAFT_DUCKDB_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
-        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # per-process spill dir: concurrent chunked gates sharing one
+        # temp_directory delete each other's spill files mid-query
+        spill = f"/tmp/duckdb_spill_{os.getpid()}"
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
     thr = os.environ.get("GRAFT_DUCKDB_THREADS")
     if thr:
         con.execute(f"PRAGMA threads={thr}")
