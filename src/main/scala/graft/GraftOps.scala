@@ -186,6 +186,27 @@ object GraftOps {
     llm.Chunking.distributedRunningSums(df, partCol, orderCol, valueOuts,
       exclusive, shards)
 
+  /** distributed `lag(value, 1)` over (part, order...) — the two-level
+    * range-shard form of a per-key lag window, for keys too big or too
+    * hot for one task. The boundary correction travels as a ≤ (shards−1)
+    * row broadcast regardless of key cardinality. `orderCols` must be
+    * unique per key. */
+  def distributedLag(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, outCol: String, shards: Int = 0): DataFrame =
+    llm.Chunking.distributedLag(df, partCol, orderCols, valueCol, outCol, shards)
+
+  /** distributed sessionization: per-key 1-based session ids over a long
+    * µs timestamp with a max-gap rule — the [[sessionize]] semantics
+    * computed as ONE range exchange + ONE window pass + a ≤ (shards−1)
+    * row boundary-correction broadcast, so a hot key never funnels its
+    * whole event run through a single task. `tieCols` must make
+    * (ts, ties) unique per key. */
+  def distributedSessionize(df: DataFrame, partCol: String, tsCol: String,
+      tieCols: Seq[String], gapMicros: Long, outCol: String,
+      shards: Int = 0): DataFrame =
+    llm.Chunking.distributedSessionize(df, partCol, tsCol, tieCols, gapMicros,
+      outCol, shards)
+
   /** budget-capped corpus selection: keep each `streamCol` stream's rows
     * in ascending `priorityCol` order until the running `tokenCol` total
     * reaches `budget` (the last kept row may straddle it) — the data-

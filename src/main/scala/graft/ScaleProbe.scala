@@ -87,8 +87,10 @@ object ScaleProbe {
     "profile_functional_dependencies", "stats_cramers_v_matrix",
     "stats_split_gain", "stats_theil_sen_by_group",
     "sample_balanced_downsample", "agg_incremental_maintenance",
-    "stats_kendall_tau_by_group", "events_dau_mau_stickiness",
-    "graph_degree_powerlaw_fit")
+    "stats_kendall_tau_by_group", "encode_target_james_stein",
+    "events_dau_mau_stickiness", "graph_degree_powerlaw_fit",
+    // round-14 rework (distributed-lag events_sequence_pairs)
+    "events_sequence_pairs")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

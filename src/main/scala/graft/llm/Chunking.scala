@@ -295,6 +295,147 @@ object Chunking {
       "left_semi")
   }
 
+  /** PUBLIC API: distributed `lag(value, 1)` over each `partCol` group in
+    * `orderCols` order, as `outCol` — the distributed form of
+    * `lag(value).over(Window.partitionBy(part).orderBy(order...))` for
+    * the case where one group's run is too big (or too hot) for a single
+    * task. Same two-level shape as [[distributedRunningSum]]: an
+    * order-preserving range split into `shards` contiguous runs, a
+    * within-(group, shard) window lag, and a boundary correction giving
+    * each shard's FIRST row the previous shard's tail value. Unlike the
+    * running-sum offsets table (one row per group), the correction here
+    * is FILTERED to shard-SPANNING groups — at most `shards − 1` rows no
+    * matter how many groups exist — so the broadcast stays O(shards) at
+    * any group cardinality (100M users cannot blow the broadcast).
+    * `orderCols` must be a unique total order within each group (the
+    * tail row is selected by struct-max over them). The exchange-reuse /
+    * slim-projection invariant of [[distributedRunningSums]] applies:
+    * pass exactly (part, order..., value) columns for structural
+    * exchange reuse; wider frames are localCheckpoint-materialized. */
+  def distributedLag(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, outCol: String, shards: Int = 0): DataFrame = {
+    val reserved = Seq("__shard", "__rn", "__lv", "__lst", "__has", "__ptv",
+      "__ckey", "__cshard")
+    require(orderCols.nonEmpty, "distributedLag needs ≥1 order column")
+    require(!df.columns.exists(reserved.contains) && !reserved.contains(outCol) &&
+      !df.columns.contains(outCol),
+      s"distributedLag reserves ${reserved.mkString(", ")} and $outCol")
+    val spark = df.sparkSession
+    val nShards =
+      if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ord = orderCols.map(col)
+    val assigned = df
+      .repartitionByRange(nShards, col(partCol) +: ord: _*)
+      .withColumn("__shard", spark_partition_id())
+    val reuseOn =
+      spark.conf.getOption("spark.sql.exchange.reuse").forall(_.toBoolean)
+    val slim = df.columns.toSet == (Set(partCol, valueCol) ++ orderCols)
+    val ranged = if (reuseOn && slim) assigned else assigned.localCheckpoint(false)
+    // per-(group, shard) tail value: struct-max over the unique order
+    // picks the run's LAST row; plain aggregate, so this branch shares
+    // the range exchange with the window branch (no second window pass).
+    val tails = ranged.groupBy(col(partCol), col("__shard"))
+      .agg(max(struct(ord.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+        col(valueCol).as("__tv"): _*)).as("__lst"))
+    val wS = Window.partitionBy(col(partCol)).orderBy(col("__shard"))
+    // __has marks "a previous shard of this group exists" independently
+    // of the tail VALUE (which may legitimately be null).
+    val corr = tails
+      .withColumn("__ptv", lag(col("__lst.__tv"), 1).over(wS))
+      .withColumn("__has", lag(lit(1), 1).over(wS))
+      .where(col("__has").isNotNull)
+      .select(col(partCol).as("__ckey"), col("__shard").as("__cshard"),
+        col("__ptv"))
+    val wls = Window.partitionBy(col(partCol), col("__shard")).orderBy(ord: _*)
+    ranged
+      .withColumn("__rn", row_number().over(wls))
+      .withColumn("__lv", lag(col(valueCol), 1).over(wls))
+      .join(broadcast(corr),
+        col(partCol) <=> col("__ckey") && col("__shard") === col("__cshard"),
+        "left")
+      .withColumn(outCol,
+        when(col("__rn") === 1, col("__ptv")).otherwise(col("__lv")))
+      .drop("__shard", "__rn", "__lv", "__ckey", "__cshard", "__ptv")
+  }
+
+  /** PUBLIC API: distributed sessionization — per-`partCol` 1-based
+    * `outCol` session ids over a LONG microsecond `tsCol`, a new session
+    * opening when the gap to the previous row exceeds `gapMicros` — the
+    * distributed form of StreamOps.sessionize's lag + running-sum window
+    * pair, for groups too big or too hot for one task (a ~10% hot user
+    * makes the single-task double window the first thing to break on a
+    * skewed 100 TB event log — SKEW_PROBE's events_sequence_pairs 4.35×).
+    * One range exchange, ONE window pass computing the within-(group,
+    * shard) lag gap-flag and its local cumsum together, then a boundary
+    * correction at (group, shard) grain: each spanning shard's first-row
+    * flag is decided against the previous shard's tail timestamp, and
+    * its session offset is the prior shards' flag totals. Only
+    * shard-spanning rows survive the correction filter (≤ shards − 1
+    * rows broadcast, at any group cardinality); non-spanning rows take
+    * the constant default (+1 for the group's opening session). The
+    * window OUTPUT feeds both the correction aggregate and the final
+    * join, so it is localCheckpoint-materialized (lazy, reclaimed with
+    * the result — the connectedComponents lifecycle); carried columns
+    * therefore ride through without a join-back. `tieCols` must make
+    * (ts, ties) unique per group. Result = exactly the single-window
+    * form's session ids, independent of the shard count. */
+  def distributedSessionize(df: DataFrame, partCol: String, tsCol: String,
+      tieCols: Seq[String], gapMicros: Long, outCol: String,
+      shards: Int = 0): DataFrame = {
+    val reserved = Seq("__shard", "__rn", "__lns", "__lcum", "__fst", "__lst",
+      "__pts", "__nsf", "__corr", "__ckey", "__cshard")
+    require(!df.columns.exists(reserved.contains) && !reserved.contains(outCol) &&
+      !df.columns.contains(outCol),
+      s"distributedSessionize reserves ${reserved.mkString(", ")} and $outCol")
+    val spark = df.sparkSession
+    val nShards =
+      if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ord = (tsCol +: tieCols).map(col)
+    val wls = Window.partitionBy(col(partCol), col("__shard")).orderBy(ord: _*)
+    val wRun = wls.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df
+      .repartitionByRange(nShards, col(partCol) +: ord: _*)
+      .withColumn("__shard", spark_partition_id())
+      .withColumn("__rn", row_number().over(wls))
+      .withColumn("__lns",
+        when(col("__rn") === 1, 0L) // decided by the boundary correction
+          .when(col(tsCol) - lag(col(tsCol), 1).over(wls) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__lcum", sum(col("__lns")).over(wRun))
+      .localCheckpoint(false)
+    // (group, shard) boundary stats: first/last timestamps by struct
+    // min/max over the unique order; the last row's inclusive cumsum IS
+    // the shard's local flag total.
+    val ordAliased = ord.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val tails = local.groupBy(col(partCol), col("__shard"))
+      .agg(min(struct(ordAliased: _*)).as("__fst"),
+        max(struct(ordAliased :+ col("__lcum").as("__lc"): _*)).as("__lst"))
+    val wS = Window.partitionBy(col(partCol)).orderBy(col("__shard"))
+    val corr = tails
+      .withColumn("__pts", lag(col("__lst.__o0"), 1).over(wS))
+      .withColumn("__nsf",
+        when(col("__pts").isNull, 1L)
+          .when(col("__fst.__o0") - col("__pts") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__corr",
+        sum(col("__nsf")).over(
+          wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+          coalesce(sum(col("__lst.__lc")).over(
+            wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // a group's FIRST shard always corrects by exactly +1 (its opening
+      // session) — the join-miss default below — so only shard-spanning
+      // rows need to travel: ≤ shards − 1 of them exist.
+      .where(col("__pts").isNotNull)
+      .select(col(partCol).as("__ckey"), col("__shard").as("__cshard"),
+        col("__corr"))
+    local
+      .join(broadcast(corr),
+        col(partCol) <=> col("__ckey") && col("__shard") === col("__cshard"),
+        "left")
+      .withColumn(outCol, col("__lcum") + coalesce(col("__corr"), lit(1L)))
+      .drop("__shard", "__rn", "__lns", "__lcum", "__ckey", "__cshard", "__corr")
+  }
+
   val queries: Map[String, Q] = Map(
     // 64-token chunks every 48 tokens (16-token overlap)
     "text_chunk_split" -> { (s, dir) =>

@@ -44,9 +44,12 @@ object Extras41 {
   /** Per-pair Cramér's V: chi-square with an integer-quantized cell sum.
     * Cell counts and margins are exact; the per-cell contribution
     * (o·N − r·c)²/(N·r·c) is one double division from exact DECIMAL
-    * integers (engine-identical), quantized ×10⁹ to a long-valued
-    * double and summed as DECIMAL(38,0) — the only cross-row float
-    * reduction is thereby exact. The fact is touched once (the cell
+    * integers (engine-identical), floor-quantized ×10⁹ (floor, not
+    * round: HALF_UP-on-BigDecimal vs double-round can disagree at
+    * representation-boundary halves — the adamic-adar discipline) and
+    * summed as DECIMAL(38,0) — the only cross-row float reduction is
+    * thereby exact. V is NULL for degenerate single-category tables
+    * (min cardinality 1 ⇒ the ÷(k−1) denominator vanishes). The fact is touched once (the cell
     * groupBy); margins re-aggregate the dimension-sized cell table. */
   private def cramers(df: org.apache.spark.sql.DataFrame, a: String,
       b: String, name: String): org.apache.spark.sql.DataFrame = {
@@ -63,16 +66,17 @@ object Extras41 {
         col("c").cast(DoubleType))
     val q = cells.join(broadcast(rT), Seq(a)).join(broadcast(cT), Seq(b))
       .crossJoin(broadcast(tot))
-      .select(round(contrib * 1e9, 0).cast(DecimalType(38, 0)).as("q"),
+      .select(floor(contrib * 1e9).cast(DecimalType(38, 0)).as("q"),
         col("n"), col("nr"), col("nc"))
       .agg(min("n").as("n"), min("nr").as("r_card"), min("nc").as("c_card"),
         sum("q").as("chi2_q"))
     val chi2 = col("chi2_q").cast(DoubleType) / lit(1e9)
     q.select(lit(name).as("pair"), col("n"), col("r_card"), col("c_card"),
       (round(chi2, 6) + lit(0.0)).as("chi2"),
-      (round(sqrt(chi2 / (col("n").cast(DoubleType) *
-        (least(col("r_card"), col("c_card")) - 1).cast(DoubleType))), 6)
-        + lit(0.0)).as("cramers_v"))
+      when(least(col("r_card"), col("c_card")) > 1,
+        round(sqrt(chi2 / (col("n").cast(DoubleType) *
+          (least(col("r_card"), col("c_card")) - 1).cast(DoubleType))), 6)
+          + lit(0.0)).as("cramers_v"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -254,6 +258,10 @@ object Extras41 {
     // class-balanced downsampling: cap every language at the minority
     // class count, selecting rows by a deterministic Knuth-hash rank so
     // the sample is reproducible across engines, retries and shards.
+    // The id is reduced mod 2^31−1 BEFORE the Knuth multiply: the raw
+    // product wraps silently in Spark Long but errors as bigint
+    // overflow in an ANSI oracle once ids exceed ~3.47e9 — plausible
+    // under key-shifted 100x/1000x corpora.
     // The per-language rank rides the two-level prefix-sum kernel on a
     // slim (part, order, value) projection — a plain partitionBy(lang)
     // window would sort ~1/|langs| of the corpus in one task. The
@@ -261,7 +269,8 @@ object Extras41 {
     "sample_balanced_downsample" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val slim = docs.select(col("lang"),
-        struct(((col("doc_id") * lit(2654435761L)) % lit(2147483647L)).as("h"),
+        struct((((col("doc_id") % lit(2147483647L)) * lit(2654435761L))
+          % lit(2147483647L)).as("h"),
           col("doc_id"), col("n_chars")).as("__ord"))
         .withColumn("__one", lit(1L))
       val ranked = graft.llm.Chunking.distributedRunningSum(
@@ -399,16 +408,17 @@ object Extras41 {
         s"""SELECT '$name' AS pair, cast(n AS bigint) AS n,
            |  cast(r_card AS bigint) AS r_card, cast(c_card AS bigint) AS c_card,
            |  round(cast(chi2_q AS double) / 1e9, 6) + 0.0 AS chi2,
-           |  round(sqrt((cast(chi2_q AS double) / 1e9) /
-           |    (cast(n AS double) *
-           |     cast(least(r_card, c_card) - 1 AS double))), 6) + 0.0
-           |    AS cramers_v
+           |  CASE WHEN least(r_card, c_card) > 1 THEN
+           |    round(sqrt((cast(chi2_q AS double) / 1e9) /
+           |      (cast(n AS double) *
+           |       cast(least(r_card, c_card) - 1 AS double))), 6) + 0.0
+           |  END AS cramers_v
            |FROM (
            |  SELECT min(n) AS n, min(nr) AS r_card, min(nc) AS c_card,
-           |    sum(cast(round(
+           |    sum(cast(floor(
            |      cast((o * n - r * c) * (o * n - r * c) AS double) /
            |        (cast(n AS double) * cast(r AS double) * cast(c AS double))
-           |      * 1e9, 0) AS hugeint)) AS chi2_q
+           |      * 1e9) AS hugeint)) AS chi2_q
            |  FROM (
            |    SELECT cast(cells.o AS hugeint) AS o,
            |      cast(rt.r AS hugeint) AS r, cast(ct.c AS hugeint) AS c,
@@ -497,7 +507,8 @@ object Extras41 {
     "sample_balanced_downsample" ->
       """WITH r AS (SELECT lang, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS rn
+        |      ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647,
+        |        doc_id) AS rn
         |  FROM documents),
         |c AS (SELECT lang, cast(count(*) AS bigint) AS n_total
         |  FROM documents GROUP BY 1),

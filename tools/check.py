@@ -63,9 +63,12 @@ def main():
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
         # per-process spill dir: concurrent chunked gates sharing one
-        # temp_directory delete each other's spill files mid-query
+        # temp_directory delete each other's spill files mid-query.
+        # Removed on exit so repeated chunked runs don't litter /tmp.
+        import atexit, shutil
         spill = f"/tmp/duckdb_spill_{os.getpid()}"
         os.makedirs(spill, exist_ok=True)
+        atexit.register(shutil.rmtree, spill, ignore_errors=True)
         con.execute(f"SET temp_directory='{spill}'")
     thr = os.environ.get("GRAFT_DUCKDB_THREADS")
     if thr:
