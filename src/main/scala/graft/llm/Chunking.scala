@@ -393,15 +393,20 @@ object Chunking {
     val ord = (tsCol +: tieCols).map(col)
     val wls = Window.partitionBy(col(partCol), col("__shard")).orderBy(ord: _*)
     val wRun = wls.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // shard-first rows get flag 0 here (decided by the boundary
+    // correction); lag(1) over the same window doubles as the
+    // first-row marker, so no row_number is needed. Only __lcum (not
+    // the transient flag) survives into the checkpointed projection —
+    // the materialized width is the caller's columns + 2 longs.
     val local = df
       .repartitionByRange(nShards, col(partCol) +: ord: _*)
       .withColumn("__shard", spark_partition_id())
-      .withColumn("__rn", row_number().over(wls))
       .withColumn("__lns",
-        when(col("__rn") === 1, 0L) // decided by the boundary correction
+        when(lag(lit(1), 1).over(wls).isNull, 0L)
           .when(col(tsCol) - lag(col(tsCol), 1).over(wls) > gapMicros, 1L)
           .otherwise(0L))
       .withColumn("__lcum", sum(col("__lns")).over(wRun))
+      .drop("__lns")
       .localCheckpoint(false)
     // (group, shard) boundary stats: first/last timestamps by struct
     // min/max over the unique order; the last row's inclusive cumsum IS
@@ -433,7 +438,7 @@ object Chunking {
         col(partCol) <=> col("__ckey") && col("__shard") === col("__cshard"),
         "left")
       .withColumn(outCol, col("__lcum") + coalesce(col("__corr"), lit(1L)))
-      .drop("__shard", "__rn", "__lns", "__lcum", "__ckey", "__cshard", "__corr")
+      .drop("__shard", "__lcum", "__ckey", "__cshard", "__corr")
   }
 
   val queries: Map[String, Q] = Map(
