@@ -115,8 +115,14 @@ object Analytics2 {
         .join(broadcast(Tables(s, dir, "nation")
           .select("n_nationkey", "n_name")),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_name"), col("n_name"), col("n_dominant_parts"))
-        .orderBy(col("s_name"))
+        // Entity grain is the KEY, not the name: under key-shifted scaled
+        // corpora (and any real 100 TB catalog) distinct suppliers share
+        // s_name, so a name-grain oracle silently merges them (the sf1
+        // gate caught exactly that, 3740 vs 374 rows). Expose s_suppkey
+        // and order by it — deterministic at any name-collision rate.
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("n_dominant_parts"))
+        .orderBy(col("s_suppkey"))
     },
     // Q7: bilateral trade volume — revenue shipped between two treaty
     // nations, by direction and ship year. Both dim chains reduce to the
@@ -238,8 +244,11 @@ object Analytics2 {
         .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
         .join(Tables(s, dir, "supplier").select("s_suppkey", "s_name"),
           col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_name"), col("numwait"))
-        .orderBy(col("numwait").desc, col("s_name")).limit(10)
+        // Supplier-key grain + key tie-break (see dominant_suppliers):
+        // name-grain counts merge distinct same-named suppliers at scale,
+        // and a name tie-break is non-deterministic once names repeat.
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey")).limit(10)
     }
   )
 
@@ -283,13 +292,13 @@ object Analytics2 {
         |per_p AS (
         |  SELECT l_partkey, sum(qty_ps) AS qty_total
         |  FROM per_ps GROUP BY l_partkey)
-        |SELECT s.s_name, n.n_name, count(*) AS n_dominant_parts
+        |SELECT s.s_suppkey, s.s_name, n.n_name, count(*) AS n_dominant_parts
         |FROM per_ps a
         |JOIN per_p t ON a.l_partkey = t.l_partkey
         |JOIN supplier s ON a.l_suppkey = s.s_suppkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |WHERE cast(a.qty_ps as double) > cast(t.qty_total as double) * 0.5
-        |GROUP BY s.s_name, n.n_name ORDER BY s.s_name""".stripMargin,
+        |GROUP BY s.s_suppkey, s.s_name, n.n_name ORDER BY s.s_suppkey""".stripMargin,
     "analytics_volume_shipping" ->
       s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          |  year(l.l_shipdate) AS l_year, $sqlRevenue AS revenue
@@ -347,7 +356,7 @@ object Analytics2 {
         |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
         |LIMIT 20""".stripMargin,
     "analytics_waiting_suppliers" ->
-      """SELECT s.s_name, count(*) AS numwait
+      """SELECT s.s_suppkey, s.s_name, count(*) AS numwait
         |FROM supplier s
         |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
         |JOIN orders o ON l1.l_orderkey = o.o_orderkey
@@ -360,7 +369,7 @@ object Analytics2 {
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY s.s_name
-        |ORDER BY numwait DESC, s.s_name LIMIT 10""".stripMargin
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY numwait DESC, s.s_suppkey LIMIT 10""".stripMargin
   )
 }

@@ -50,8 +50,17 @@ object Scans {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(price * (one - disc)).cast("double").as("sum_disc_price"),
-          sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+          // Floor the exact decimal sum to whole cents BEFORE the double
+          // cast: a direct decimal→double cast double-rounds vs Java's
+          // correctly-rounded conversion once the unscaled value passes
+          // 2^53 (the sf1 gate caught sum_charge, scale 6, off by 1 ulp
+          // at ~5.2e16). Cents keep the double exact to ~9e13 currency
+          // units — far past sf1000 — and floor on exact decimals is
+          // engine-independent.
+          (floor(sum(price * (one - disc)) * 100).cast("double") / 100)
+            .as("sum_disc_price"),
+          (floor(sum(price * (one - disc) * (one + tax)) * 100).cast("double") / 100)
+            .as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -75,8 +84,8 @@ object Scans {
       s"""SELECT l_returnflag, l_linestatus,
          |${sqlDsum("l_quantity")} AS sum_qty,
          |${sqlDsum("l_extendedprice")} AS sum_base_price,
-         |cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2)))) as double) AS sum_disc_price,
-         |cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2))) * (cast(1 as decimal(3,2)) + cast(l_tax as decimal(3,2)))) as double) AS sum_charge,
+         |cast(floor(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2)))) * 100) as double) / 100 AS sum_disc_price,
+         |cast(floor(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(3,2))) * (cast(1 as decimal(3,2)) + cast(l_tax as decimal(3,2)))) * 100) as double) / 100 AS sum_charge,
          |${sqlDavg("l_quantity")} AS avg_qty,
          |${sqlDavg("l_extendedprice")} AS avg_price,
          |${sqlDavg("l_discount")} AS avg_disc,
