@@ -90,7 +90,12 @@ object ScaleProbe {
     "stats_kendall_tau_by_group", "encode_target_james_stein",
     "events_dau_mau_stickiness", "graph_degree_powerlaw_fit",
     // round-14 rework (distributed-lag events_sequence_pairs)
-    "events_sequence_pairs")
+    "events_sequence_pairs",
+    // round-14 operators (Extras43) with real fact-scaling surface
+    "timeseries_rolling_corr", "timeseries_realized_volatility",
+    "analytics_order_fill_rate", "clean_winsorize",
+    "stats_psi_by_group", "graph_bipartite_projection",
+    "events_transition_entropy_rate", "analytics_seasonal_index")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

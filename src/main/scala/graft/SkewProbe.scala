@@ -59,6 +59,7 @@ object SkewProbe {
     "events_attribution" -> "hot_user",
     "events_decay_score" -> "hot_user",
     "events_sequence_pairs" -> "hot_user",
+    "events_transition_entropy_rate" -> "hot_user",
     "events_burst_days" -> "hot_user",
     "window_streak_longest" -> "hot_user",
     // l_orderkey-grain joins / aggregates over lineitem
