@@ -95,7 +95,11 @@ object ScaleProbe {
     "timeseries_rolling_corr", "timeseries_realized_volatility",
     "analytics_order_fill_rate", "clean_winsorize",
     "stats_psi_by_group", "graph_bipartite_projection",
-    "events_transition_entropy_rate", "analytics_seasonal_index")
+    "events_transition_entropy_rate", "analytics_seasonal_index",
+    // round-14 batch 2 (Extras44 + dedup_band_bucket_stats)
+    "stats_auc_roc", "analytics_cross_sell_lift",
+    "sample_importance_weighted", "timeseries_week_over_week_growth",
+    "dedup_band_bucket_stats")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

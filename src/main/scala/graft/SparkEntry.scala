@@ -66,6 +66,7 @@ object SparkEntry {
     (ops.Extras41.queries, ops.Extras41.oracle),
     (ops.Extras42.queries, ops.Extras42.oracle),
     (ops.Extras43.queries, ops.Extras43.oracle),
+    (ops.Extras44.queries, ops.Extras44.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

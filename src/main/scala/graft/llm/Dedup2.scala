@@ -179,6 +179,27 @@ object Dedup2 {
         .where(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // LSH OBSERVABILITY: per-band bucket census of the MinHash band-sig
+    // relation — bucket count, largest bucket, and the candidate-pair
+    // mass Σ c(c−1)/2 each band contributes to the self-join. This is
+    // the production dashboard for the quantity the skew probe measures
+    // offline (a hot bucket = a hot join task at 100 TB): exact integer
+    // outputs, one aggregate over the same map-side signature pass the
+    // dedup chain rides (4 rows/doc — no extra shuffle shape).
+    "dedup_band_bucket_stats" -> { (s, dir) =>
+      val sigs = Dedup.bandSigsFromArrays(Dedup.docArraysCached(s, dir))
+      sigs.groupBy("band", "sig").agg(count(lit(1)).as("c"))
+        .groupBy("band")
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_buckets"),
+          max(col("c")).as("max_bucket"),
+          // c(c−1) is even, DIV keeps the pair mass integral (Column `/`
+          // would emit double and break the bigint dtype contract)
+          sum(expr("c * (c - 1) DIV 2")).as("candidate_pairs"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_colliding_buckets"))
+        .orderBy("band")
     }
   )
 
@@ -305,6 +326,17 @@ object Dedup2 {
          |ranked AS (SELECT qid, vec_id, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored)
          |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 3
-         |ORDER BY qid, rank""".stripMargin
+         |ORDER BY qid, rank""".stripMargin,
+    "dedup_band_bucket_stats" ->
+      s"""WITH ${Dedup.sqlBands},
+         |census AS (SELECT band, sig, cast(count(*) AS bigint) AS c
+         |  FROM sigs GROUP BY 1, 2)
+         |SELECT band, cast(sum(c) AS bigint) AS n_docs,
+         |  cast(count(*) AS bigint) AS n_buckets,
+         |  cast(max(c) AS bigint) AS max_bucket,
+         |  cast(sum(c * (c - 1) // 2) AS bigint) AS candidate_pairs,
+         |  cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS bigint)
+         |    AS n_colliding_buckets
+         |FROM census GROUP BY band ORDER BY band""".stripMargin
   )
 }
