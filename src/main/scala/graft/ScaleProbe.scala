@@ -99,7 +99,10 @@ object ScaleProbe {
     // round-14 batch 2 (Extras44 + dedup_band_bucket_stats)
     "stats_auc_roc", "analytics_cross_sell_lift",
     "sample_importance_weighted", "timeseries_week_over_week_growth",
-    "dedup_band_bucket_stats")
+    "dedup_band_bucket_stats",
+    // round-14 batch 3 (Extras45)
+    "events_growth_accounting", "graph_component_sizes",
+    "stats_wilcoxon_signed_rank")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

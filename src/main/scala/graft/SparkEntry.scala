@@ -67,6 +67,7 @@ object SparkEntry {
     (ops.Extras42.queries, ops.Extras42.oracle),
     (ops.Extras43.queries, ops.Extras43.oracle),
     (ops.Extras44.queries, ops.Extras44.oracle),
+    (ops.Extras45.queries, ops.Extras45.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),
