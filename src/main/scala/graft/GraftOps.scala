@@ -176,6 +176,16 @@ object GraftOps {
     llm.Chunking.distributedRunningSum(df, partCol, orderCol, valueCol, outCol,
       exclusive, shards)
 
+  /** distributed global/grouped running MAX — the max-monoid twin of
+    * [[distributedRunningSum]]; NULL identity (exclusive first row gets
+    * NULL, like the window form). The kernel under the Pareto-frontier
+    * skyline ([[llm.Chunking.distributedRunningMax]]). */
+  def distributedRunningMax(df: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, outCol: String, exclusive: Boolean = false,
+      shards: Int = 0): DataFrame =
+    llm.Chunking.distributedRunningMax(df, partCol, orderCol, valueCol, outCol,
+      exclusive, shards)
+
   /** multi-value [[distributedRunningSum]]: every (valueCol, outCol)
     * pair cumulates over the SAME (part, order) spine through ONE range
     * exchange, offsets aggregate, and window pass — N separate calls

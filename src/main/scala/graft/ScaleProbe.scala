@@ -102,7 +102,9 @@ object ScaleProbe {
     "dedup_band_bucket_stats",
     // round-14 batch 3 (Extras45)
     "events_growth_accounting", "graph_component_sizes",
-    "stats_wilcoxon_signed_rank")
+    "stats_wilcoxon_signed_rank",
+    // round-14 batch 4 (Extras46)
+    "analytics_pareto_frontier", "events_poisson_rate_test")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

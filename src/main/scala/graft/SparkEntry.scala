@@ -68,6 +68,7 @@ object SparkEntry {
     (ops.Extras43.queries, ops.Extras43.oracle),
     (ops.Extras44.queries, ops.Extras44.oracle),
     (ops.Extras45.queries, ops.Extras45.oracle),
+    (ops.Extras46.queries, ops.Extras46.oracle),
     (clean.Profile2.queries, clean.Profile2.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Analytics2.queries, ops.Analytics2.oracle),

@@ -295,6 +295,52 @@ object Chunking {
       "left_semi")
   }
 
+  /** PUBLIC API: distributed global/grouped RUNNING MAX — the max-monoid
+    * twin of [[distributedRunningSum]] (same two-level shape: range
+    * split into order-contiguous shards, within-(group, shard) window
+    * max, per-shard offsets window over ≤ groups×shards rows, combine
+    * via `greatest`). The identity is NULL rather than 0: with
+    * `exclusive = true` the first global row of each group gets NULL
+    * (no strictly-preceding row), exactly like
+    * `max(v).over(orderBy(o).rowsBetween(unboundedPreceding, -1))` —
+    * `greatest` skips the null offset/local sides natively. The
+    * exchange-reuse / slim-projection invariant of
+    * [[distributedRunningSums]] applies: pass exactly
+    * (part, order, value) for structural exchange reuse. */
+  def distributedRunningMax(df: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, outCol: String, exclusive: Boolean = false,
+      shards: Int = 0): DataFrame = {
+    val reserved = Seq("__shard", "__lmax", "__mtot", "__moff", "__mkey", "__mshard")
+    require(!df.columns.exists(reserved.contains) && !reserved.contains(outCol) &&
+      !df.columns.contains(outCol),
+      s"distributedRunningMax reserves ${reserved.mkString(", ")} and $outCol")
+    val spark = df.sparkSession
+    val nShards =
+      if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val assigned = df
+      .repartitionByRange(nShards, col(partCol), col(orderCol))
+      .withColumn("__shard", spark_partition_id())
+    val reuseOn =
+      spark.conf.getOption("spark.sql.exchange.reuse").forall(_.toBoolean)
+    val slim = df.columns.toSet == Set(partCol, orderCol, valueCol)
+    val ranged = if (reuseOn && slim) assigned else assigned.localCheckpoint(false)
+    val frame = Window.partitionBy(col(partCol), col("__shard"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, if (exclusive) -1 else 0)
+    val wOff = Window.partitionBy(col(partCol)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col(partCol), col("__shard"))
+      .agg(max(col(valueCol)).as("__mtot"))
+      .select(col(partCol).as("__mkey"), col("__shard").as("__mshard"),
+        max(col("__mtot")).over(wOff).as("__moff"))
+    ranged
+      .withColumn("__lmax", max(col(valueCol)).over(frame))
+      .join(broadcast(offsets),
+        col(partCol) <=> col("__mkey") && col("__shard") === col("__mshard"))
+      .withColumn(outCol, greatest(col("__moff"), col("__lmax")))
+      .drop("__shard", "__lmax", "__moff", "__mkey", "__mshard")
+  }
+
   /** PUBLIC API: distributed `lag(value, 1)` over each `partCol` group in
     * `orderCols` order, as `outCol` — the distributed form of
     * `lag(value).over(Window.partitionBy(part).orderBy(order...))` for
