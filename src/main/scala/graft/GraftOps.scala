@@ -421,6 +421,14 @@ object GraftOps {
       outCol: String): DataFrame =
     ops.Extras7.distributedNtile(df, orderCols, k, outCol)
 
+  /** per-group distributed ntile(k) — ONE kernel pass ranks every group
+    * over the shared (byCol, orderCols) spine; tag-and-union N metrics to
+    * get N ntiles for one range exchange
+    * ([[ops.Extras7.distributedNtileBy]]). */
+  def distributedNtileBy(df: DataFrame, byCol: String, orderCols: Seq[String],
+      k: Int, outCol: String): DataFrame =
+    ops.Extras7.distributedNtileBy(df, byCol, orderCols, k, outCol)
+
   /** sorted-neighborhood record-linkage candidates: pairs within
     * `window` global sort positions, ranked via the distributed prefix
     * sum and joined by band — never a single-partition sort

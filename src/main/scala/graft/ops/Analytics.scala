@@ -292,20 +292,27 @@ object Analytics {
         .select("s_suppkey", "supp_nation")
       val isTarget = when(col("supp_nation") === "NATION_3", lit(1))
         .otherwise(lit(0)).cast("decimal(1,0)")
+      // r14 join-order fix (guide §2.3/§3): the selective dimensions now
+      // prune the fact FIRST — p_type = 'STANDARD' keeps ~1/|types| of
+      // lineitem and the region filter keeps ~1/5 of customers — so the
+      // orderkey/custkey/suppkey exchanges move a fraction of the bytes
+      // the old order shuffled (part joined LAST, after the fact had
+      // crossed two full-width exchanges). Pure inner-join reorder:
+      // output identical.
+      val amCust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
       Tables(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey",
           "l_extendedprice", "l_discount")
+        .join(Tables(s, dir, "part")
+          .where(col("p_type") === "STANDARD").select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
         .join(Tables(s, dir, "orders")
           .where(col("o_orderdate") >= ts("1996-01-01") &&
             col("o_orderdate") < ts("1998-01-01"))
           .select("o_orderkey", "o_custkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
-        .join(Tables(s, dir, "part")
-          .where(col("p_type") === "STANDARD").select("p_partkey"),
-          col("l_partkey") === col("p_partkey"))
+        .join(amCust, col("o_custkey") === col("c_custkey"))
         .join(suppNation, col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).as("mkt_year"))
         .agg(sum(revTerm * isTarget).cast("double").as("nation_revenue"),

@@ -26,17 +26,28 @@ object Extras25 {
   val queries: Map[String, Q] = Map(
 
     // cross-language vocabulary Jaccard: how much word stock do the
-    // corpus languages share? Distinct vocab sets, pair intersections
-    // via one word-keyed join.
+    // corpus languages share? r14 optimization (guide §2.3/§2.4): the
+    // old shape ran distinct(lang, word) over the exploded token stream
+    // and then a word-keyed vocab⋈vocab self-join — three token-scale
+    // exchanges. The language set per word is bounded by |langs|, so ONE
+    // groupBy(word).collect_set(lang) pass (map-side partial aggregation
+    // shrinks the exchange to the vocabulary) replaces all of them;
+    // sizes and pair intersections are then |vocab|-sized arithmetic on
+    // the materialized-once word→langs table. Same output bit-for-bit
+    // (set membership is identical; ordering unchanged).
     "text_vocab_overlap_langs" -> { (s, dir) =>
-      val vocab = Tables(s, dir, "documents")
+      val langSets = Tables(s, dir, "documents")
         .select(col("lang"), explode(split(lower(col("text")), " "))
           .as("word"))
-        .where(col("word") =!= "").distinct()
-      val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("nv"))
-      val a = vocab.select(col("lang").as("lang_a"), col("word"))
-      val b = vocab.select(col("lang").as("lang_b"), col("word"))
-      a.join(b, "word").where(col("lang_a") < col("lang_b"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(collect_set(col("lang")).as("langs"))
+        .localCheckpoint(false) // feeds sizes AND the pair expansion
+      val sizes = langSets.select(explode(col("langs")).as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("nv"))
+      langSets
+        .select(explode(col("langs")).as("lang_a"), col("langs"))
+        .select(col("lang_a"), explode(col("langs")).as("lang_b"))
+        .where(col("lang_a") < col("lang_b"))
         .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("common"))
         .join(broadcast(sizes.select(col("lang").as("lang_a"),
           col("nv").as("na"))), "lang_a")

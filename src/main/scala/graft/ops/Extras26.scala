@@ -74,14 +74,23 @@ object Extras26 {
         (col("o_orderdate") < lit(splitTs).cast("timestamp")).as("early"),
         // floor(x·100): the engine-identical double→cents quantization
         floor(col("o_totalprice") * 100.0).cast("long").as("cents"))
-      def half(early: Boolean): DataFrame = {
-        val spend = o.where(col("early") === early)
-          .groupBy("o_custkey").agg(sum(col("cents")).as("spend"))
-        GraftOps.distributedNtile(spend, Seq("spend", "o_custkey"), 4, "q")
-      }
-      val from = half(early = true)
+      // r14 rework (guide §2.4): the two halves used to rank through two
+      // independent distributedNtile kernels (2 range exchanges + 2
+      // window passes over two separately-shuffled spend rollups). One
+      // groupBy(custkey, half) rollup + ONE [[GraftOps.distributedNtileBy]]
+      // pass partitioned on the half flag ranks both halves — identical
+      // per-half order, tiebreaks and bucket rule, so seg_from/seg_to are
+      // unchanged value for value. The ntile output feeds both the from-
+      // and to- branches: checkpoint it once.
+      val spend = o.groupBy(col("early"), col("o_custkey"))
+        .agg(sum(col("cents")).as("spend"))
+        .select("early", "spend", "o_custkey")
+      val q = GraftOps.distributedNtileBy(
+          spend, "early", Seq("spend", "o_custkey"), 4, "q")
+        .localCheckpoint(false)
+      val from = q.where(col("early"))
         .select(col("o_custkey"), col("q").cast("long").as("seg_from"))
-      val to = half(early = false)
+      val to = q.where(!col("early"))
         .select(col("o_custkey"), col("q").cast("long").as("seg_to"))
       from.join(to, Seq("o_custkey"), "full_outer")
         .select(coalesce(col("seg_from"), lit(0L)).as("seg_from"),

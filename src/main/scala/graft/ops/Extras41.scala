@@ -97,14 +97,23 @@ object Extras41 {
         .select(col("u").as("c"),
           when(col("d") >= 2,
             floor(lit(1e9) / log(col("d").cast(DoubleType)))).as("aa_w"))
-      val cand = adj.select(col("u").as("c"), col("v").as("a"))
+      // r14 optimization (guide §2.4): the old order ran the adjacency
+      // anti-join on WEDGE-grain rows and then re-shuffled them by c for
+      // the weight join — three wedge-scale exchanges. Joining wdeg while
+      // the wedges are still partitioned by c (exchange reuse from the
+      // self-join), aggregating to pair grain FIRST, and anti-joining the
+      // much smaller aggregated pairs leaves ONE wedge-scale exchange
+      // (the groupBy). Inner-join/anti-join reorder over a plain
+      // aggregate — output identical row for row.
+      val wedges = adj.select(col("u").as("c"), col("v").as("a"))
         .join(adj.select(col("u").as("c"), col("v").as("b")), Seq("c"))
         .where(col("a") < col("b"))
-        .join(edges.select(col("pa").as("a"), col("pb").as("b")),
-          Seq("a", "b"), "left_anti")
-      cand.join(wdeg, Seq("c"))
+        .join(wdeg, Seq("c"))
+      wedges
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_common"), sum("aa_w").as("aa_q"))
+        .join(edges.select(col("pa").as("a"), col("pb").as("b")),
+          Seq("a", "b"), "left_anti")
         .orderBy(col("aa_q").desc, col("a"), col("b"))
         .limit(20)
         .select(col("a"), col("b"), col("n_common"),

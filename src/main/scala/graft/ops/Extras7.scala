@@ -100,6 +100,50 @@ object Extras7 {
       .drop("__nrank", "__nn", "__nq", "__nr")
   }
 
+  /** PUBLIC API: per-group distributed ntile —
+    * `ntile(k).over(partitionBy(byCol).orderBy(orderCols))` at shard-count
+    * parallelism. One [[graft.llm.Chunking.distributedRunningSum]] pass
+    * ranks ALL groups over the shared (byCol, orderCols) spine, so N
+    * independent ntiles (tag each metric, union, call once) cost ONE
+    * range exchange + ONE window pass instead of N of each — the r14
+    * rework that collapsed analytics_rfm_segments' three kernel passes
+    * and analytics_customer_migration's two into one apiece (guide
+    * §2.4: two operations keyed the same way share one exchange).
+    * Group sizes come from one map-side-combined count over `df`
+    * (broadcast, null-safe on the group key — null keys bucket together
+    * exactly like the window form). `df` must be exactly
+    * (byCol ++ orderCols) and orderCols must be unique per group, the
+    * [[distributedRank]] contract. */
+  def distributedNtileBy(df: org.apache.spark.sql.DataFrame, byCol: String,
+      orderCols: Seq[String], k: Int, outCol: String): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"distributedNtileBy needs k >= 1, got $k")
+    val reserved = Seq("__np", "__nk", "__nv", "__nn", "__nq", "__nr", "__nrank", "__nbk")
+    require(!df.columns.exists(reserved.contains) && !df.columns.contains(outCol),
+      s"distributedNtileBy reserves ${reserved.mkString(", ")} and output '$outCol'")
+    require(df.columns.toSet == (orderCols :+ byCol).toSet,
+      s"distributedNtileBy needs df == (byCol ++ orderCols); got ${df.columns.mkString(",")}")
+    val lite = df.select(col(byCol).as("__np"),
+      struct(orderCols.map(col): _*).as("__nk"), lit(1L).as("__nv"))
+    val ranked = graft.llm.Chunking
+      .distributedRunningSum(lite, "__np", "__nk", "__nv", "__nrank")
+    val sizes = df.groupBy(col(byCol).as("__nbk"))
+      .agg(count(lit(1)).as("__nn"))
+    ranked.join(broadcast(sizes), col("__np") <=> col("__nbk"))
+      .withColumn("__nq", expr(s"__nn DIV $k"))
+      .withColumn("__nr", expr(s"__nn % $k"))
+      // SQL ntile bucket rule + the non-nullability coalesce — see
+      // [[distributedNtile]]'s comment; -1 is unreachable.
+      .withColumn(outCol,
+        coalesce(
+          when(col("__nrank") <= (col("__nq") + 1) * col("__nr"),
+            expr("(__nrank - 1) DIV (__nq + 1) + 1"))
+            .otherwise(expr("__nr + (__nrank - (__nq + 1) * __nr - 1) DIV __nq + 1"))
+            .cast("int"),
+          lit(-1)))
+      .select(col("__np").as(byCol) +:
+        orderCols.map(c => col("__nk").getField(c).as(c)) :+ col(outCol): _*)
+  }
+
   /** PUBLIC API: truncated exponentially-weighted moving average with
     * exact decimal arithmetic. λ = 1/2, horizon = 8 lags: weights
     * 2⁻¹ … 2⁻⁸ are exact decimal literals, each term is an exact
@@ -223,24 +267,34 @@ object Extras7 {
     // window (ranks come from the two-level prefix sum, parallelism =
     // shard count at any customer cardinality).
     "analytics_rfm_segments" -> { (s, dir) =>
-      // the customer-grain rollup feeds SIX plan branches (3 ntile rank
-      // passes + their count aggregates + the final joins) — checkpoint
-      // it once instead of replaying the fact aggregate per branch
-      // (lazy localCheckpoint, the connectedComponents lineage
-      // discipline; chained ntiles measured 3.2 s -> this shape)
+      // the customer-grain rollup feeds the tagged union's three branches
+      // — checkpoint it once instead of replaying the fact aggregate
+      // (lazy localCheckpoint, the connectedComponents lineage discipline)
       val rfm = Tables(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(max(epochS(col("o_orderdate"))).as("r_ts"),
           count(lit(1)).as("f_cnt"),
           sum(dec(col("o_totalprice"))).cast(DecimalType(18, 4)).as("m_dec"))
         .localCheckpoint(false)
-      val quartiles = Seq(("r_ts", "r_q"), ("f_cnt", "f_q"), ("m_dec", "m_q"))
-        .map { case (metric, out) =>
-          distributedNtile(rfm.select("o_custkey", metric),
-            Seq(metric, "o_custkey"), 4, out)
-            .select("o_custkey", out)
-        }
-      quartiles.foldLeft(rfm.select("o_custkey", "f_cnt"))(_.join(_, "o_custkey"))
+      // r14 rework (guide §2.4): the three quartiles used to run three
+      // independent distributedNtile kernels (3 range exchanges + 3
+      // window passes + 3 join-backs on o_custkey). All three rank over
+      // the same row set, so TAG each metric (monetary as exact cents —
+      // m_dec has scale 4, ×10⁴ is a monotone exact long, identical
+      // order and ties) and rank the union in ONE [[distributedNtileBy]]
+      // pass; the per-customer (r_q, f_q, m_q) triple then reassembles
+      // in one groupBy instead of three joins. Bucket rule, ordering and
+      // tiebreaks are unchanged — output is identical row for row.
+      val tagged = rfm.select(lit(1).as("tag"), col("r_ts").as("metric"), col("o_custkey"))
+        .unionAll(rfm.select(lit(2).as("tag"), col("f_cnt").as("metric"), col("o_custkey")))
+        .unionAll(rfm.select(lit(3).as("tag"),
+          (col("m_dec") * 10000).cast("long").as("metric"), col("o_custkey")))
+      distributedNtileBy(tagged, "tag", Seq("metric", "o_custkey"), 4, "q")
+        .groupBy("o_custkey")
+        .agg(max(when(col("tag") === 1, col("q"))).as("r_q"),
+          max(when(col("tag") === 2, col("q"))).as("f_q"),
+          max(when(col("tag") === 3, col("q"))).as("m_q"),
+          max(when(col("tag") === 2, col("metric"))).as("f_cnt"))
         .withColumn("segment",
           col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
         .groupBy("segment")
@@ -286,22 +340,33 @@ object Extras7 {
     // revenue do the top k/10 of customers hold" with no
     // single-partition window anywhere.
     "analytics_pareto_curve" -> { (s, dir) =>
-      // the customer rollup feeds four plan branches (ntile rank, ntile
-      // count, decile rollup, grand total) — materialize once
+      // the customer rollup feeds three plan branches (ntile rank, ntile
+      // count, decile rollup) — materialize once
       val custRev = Tables(s, dir, "orders")
         .groupBy("o_custkey")
         .agg((sum(dec(col("o_totalprice"))) * 10000).cast("long").as("rev_c"))
         .withColumn("negrev", -col("rev_c"))
         .localCheckpoint(false)
+      // r14 rework (guide §1.2 first-principles): the cumulative over the
+      // TEN decile rows used to run a full distributedRunningSum kernel
+      // (range exchange + window exchange + offsets + broadcast — over 10
+      // rows), and the grand total re-scanned custRev. The decile count
+      // is a CONSTANT 10, so cum(d) = Σ_{d' ≤ d} rev expands each decile
+      // row to its ≤10 downstream anchors (bounded explode, one tiny hash
+      // shuffle) and the grand total is the sum of the per-decile sums —
+      // same exact integer arithmetic, two fewer full kernel passes.
+      // byDecile feeds the cum rollup AND the final join: checkpoint it
+      // (10 rows).
       val byDecile = distributedNtile(custRev, Seq("negrev", "o_custkey"), 10, "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum("rev_c").as("rev_cents"))
-      val cum = graft.llm.Chunking.distributedRunningSum(
-        byDecile.select(lit(0).as("__p"), col("decile"), col("rev_cents")),
-        "__p", "decile", "rev_cents", "cum_cents")
-        .select(col("decile"), col("cum_cents"))
+        .localCheckpoint(false)
+      val cum = byDecile
+        .select(col("rev_cents"),
+          explode(sequence(col("decile"), lit(10))).as("decile"))
+        .groupBy("decile").agg(sum("rev_cents").as("cum_cents"))
       byDecile.join(cum, "decile")
-        .crossJoin(broadcast(custRev.agg(sum("rev_c").as("tot_cents"))))
+        .crossJoin(broadcast(byDecile.agg(sum("rev_cents").as("tot_cents"))))
         .select(col("decile"), col("n_customers"), col("rev_cents"),
           (col("cum_cents").cast(DoubleType) / col("tot_cents").cast(DoubleType))
             .as("cum_share"))

@@ -294,15 +294,22 @@ object Extras8 {
         .localCheckpoint(false)
       val deciled = GraftOps.distributedNtile(
         spend, Seq("x", "o_custkey"), 10, "decile")
+      // r14 rework (guide §1.2): the cumulative over the TEN decile rows
+      // used to run a full distributedRunningSum kernel (two exchanges +
+      // offsets + broadcast, for 10 rows). The decile count is a constant,
+      // so cum(d) = Σ_{d' ≤ d} expands each decile to its ≤10 downstream
+      // anchors (bounded explode, one tiny shuffle); the DECIMAL sums stay
+      // exact/associative, so values are bit-identical. perD feeds the
+      // cum rollup, the total and the final join — checkpoint (10 rows).
       val perD = deciled.groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum(col("x")).as("spend_dec"))
-        .withColumn("g", lit(1))
-      // cumulate the DECIMAL spend (associative/exact) — a double
-      // cumulative would be shard-order-dependent
-      val cum = GraftOps.distributedRunningSum(
-        perD, "g", "decile", "spend_dec", "cum_dec")
+        .localCheckpoint(false)
+      val cum = perD
+        .select(col("spend_dec").as("sd"),
+          explode(sequence(col("decile"), lit(10))).as("decile"))
+        .groupBy("decile").agg(sum(col("sd")).as("cum_dec"))
       val tot = perD.agg(sum(col("spend_dec")).cast(DoubleType).as("tot"))
-      cum.crossJoin(broadcast(tot))
+      perD.join(cum, "decile").crossJoin(broadcast(tot))
         .select(col("decile"), col("n_customers"),
           col("spend_dec").cast(DoubleType).as("spend"),
           (col("spend_dec").cast(DoubleType) / col("tot")).as("share"),

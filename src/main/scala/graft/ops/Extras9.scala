@@ -128,6 +128,13 @@ object Extras9 {
       val li = Tables(s, dir, "lineitem")
         .select(col("l_quantity").as("x"),
           (col("l_quantity") * col("l_extendedprice")).as("y"))
+      // r14 note: a tagged single-kernel merge of the two midrank passes
+      // was tried and REVERTED — x (l_quantity) has a ~50-value domain, so
+      // its kernel is trivial and its join-back broadcasts; merging it
+      // into the fact-sized y pass only added a checkpoint materialization
+      // and degraded the x join-back to a sort-merge (isolated median
+      // 3.08 s vs 1.48 s baseline). Kernel merging pays only when the
+      // merged passes are comparable in size (see analytics_rfm_segments).
       def rank2(valCol: String, out: String): DataFrame = {
         val per = li.groupBy(valCol).agg(count(lit(1)).as("cnt"))
           .withColumn("g", lit(1))
