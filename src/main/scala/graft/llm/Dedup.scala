@@ -525,7 +525,11 @@ object Dedup {
           .groupBy(col("node"))
           .agg(min(col("lab")).as("lab"), max(col("__old")).as("__old"))
         // compression: every label is itself a node, so lab(lab) exists and
-        // lab(lab) ≤ lab — following one extra hop halves chain depth
+        // lab(lab) ≤ lab — following one extra hop halves chain depth.
+        // (r14 note: a second compression hop per round — pointer
+        // doubling — was tried and measured SLOWER on the co-purchase
+        // giant, 5.86 s vs 3.48 s: convergence is propagation-bound, not
+        // chain-depth-bound, so the extra join was pure overhead.)
         val byLab = fused.select(col("node").as("ln"), col("lab").as("lab2"))
         val next = save(fused.join(byLab, fused("lab") === byLab("ln"))
           .select(fused("node"), col("lab2").as("lab"),

@@ -71,12 +71,24 @@ object Dedup2 {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
       val sh = Dedup.shingleArrays(d, "doc_id", "text", 3, dedup = true)
-      val srcSet = sh.join(d.select(col("doc_id"), col("source")), "doc_id")
-        .select(col("source"), explode(col("sh")).as("bg")).distinct()
-      val sizes = srcSet.groupBy("source").agg(count(lit(1)).as("nv"))
-      val a = srcSet.select(col("source").as("src_a"), col("bg"))
-      val b = srcSet.select(col("source").as("src_b"), col("bg"))
-      a.join(b, "bg").where(col("src_a") < col("src_b"))
+      // r14 rework (guide §2.3/§2.4, the text_vocab_overlap_langs shape):
+      // the old form ran distinct(source, trigram) over the exploded
+      // shingle stream and a trigram-keyed self-join — three
+      // shingle-scale exchanges. The source set per trigram is bounded
+      // by the source count, so ONE groupBy(bg).collect_set(source) pass
+      // (map-side partial aggregation) replaces them; sizes and pair
+      // intersections are |shingle-vocab|-sized arithmetic on the
+      // materialized-once table. Identical sets → identical output.
+      val srcSets = sh.join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), explode(col("sh")).as("bg"))
+        .groupBy("bg").agg(collect_set(col("source")).as("srcs"))
+        .localCheckpoint(false) // feeds sizes AND the pair expansion
+      val sizes = srcSets.select(explode(col("srcs")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("nv"))
+      srcSets
+        .select(explode(col("srcs")).as("src_a"), col("srcs"))
+        .select(col("src_a"), explode(col("srcs")).as("src_b"))
+        .where(col("src_a") < col("src_b"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
         .join(broadcast(sizes.select(col("source").as("src_a"),
           col("nv").as("na"))), "src_a")

@@ -92,16 +92,25 @@ object Extras24 {
       val deg = edges.select(col("pa").as("p"))
         .unionAll(edges.select(col("pb").as("p")))
         .groupBy("p").agg(count(lit(1)).as("d"))
-      val both = edges.select(col("pa").as("x"), col("pb").as("y"))
-        .unionAll(edges.select(col("pb").as("x"), col("pa").as("y")))
-      val sums = both
-        .join(deg.select(col("p").as("x"), col("d").as("dx")), "x")
-        .join(deg.select(col("p").as("y"), col("d").as("dy")), "y")
-        .agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"),
-          sum(col("dy")).as("sy"),
-          sum(col("dx") * col("dx")).as("sxx"),
-          sum(col("dy") * col("dy")).as("syy"),
-          sum(col("dx") * col("dy")).as("sxy"))
+        .localCheckpoint(false) // feeds the moment rollup AND two joins
+      // r14 rework (guide §1.2 first-principles): over BOTH edge
+      // orientations the marginal sums are degree-grain identities — node
+      // p appears as an endpoint exactly d_p times, so n = Σd, sx = sy =
+      // Σd², sxx = syy = Σd³ (exact integer equalities, same values the
+      // 2|E|-row join-side aggregation produced). Only the cross moment
+      // needs edge-level pairing: sxy = 2·Σ_edges d_pa·d_pb. This drops
+      // the doubled-orientation union and one of the two wedge-scale
+      // join passes.
+      val dsums = deg.agg(sum(col("d")).as("n"),
+        sum(col("d") * col("d")).as("s2"),
+        sum(col("d") * col("d") * col("d")).as("s3"))
+      val exy = edges
+        .join(deg.select(col("p").as("pa"), col("d").as("dxa")), "pa")
+        .join(deg.select(col("p").as("pb"), col("d").as("dyb")), "pb")
+        .agg((lit(2L) * sum(col("dxa") * col("dyb"))).as("sxy"))
+      val sums = exy.crossJoin(broadcast(dsums))
+        .select(col("n"), col("s2").as("sx"), col("s2").as("sy"),
+          col("s3").as("sxx"), col("s3").as("syy"), col("sxy"))
       val dn = DecimalType(12, 0)
       val ds = DecimalType(18, 0)
       val num = col("n").cast(dn) * col("sxy").cast(ds) -

@@ -41,11 +41,18 @@ object Extras29 {
       .select(datediff(col("last_d"), col("first_d")).cast("long").as("t"),
         when(datediff(col("maxd"), col("last_d")) > 90, 1L).otherwise(0L)
           .as("event"))
+    // r14 (guide §2.4): grain feeds the prefix-sum kernel AND the final
+    // join, and the result feeds two cumulative consumers in KM /
+    // Nelson-Aalen — without checkpoints each consumer replayed the whole
+    // customer-grain pipeline (the km_by_segment plan held 59 exchanges).
+    // n_total now rolls up from grain instead of a second life pass
+    // (sum of per-t counts ≡ count of life rows).
     val grain = life.groupBy("t").agg(
       sum(col("event")).as("d"),
       (count(lit(1)) - sum(col("event"))).as("c"),
       count(lit(1)).as("cnt"))
-    val tot = life.agg(count(lit(1)).as("n_total"))
+      .localCheckpoint(false)
+    val tot = grain.agg(sum(col("cnt")).as("n_total"))
     // at-risk countdown: n_at_risk(t) = N − (inclusive cumsum − cnt)
     val cum1 = GraftOps.distributedRunningSum(
       grain.select(lit(0L).as("__p"), col("t"), col("cnt")),
@@ -54,6 +61,7 @@ object Extras29 {
       .crossJoin(broadcast(tot))
       .select(col("t"), col("d"), col("c"),
         (col("n_total") - col("cum_incl") + col("cnt")).as("n_at_risk"))
+      .localCheckpoint(false)
   }
 
   /** Shared Holt-fold scaffold: ONE wide 1-row aggregate (every monthly

@@ -53,11 +53,18 @@ object Extras33 {
           datediff(col("last_d"), col("first_d")).cast("long").as("t"),
           when(datediff(col("maxd"), col("last_d")) > 90, 1L).otherwise(0L)
             .as("event"))
+      // r14 (guide §2.4): grain and ar each feed two consumers — without
+      // checkpoints the (segment, t) pipeline (including the first
+      // prefix-sum kernel) replayed per consumer: the committed plan held
+      // 59 exchanges. Checkpoint both; n_total rolls up from grain
+      // instead of a second life pass (sum of per-(segment, t) counts ≡
+      // per-segment row count).
       val grain = life.groupBy("segment", "t").agg(
         sum(col("event")).as("d"),
         count(lit(1)).as("cnt"))
-      val tot = life.groupBy("segment")
-        .agg(count(lit(1)).as("n_total"))
+        .localCheckpoint(false)
+      val tot = grain.groupBy("segment")
+        .agg(sum(col("cnt")).as("n_total"))
       val cum1 = GraftOps.distributedRunningSum(
         grain.select(col("segment"), col("t"), col("cnt")),
         "segment", "t", "cnt", "cum_incl")
@@ -66,6 +73,7 @@ object Extras33 {
         .join(broadcast(tot), Seq("segment"))
         .select(col("segment"), col("t"), col("d"),
           (col("n_total") - col("cum_incl") + col("cnt")).as("n_at_risk"))
+        .localCheckpoint(false)
       val terms = ar.select(col("segment"), col("t"),
         log(nullif(col("n_at_risk") - col("d"), lit(0L)).cast(DoubleType) /
           col("n_at_risk").cast(DoubleType)).cast(DecimalType(18, 12))

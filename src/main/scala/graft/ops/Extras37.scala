@@ -27,39 +27,54 @@ object Extras37 {
     // all divisions are single IEEE ops over exactly-representable
     // integer sums, so raw doubles hash-match.
     "profile_key_concentration" -> { (s, dir) =>
-      def audit(keyName: String, df: DataFrame, key: String): DataFrame = {
-        val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(false) // feeds rank + two aggregates
-        val ranked = GraftOps.distributedRank(
-          counts.select((-col("cnt")).as("nc"), col("k"), col("cnt")),
-          Seq("nc", "k"), "i")
-        val tots = counts.agg(count(lit(1)).as("n_keys"),
-          sum(col("cnt")).as("n_rows"),
-          sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt"))
-            .cast(DoubleType).as("c2"),
-          max(col("cnt")).as("max_cnt"))
-        ranked.crossJoin(broadcast(tots))
-          .agg(
-            max(col("n_keys")).as("n_keys"),
-            max(col("n_rows")).as("n_rows"),
-            // n_rows² in DOUBLE (long·long overflows int64 once a table
-            // passes ~3B rows; both engines square the same exact double)
-            ((max(col("n_rows")).cast(DoubleType) *
-              max(col("n_rows")).cast(DoubleType)) /
-              max(col("c2"))).as("eff_keys"),
-            (max(col("max_cnt")).cast(DoubleType) /
-              max(col("n_rows")).cast(DoubleType)).as("top1_share"),
-            (sum(when(col("i") <= ceil(lit(0.001) * col("n_keys")),
-              col("cnt")).otherwise(0L)).cast(DoubleType) /
-              max(col("n_rows")).cast(DoubleType)).as("top_permille_share"))
-          .select(lit(keyName).as("key_col"), col("n_keys"), col("n_rows"),
-            col("eff_keys"), col("top1_share"), col("top_permille_share"))
-      }
-      audit("events.user_id", Tables(s, dir, "events"), "user_id")
-        .unionAll(audit("lineitem.l_orderkey",
+      // r14 rework (guide §2.4): the three audits used to run three
+      // independent distributedRank kernels, each through the JOIN-BACK
+      // path (cnt rode outside the rank struct → a counts⋈counts
+      // struct-equality join per table), plus three crossJoin-aggregate
+      // passes. The three key censuses are comparable in size, so ONE
+      // tagged kernel ranks all of them (partition = the audited key
+      // name), cnt rides INSIDE the rank order as its negation (cnt =
+      // −nc — join-back eliminated), and the per-table scalars reduce in
+      // one groupBy(key_col) instead of three crossJoins. Per-tag ranks,
+      // sums and shares are identical value for value.
+      def counts(keyName: String, df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+          .select(lit(keyName).as("key_col"), (-col("cnt")).as("nc"), col("k"))
+      val census = counts("events.user_id", Tables(s, dir, "events"), "user_id")
+        .unionAll(counts("lineitem.l_orderkey",
           Tables(s, dir, "lineitem"), "l_orderkey"))
-        .unionAll(audit("orders.o_custkey",
+        .unionAll(counts("orders.o_custkey",
           Tables(s, dir, "orders"), "o_custkey"))
+        .localCheckpoint(false) // feeds the rank kernel AND the totals
+      val lite = census.select(col("key_col").as("__np"),
+        struct(col("nc"), col("k")).as("__nk"), lit(1L).as("__nv"))
+      val ranked = graft.llm.Chunking
+        .distributedRunningSum(lite, "__np", "__nk", "__nv", "i")
+        .select(col("__np").as("key_col"),
+          (-col("__nk").getField("nc")).as("cnt"), col("i"))
+      val tots = census.groupBy(col("key_col").as("tk"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(-col("nc")).as("n_rows"),
+          sum(col("nc").cast(DecimalType(38, 0)) * col("nc"))
+            .cast(DoubleType).as("c2"),
+          max(-col("nc")).as("max_cnt"))
+      ranked.join(broadcast(tots), col("key_col") === col("tk"))
+        .groupBy(col("key_col"))
+        .agg(
+          max(col("n_keys")).as("n_keys"),
+          max(col("n_rows")).as("n_rows"),
+          // n_rows² in DOUBLE (long·long overflows int64 once a table
+          // passes ~3B rows; both engines square the same exact double)
+          ((max(col("n_rows")).cast(DoubleType) *
+            max(col("n_rows")).cast(DoubleType)) /
+            max(col("c2"))).as("eff_keys"),
+          (max(col("max_cnt")).cast(DoubleType) /
+            max(col("n_rows")).cast(DoubleType)).as("top1_share"),
+          (sum(when(col("i") <= ceil(lit(0.001) * col("n_keys")),
+            col("cnt")).otherwise(0L)).cast(DoubleType) /
+            max(col("n_rows")).cast(DoubleType)).as("top_permille_share"))
+        .select(col("key_col"), col("n_keys"), col("n_rows"),
+          col("eff_keys"), col("top1_share"), col("top_permille_share"))
         .orderBy("key_col")
     },
 

@@ -65,7 +65,13 @@ object Extras45 {
     // below the node count at any SF.
     "graph_component_sizes" -> { (s, dir) =>
       val edges = Graph.strongEdgesCached(s, dir).select("pa", "pb")
-      graft.llm.Dedup.connectedComponents(edges, "pa", "pb", algorithm = "labelprop", maxRounds = 30)
+      // r14 note: a pointer-doubling variant (2 compression hops/round)
+      // was tried and REVERTED — measured 5.86 s vs 3.48 s median (direct
+      // A/B, same session): convergence here is bound by min-label
+      // PROPAGATION along edges, not label-chain depth, so the extra
+      // per-round join bought nothing.
+      graft.llm.Dedup.connectedComponents(edges, "pa", "pb",
+        algorithm = "labelprop", maxRounds = 30)
         .groupBy("component").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_components"))
         .orderBy("sz")
