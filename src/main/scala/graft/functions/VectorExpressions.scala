@@ -223,7 +223,59 @@ case class Int8Dot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Quantized sparse dot product over two per-doc term vectors — r14, the
+  * exact-verify stage of text_tfidf_cosine_pairs. Inputs are
+  * array<struct<word string, wn double>> SORTED by word (unique words per
+  * doc — the termFreqs grain), built once per doc by
+  * sort_array(collect_list(struct(word, wn))). One merge-intersect loop
+  * accumulates Σ floor(wa·wb·10¹²) as an exact long over the words present
+  * in BOTH vectors — term for term the same floor-quantized products the
+  * old (candidate ⋈ postings ⋈ postings → groupBy pair) shape summed, so
+  * cosines are bit-identical while the pair×term-grain exchanges disappear
+  * (the dot is a map-side expression on pair-grain rows). Long addition is
+  * order-free; the merge order is ascending word either way. */
+case class SparseQDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sparseQDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.sparseQDot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorKernels {
+  /** merge-intersect kernel for [[SparseQDot]]: both arrays sorted by the
+    * struct's first (word) field, words unique per array. */
+  def sparseQDot(x: ArrayData, y: ArrayData): Long = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < nx && j < ny) {
+      val rx = x.getStruct(i, 2)
+      val ry = y.getStruct(j, 2)
+      val c = rx.getUTF8String(0).compareTo(ry.getUTF8String(0))
+      if (c == 0) {
+        // exactly floor(wa * wb * 1e12) cast long — the Spark built-in's
+        // double floor + truncating cast, reproduced bit for bit
+        acc += math.floor(rx.getDouble(1) * ry.getDouble(1) * 1e12).toLong
+        i += 1; j += 1
+      } else if (c < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+
   /** shared eval/codegen kernel for [[PackInt8]]: null element or a value
     * outside int8 range (incl. non-integer doubles: the CAST truncates,
     * so a fractional input would silently change the dot) → null. */

@@ -154,15 +154,27 @@ object Retrieval {
         .select(least(col("pd"), col("fd")).as("doc_a"),
           greatest(col("pd"), col("fd")).as("doc_b"))
         .distinct()
-      val pa = wn.select(col("doc_id").as("doc_a"), col("word"),
-        col("wn").as("wa"))
-      val pb = wn.select(col("doc_id").as("doc_b"), col("word"),
-        col("wn").as("wb"))
-      cand.join(pa, "doc_a").join(pb, Seq("doc_b", "word"))
-        .groupBy("doc_a", "doc_b")
-        .agg(sum(floor(col("wa") * col("wb") * 1e12).cast(LongType)).as("q"))
+      // r14 verify-stage rework (guide §2.3 "shuffle keys and metadata
+      // instead of payloads"): the old exact-cosine stage joined the
+      // candidate pairs back to BOTH posting lists and re-aggregated at
+      // pair×term grain — the widest exchanges in the plan. Collapsing
+      // each doc's postings once into a sorted sparse vector (vocabulary-
+      // bounded per doc) turns the verify into two pair-grain joins plus
+      // a map-side native merge-intersect dot ([[graft.functions
+      // .SparseQDot]]) that accumulates the SAME floor-quantized per-term
+      // products as an exact long — cosines bit-identical, the
+      // pair×term-grain shuffle and the final pair groupBy gone.
+      val vecs = wn.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("word"), col("wn")))).as("vec"))
+        .localCheckpoint(false) // feeds both pair sides
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val qd = ColumnBridge.column(graft.functions.SparseQDot(
+        ColumnBridge.expression(col("va")), ColumnBridge.expression(col("vb"))))
+      cand
+        .join(vecs.select(col("doc_id").as("doc_a"), col("vec").as("va")), "doc_a")
+        .join(vecs.select(col("doc_id").as("doc_b"), col("vec").as("vb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          round(col("q").cast(DoubleType) / 1e12, 6).as("cos"))
+          round(qd.cast(DoubleType) / 1e12, 6).as("cos"))
         .where(col("cos") >= theta)
         .orderBy("doc_a", "doc_b")
     }

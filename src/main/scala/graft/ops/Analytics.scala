@@ -292,27 +292,29 @@ object Analytics {
         .select("s_suppkey", "supp_nation")
       val isTarget = when(col("supp_nation") === "NATION_3", lit(1))
         .otherwise(lit(0)).cast("decimal(1,0)")
-      // r14 join-order fix (guide §2.3/§3): the selective dimensions now
-      // prune the fact FIRST — p_type = 'STANDARD' keeps ~1/|types| of
-      // lineitem and the region filter keeps ~1/5 of customers — so the
-      // orderkey/custkey/suppkey exchanges move a fraction of the bytes
-      // the old order shuffled (part joined LAST, after the fact had
-      // crossed two full-width exchanges). Pure inner-join reorder:
-      // output identical.
-      val amCust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
-        .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
+      // r14 note: a "selective dims first" inner-join reorder (part +
+      // region-reduced customer pruning the fact before the orderkey
+      // exchange) was tried and REVERTED — at bench scale the planner
+      // auto-broadcasts the raw dims in THIS order (one fact shuffle
+      // total), while the reorder's pre-reduced customer/part inputs
+      // lost their size estimates and degraded to sort-merge joins
+      // (sweep 0.89 s → 1.54 s). At 100 TB AQE's runtime stats make the
+      // same call per actual sizes; the logical order below is the one
+      // that keeps small-SF estimates broadcastable.
       Tables(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey",
           "l_extendedprice", "l_discount")
-        .join(Tables(s, dir, "part")
-          .where(col("p_type") === "STANDARD").select("p_partkey"),
-          col("l_partkey") === col("p_partkey"))
         .join(Tables(s, dir, "orders")
           .where(col("o_orderdate") >= ts("1996-01-01") &&
             col("o_orderdate") < ts("1998-01-01"))
           .select("o_orderkey", "o_custkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(amCust, col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
+        .join(Tables(s, dir, "part")
+          .where(col("p_type") === "STANDARD").select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
         .join(suppNation, col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).as("mkt_year"))
         .agg(sum(revTerm * isTarget).cast("double").as("nation_revenue"),

@@ -53,22 +53,19 @@ object Extras10 {
     * wmedian). */
   def weightedMedianByGroup(df: DataFrame, groupCol: String,
       valueCol: String, weightCol: String): DataFrame = {
+    // r14 note: deriving the totals from a localCheckpointed (g, v)
+    // pre-aggregate (to save the second fact pass) was tried and
+    // REVERTED — the checkpoint materialization of the near-fact-sized
+    // distinct table cost far more than the map-side-combined second
+    // scan it saved (sweep median 1.85 s → 3.39 s). The two-scan shape
+    // below keeps both passes shuffle-light (partial aggregation) and
+    // the kernel input slim.
     val base = df.select(col(groupCol).as("g"), col(valueCol).as("v"),
       col(weightCol).as("w"))
-    // r14 optimization (guide §2.3): per-group totals now roll up from
-    // the (g, v) pre-aggregate instead of a second full scan+shuffle of
-    // the fact — sum(cnt)/sum(wv) over pv is exactly count(*)/sum(w)
-    // over base (groupBy keeps null v as its own group; sum skips nulls
-    // identically in both shapes). The kernel input must stay exactly
-    // (g, v, wv) for the single-exchange reuse contract, so the counts
-    // ride a separate tiny rollup of pv, not extra kernel columns.
-    val pv0 = base.groupBy("g", "v")
-      .agg(sum(col("w")).as("wv"), count(lit(1)).as("cnt"))
-      .localCheckpoint(false) // feeds the kernel AND the totals rollup
-    val pv = pv0.select("g", "v", "wv")
+    val pv = base.groupBy("g", "v").agg(sum(col("w")).as("wv"))
     val cum = GraftOps.distributedRunningSum(pv, "g", "v", "wv", "cw")
-    val tot = pv0.groupBy("g")
-      .agg(sum(col("cnt")).as("n"), sum(col("wv")).as("total_weight"))
+    val tot = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("total_weight"))
     cum.join(broadcast(tot), "g")
       .where(col("cw") * 2 >= col("total_weight"))
       .groupBy("g", "n", "total_weight")

@@ -228,24 +228,23 @@ object Extras43 {
     // SF; lines-per-part is SF-invariant ~30 in this corpus, so the cap
     // keeps coverage while bounding the hot part), then the top-50 pairs by weight with a full unique tie-break.
     "graph_bipartite_projection" -> { (s, dir) =>
-      // r14 rework (guide §2.4, the strongEdges basket pattern): the old
-      // shape paid distinct + a per-part count window + a part-keyed
-      // self-join. One groupBy(part).collect_set(supplier) pass dedups,
-      // counts (size ≤ 32 ≡ the window cap over distinct rows) and holds
-      // the per-part supplier set; the pair expansion is the map-side
-      // native ArrayPairs over the sorted set (pa < pb by construction —
-      // identical pairs, same cap), leaving the wedge-grain groupBy as
-      // the only wedge-scale exchange.
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      val sups = Tables(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey").cast("long").as("sup"))
-        .groupBy("l_partkey")
-        .agg(sort_array(collect_set(col("sup"))).as("sups"))
-        .where(size(col("sups")) <= 32)
-      val pairs = ColumnBridge.column(graft.functions.ArrayPairs(
-        ColumnBridge.expression(col("sups"))))
-      sups.select(explode(pairs).as("__p"))
-        .select(col("__p.pa").as("sa"), col("__p.pb").as("sb"))
+      // r14 note: a collect_set + native ArrayPairs form (the strongEdges
+      // basket pattern) was tried and REVERTED — direct A/B measured it
+      // SLOWER (2.41 s vs 1.83 s median): the ObjectHashAggregate array
+      // state costs more here than the window whose exchange the
+      // self-join below reuses (both sides share one hashpartitioning
+      // on l_partkey — the join adds no exchange).
+      val ps = Tables(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val capped = ps
+        .withColumn("nsup", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
+        .where(col("nsup") <= 32)
+        .select("l_partkey", "l_suppkey")
+      capped.select(col("l_partkey"), col("l_suppkey").as("sa"))
+        .join(capped.select(col("l_partkey"), col("l_suppkey").as("sb")),
+          Seq("l_partkey"))
+        .where(col("sa") < col("sb"))
         .groupBy("sa", "sb").agg(count(lit(1)).as("shared_parts"))
         .orderBy(col("shared_parts").desc, col("sa"), col("sb"))
         .limit(50)

@@ -246,4 +246,42 @@ class ExpressionsSpec extends SparkSuite {
     val solo = out.find(_.getString(0) == "solo").get
     assert(solo.getSeq[String](solo.fieldIndex("bi")).isEmpty)
   }
+
+  test("SparseQDot equals the join-back floor-quantized term sum bit-for-bit") {
+    // r14: the tfidf exact-verify kernel — merge-intersect over sorted
+    // (word, wn) vectors must reproduce the old postings-join shape's
+    // sum(floor(wa*wb*1e12)) exactly, including boundary products, on
+    // every candidate doc pair of the real corpus
+    val tf = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("wn", col("cnt").cast("double") / 10.0)
+    val docs = tf.select("doc_id").distinct().limit(40)
+    val pairs = docs.select(col("doc_id").as("doc_a"))
+      .crossJoin(docs.select(col("doc_id").as("doc_b")))
+      .where(col("doc_a") < col("doc_b")).limit(300)
+    val joinForm = pairs
+      .join(tf.select(col("doc_id").as("doc_a"), col("word"), col("wn").as("wa")), "doc_a")
+      .join(tf.select(col("doc_id").as("doc_b"), col("word"), col("wn").as("wb")),
+        Seq("doc_b", "word"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(floor(col("wa") * col("wb") * 1e12).cast("long")).as("q_join"))
+    val vecs = tf.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("word"), col("wn")))).as("vec"))
+    val native = pairs
+      .join(vecs.select(col("doc_id").as("doc_a"), col("vec").as("va")), "doc_a")
+      .join(vecs.select(col("doc_id").as("doc_b"), col("vec").as("vb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), ColumnBridge.column(
+        graft.functions.SparseQDot(ColumnBridge.expression(col("va")),
+          ColumnBridge.expression(col("vb")))).as("q_native"))
+    val joined = native.join(joinForm, Seq("doc_a", "doc_b"), "left")
+    // pairs sharing no word: join form emits no row, kernel must emit 0
+    assert(joined.where(col("q_join").isNotNull &&
+      col("q_join") =!= col("q_native")).count() == 0)
+    assert(joined.where(col("q_join").isNull &&
+      col("q_native") =!= 0L).count() == 0)
+    assert(native.count() > 0)
+  }
 }
