@@ -226,6 +226,18 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes("UTF-8"))
     } catch { case _: Throwable => }
+    // r15 (verdict item 2): ALSO persist the driver-contract line — with
+    // the full per-query map — to a file, because the driver's artifact
+    // keeps only the last 2000 chars of stdout, which truncated the
+    // per-query JSON and left PERF_r14's per_query/scaling tables empty.
+    // Additions-only: stdout keeps printing the same short total line
+    // (short so the tail capture can't cut it mid-token), stderr keeps the
+    // detail line; this file carries the map for per-query diffs.
+    val contract = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"n_fail":$nFail,"runs_per_query":$runs,"control_median":${num4(controlMedian)},"queries":$qs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
+        contract.getBytes("UTF-8"))
+    } catch { case _: Throwable => }
     System.err.println(detail)
     // release the dedup + graph stacks' persisted relations before shutdown
     // so a caller embedding the sweep in a longer-lived JVM gets memory back

@@ -26,17 +26,20 @@ import org.apache.spark.sql.functions._
   * `Window.partitionBy(source)` cumsum funnels each source's entire
   * token stream through ONE task (window partitions are single-task in
   * Spark), which is fatal when the corpus has ~20 sources and 100 TB of
-  * text. Instead:
-  *   1. `repartitionByRange(shards, source, id)` — an order-preserving
-  *      split of the (source, id) stream into `shards` contiguous runs;
-  *   2. local exclusive cumsum per (source, shard) — `shards`-way
-  *      parallel, each window partition holds ~1/shards of the data;
-  *   3. per-(source, shard) token totals — a tiny (≤ sources×shards row)
-  *      relation — cumsum'd over shard rank to get each shard's global
-  *      starting offset, broadcast-joined back;
+  * text. Instead (single-exchange form, r15):
+  *   1. assign each row a deterministic monotone shard id MAP-SIDE —
+  *      boundaries sampled once on the driver ([[RangeShards]]), an
+  *      order-preserving split of the (source, id) stream into `shards`
+  *      contiguous runs with no exchange;
+  *   2. per-(source, shard) token totals — map-side partial aggregation,
+  *      a tiny (≤ sources×shards row) relation — cumsum'd over shard
+  *      rank to get each shard's global starting offset, broadcast back;
+  *   3. ONE full-data hash exchange on the shard id (bijective values:
+  *      one shard per partition), local exclusive cumsum per
+  *      (source, shard) — `shards`-way parallel;
   *   4. global cumsum = shard offset + local cumsum (map-side add).
-  * Deterministic — shard BOUNDARIES come from range-partitioner sampling
-  * and may vary run to run, but offset+local is the exact global running
+  * Deterministic — shard boundaries are a pure function of the data
+  * (value-hash sampling), and offset+local is the exact global running
   * sum regardless of where the cuts land, so pack_id never changes.
   */
 object Chunking {
@@ -102,11 +105,14 @@ object Chunking {
     * `sum(value).over(Window.partitionBy(part).orderBy(order))`, for the
     * case where a single group is too big for one task (Spark window
     * partitions are single-task; a 100 TB group = one executor thread).
-    * Two-level prefix sum: an order-preserving `repartitionByRange`
-    * split into `shards` contiguous runs (default
-    * spark.sql.shuffle.partitions), a per-(group, shard) local window
-    * cumsum — parallelism = shards, never the group count — and a
-    * broadcast per-shard offset table added map-side. The result is
+    * Two-level prefix sum, single-exchange form: a deterministic
+    * map-side split of the global (part, order) order into `shards`
+    * contiguous runs (default spark.sql.shuffle.partitions; boundaries
+    * driver-sampled once, see [[RangeShards]]), a per-(group, shard)
+    * local window cumsum behind ONE full-data hash exchange —
+    * parallelism = shards, never the group count — and a broadcast
+    * per-shard offset table (computed map-side-aggregated BEFORE the
+    * exchange) added map-side. The result is
     * provably independent of the shard count (offset + local = the exact
     * global running sum wherever the cuts land). `exclusive = true`
     * sums strictly-preceding rows (0 for each group's first row);
@@ -142,68 +148,75 @@ object Chunking {
     val spark = df.sparkSession
     val nShards =
       if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // Level 0: order-preserving range split of the global (part, order)
-    // order into nShards contiguous runs. The shard id is the
-    // range-partition id — monotone in (part, order) by construction,
-    // which is what makes offset + local cumsum exact.
-    //
-    // CORRECTNESS INVARIANT: `ranged` feeds TWO plan branches (the offsets
-    // aggregate and the main window) that are joined back together, and
-    // the shard id comes from spark_partition_id() AFTER the range
-    // exchange, whose boundaries are SAMPLED by RangePartitioner. Both
-    // branches must therefore observe the SAME physical exchange. Exchange
-    // reuse (Spark's default) deduplicates the two subtrees ONLY if they
-    // canonicalize identically — and column pruning can silently break
-    // that: if `df` carries columns beyond (part, order, value), the
-    // offsets branch prunes them below the exchange while the main branch
-    // keeps them, the subtrees no longer compare equal, and each branch
-    // materializes its OWN exchange with independently sampled boundaries
-    // (caught in round 7: pipeline_select_budget's saved plan had two
-    // rangepartitioning exchanges — wrong sums waiting to happen at any
-    // scale where the reservoir no longer sees every row). Therefore:
-    //   - df == exactly (part, order, value): the subtrees are identical
-    //     by construction (nothing to prune; the exchange's partition
-    //     keys pin part+order below it, the aggregate needs value) —
-    //     reuse is structural. PlanSpec pins the single-exchange shape
-    //     for both declared queries through this kernel. Callers with
-    //     wide rows should pre-project and join the result back on a
-    //     unique (part, order) key, like packSequences/selectByBudget.
-    //   - extra columns present, or reuse disabled by conf: materialize
-    //     the shard assignment once (lazy localCheckpoint; blocks are
-    //     reclaimed by the ContextCleaner when the result DataFrame
-    //     becomes unreferenced, same lifecycle as connectedComponents'
-    //     rounds). Conf is sampled HERE, at plan-build time — flipping
-    //     exchange.reuse between building and executing the returned
-    //     frame is outside the guarantee.
-    val assigned = df
-      .repartitionByRange(nShards, col(partCol), col(orderCol))
-      .withColumn("__shard", spark_partition_id())
-    val reuseOn =
-      spark.conf.getOption("spark.sql.exchange.reuse").forall(_.toBoolean)
-    val slim = df.columns.toSet ==
+    // Level 0 (r15 single-exchange rework, guide §2.1/§2.4): the shard id
+    // is a DETERMINISTIC MAP-SIDE function of (part, order) — boundaries
+    // sampled once on the driver ([[RangeShards.shardColumn]]: value-hash
+    // TakeOrdered sample, evenly spaced splitters, binary-search
+    // assignment), monotone in (part, order) by construction, which is
+    // what makes offset + local cumsum exact. The old shape
+    // (repartitionByRange + spark_partition_id()) paid a SECOND full-data
+    // exchange for the window's (part, __shard) clustering — Catalyst
+    // can't know partition ids are stable — and its correctness leaned on
+    // exchange reuse gluing two plan branches to one sampled exchange
+    // (wide frames needed a localCheckpoint). A pure-function shard id
+    // dissolves both: every branch computes identical shards by
+    // construction, and the only full-data exchange left is the
+    // repartition below.
+    val shardCol =
+      RangeShards.shardColumn(df, Seq(col(partCol), col(orderCol)), nShards)
+    // Level 1: THE full-data exchange — hash on the shard EXPRESSION with
+    // the shard count pinned (shard values are murmur-bijective mod
+    // nShards, so each shard owns exactly one partition: the 1:1 layout
+    // the range exchange used to give, no synthetic-key collision skew).
+    // Partitioning by the expression (not a pre-materialized column)
+    // pins part+order below the exchange, so column pruning produces the
+    // SAME projection under it in every consumer branch — the property
+    // ReuseExchange needs; __shard is then materialized ABOVE the
+    // exchange (pure function, ~log2(shards) compares per row, and
+    // ProjectExec's alias-aware partitioning rewrites hash(expr) to
+    // hash(__shard), so the window adds no second exchange).
+    val main = df.repartition(nShards, shardCol).withColumn("__shard", shardCol)
+    val assigned = df.withColumn("__shard", shardCol)
+    // Level 2: per-(part, shard) totals cumsum'd over shard rank for each
+    // shard's global start offset (shard VALUES are monotone in shard
+    // rank — the RangeShards contract — so orderBy(__shard) is
+    // order-faithful). Which side feeds the aggregate is a pure
+    // PERFORMANCE choice now (the shard id is deterministic either way):
+    //  - slim input (exactly part+order+values): aggregate the EXCHANGE
+    //    OUTPUT — both branches' exchange subtrees canonicalize
+    //    identically, ReuseExchange serves them from one materialization,
+    //    and hashpartitioning(__shard) already satisfies the aggregate's
+    //    clustering, so the input is scanned/computed ONCE and the
+    //    offsets branch adds zero shuffles (guide §2.4).
+    //  - wide input: column pruning would narrow the offsets subtree
+    //    below the exchange and break reuse (the round-7 lesson), so
+    //    aggregate BEFORE the exchange instead — map-side partials
+    //    shrink each input partition to ≤ parts×shards rows ahead of a
+    //    tiny hash exchange (guide §2.3); the input is computed twice,
+    //    but never moved twice.
+    val slimIn = df.columns.toSet ==
       (Set(partCol, orderCol) ++ valueOuts.map(_._1))
-    val ranged = if (reuseOn && slim) assigned else assigned.localCheckpoint(false)
-    // Level 1: cumsum WITHIN each (part, shard) run — the window
-    // partition key includes the shard, so no single task ever holds
-    // more than ~1/nShards of a group. All value columns share ONE
-    // window spec, so Catalyst evaluates them in a single Window node.
-    val frame = Window.partitionBy(col(partCol), col("__shard"))
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, if (exclusive) -1 else 0)
-    // Level 2: per-(part, shard) totals — at most groups×nShards rows —
-    // cumsum'd over shard rank for each shard's global start offset.
     val wOff = Window.partitionBy(col(partCol)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col(partCol), col("__shard"))
+    val offsets = (if (slimIn) main else assigned)
+      .groupBy(col(partCol), col("__shard"))
       .agg(sum(col(valueOuts.head._1)).as("__stot0"),
         valueOuts.tail.zipWithIndex.map { case ((v, _), i) =>
           sum(col(v)).as(s"__stot${i + 1}") }: _*)
       .select(Seq(col(partCol).as("__okey"), col("__shard").as("__oshard")) ++
         valueOuts.indices.map(i =>
           coalesce(sum(col(s"__stot$i")).over(wOff), lit(0L)).as(s"__off$i")): _*)
+    // The window clusters by (part, __shard) — satisfied by
+    // hashpartitioning(__shard), so Catalyst adds only the in-partition
+    // sort; no single task ever holds more than ~1/nShards of a group.
+    // All value columns share ONE window spec, so Catalyst evaluates them
+    // in a single Window node.
+    val frame = Window.partitionBy(col(partCol), col("__shard"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, if (exclusive) -1 else 0)
     // null-safe on the group key: the window form groups null keys
     // together, so the offset join must not drop them.
-    val withLocal = valueOuts.zipWithIndex.foldLeft(ranged) {
+    val withLocal = valueOuts.zipWithIndex.foldLeft(main) {
       case (acc, ((v, _), i)) =>
         acc.withColumn(s"__lcum$i", coalesce(sum(col(v)).over(frame), lit(0L)))
     }
@@ -303,10 +316,11 @@ object Chunking {
     * `exclusive = true` the first global row of each group gets NULL
     * (no strictly-preceding row), exactly like
     * `max(v).over(orderBy(o).rowsBetween(unboundedPreceding, -1))` —
-    * `greatest` skips the null offset/local sides natively. The
-    * exchange-reuse / slim-projection invariant of
-    * [[distributedRunningSums]] applies: pass exactly
-    * (part, order, value) for structural exchange reuse. */
+    * `greatest` skips the null offset/local sides natively. Slim
+    * (part, order, value) projections are still recommended so wide
+    * payloads never ride the kernel's exchange (join back on a unique
+    * key), but are no longer a correctness requirement — the shard id
+    * is a pure map-side function ([[RangeShards]]). */
   def distributedRunningMax(df: DataFrame, partCol: String, orderCol: String,
       valueCol: String, outCol: String, exclusive: Boolean = false,
       shards: Int = 0): DataFrame = {
@@ -317,23 +331,25 @@ object Chunking {
     val spark = df.sparkSession
     val nShards =
       if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val assigned = df
-      .repartitionByRange(nShards, col(partCol), col(orderCol))
-      .withColumn("__shard", spark_partition_id())
-    val reuseOn =
-      spark.conf.getOption("spark.sql.exchange.reuse").forall(_.toBoolean)
-    val slim = df.columns.toSet == Set(partCol, orderCol, valueCol)
-    val ranged = if (reuseOn && slim) assigned else assigned.localCheckpoint(false)
+    // single-exchange form — see [[distributedRunningSums]]: deterministic
+    // map-side shard id; offsets aggregate the exchange output when the
+    // input is slim (structural reuse), the un-exchanged side otherwise.
+    val shardCol =
+      RangeShards.shardColumn(df, Seq(col(partCol), col(orderCol)), nShards)
+    val main = df.repartition(nShards, shardCol).withColumn("__shard", shardCol)
+    val assigned = df.withColumn("__shard", shardCol)
+    val slimIn = df.columns.toSet == Set(partCol, orderCol, valueCol)
     val frame = Window.partitionBy(col(partCol), col("__shard"))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, if (exclusive) -1 else 0)
     val wOff = Window.partitionBy(col(partCol)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col(partCol), col("__shard"))
+    val offsets = (if (slimIn) main else assigned)
+      .groupBy(col(partCol), col("__shard"))
       .agg(max(col(valueCol)).as("__mtot"))
       .select(col(partCol).as("__mkey"), col("__shard").as("__mshard"),
         max(col("__mtot")).over(wOff).as("__moff"))
-    ranged
+    main
       .withColumn("__lmax", max(col(valueCol)).over(frame))
       .join(broadcast(offsets),
         col(partCol) <=> col("__mkey") && col("__shard") === col("__mshard"))
@@ -354,10 +370,11 @@ object Chunking {
     * matter how many groups exist — so the broadcast stays O(shards) at
     * any group cardinality (100M users cannot blow the broadcast).
     * `orderCols` must be a unique total order within each group (the
-    * tail row is selected by struct-max over them). The exchange-reuse /
-    * slim-projection invariant of [[distributedRunningSums]] applies:
-    * pass exactly (part, order..., value) columns for structural
-    * exchange reuse; wider frames are localCheckpoint-materialized. */
+    * tail row is selected by struct-max over them). Slim
+    * (part, order..., value) projections are still recommended so wide
+    * payloads never ride the kernel's exchange, but are no longer a
+    * correctness requirement — the shard id is a pure map-side function
+    * ([[RangeShards]]); no localCheckpoint fallback remains. */
   def distributedLag(df: DataFrame, partCol: String, orderCols: Seq[String],
       valueCol: String, outCol: String, shards: Int = 0): DataFrame = {
     val reserved = Seq("__shard", "__rn", "__lv", "__lst", "__has", "__ptv",
@@ -370,17 +387,19 @@ object Chunking {
     val nShards =
       if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ord = orderCols.map(col)
-    val assigned = df
-      .repartitionByRange(nShards, col(partCol) +: ord: _*)
-      .withColumn("__shard", spark_partition_id())
-    val reuseOn =
-      spark.conf.getOption("spark.sql.exchange.reuse").forall(_.toBoolean)
-    val slim = df.columns.toSet == (Set(partCol, valueCol) ++ orderCols)
-    val ranged = if (reuseOn && slim) assigned else assigned.localCheckpoint(false)
+    // single-exchange form — see [[distributedRunningSums]]: deterministic
+    // map-side shard id; the tails branch aggregates the exchange output
+    // when the input is slim (structural reuse — the input is computed
+    // once), the un-exchanged side otherwise (map-side partials, tiny
+    // shuffle) — either way only the window branch moves full data.
+    val shardCol = RangeShards.shardColumn(df, col(partCol) +: ord, nShards)
+    val main = df.repartition(nShards, shardCol).withColumn("__shard", shardCol)
+    val assigned = df.withColumn("__shard", shardCol)
+    val slimIn = df.columns.toSet == (Set(partCol, valueCol) ++ orderCols)
     // per-(group, shard) tail value: struct-max over the unique order
-    // picks the run's LAST row; plain aggregate, so this branch shares
-    // the range exchange with the window branch (no second window pass).
-    val tails = ranged.groupBy(col(partCol), col("__shard"))
+    // picks the run's LAST row; plain aggregate.
+    val tails = (if (slimIn) main else assigned)
+      .groupBy(col(partCol), col("__shard"))
       .agg(max(struct(ord.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
         col(valueCol).as("__tv"): _*)).as("__lst"))
     val wS = Window.partitionBy(col(partCol)).orderBy(col("__shard"))
@@ -393,7 +412,7 @@ object Chunking {
       .select(col(partCol).as("__ckey"), col("__shard").as("__cshard"),
         col("__ptv"))
     val wls = Window.partitionBy(col(partCol), col("__shard")).orderBy(ord: _*)
-    ranged
+    main
       .withColumn("__rn", row_number().over(wls))
       .withColumn("__lv", lag(col(valueCol), 1).over(wls))
       .join(broadcast(corr),
@@ -444,9 +463,15 @@ object Chunking {
     // first-row marker, so no row_number is needed. Only __lcum (not
     // the transient flag) survives into the checkpointed projection —
     // the materialized width is the caller's columns + 2 longs.
+    // single-exchange form — see [[distributedRunningSums]]: deterministic
+    // map-side shard id + ONE hash exchange (the old range + window-hash
+    // exchange pair collapses to the repartition below). The window OUTPUT
+    // still feeds two consumers (tails aggregate + final join), so the
+    // localCheckpoint materialization stays.
+    val sessShard = RangeShards.shardColumn(df, col(partCol) +: ord, nShards)
     val local = df
-      .repartitionByRange(nShards, col(partCol) +: ord: _*)
-      .withColumn("__shard", spark_partition_id())
+      .repartition(nShards, sessShard)
+      .withColumn("__shard", sessShard)
       .withColumn("__lns",
         when(lag(lit(1), 1).over(wls).isNull, 0L)
           .when(col(tsCol) - lag(col(tsCol), 1).over(wls) > gapMicros, 1L)

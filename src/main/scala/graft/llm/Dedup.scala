@@ -531,10 +531,20 @@ object Dedup {
         // giant, 5.86 s vs 3.48 s: convergence is propagation-bound, not
         // chain-depth-bound, so the extra join was pure overhead.)
         val byLab = fused.select(col("node").as("ln"), col("lab").as("lab2"))
-        val next = save(fused.join(byLab, fused("lab") === byLab("ln"))
+        // r15: LAZY local checkpoint + a count aggregate as the
+        // materializing action — the convergence scalar rides the SAME
+        // job that persists the round's blocks, so each round is ONE job
+        // instead of two (checkpoint job + isEmpty scan). Reliable
+        // checkpoints (checkpointDir set) stay EAGER: a lazily-checkpointed
+        // reliable RDD is recomputed once more when the checkpoint files
+        // are written, which would cost a round, not save one.
+        val nextPlan = fused.join(byLab, fused("lab") === byLab("ln"))
           .select(fused("node"), col("lab2").as("lab"),
-            (col("lab2") < col("__old")).as("__chg")))
-        done = next.where(col("__chg")).isEmpty
+            (col("lab2") < col("__old")).as("__chg"))
+        val next =
+          if (checkpointDir.isDefined) nextPlan.checkpoint()
+          else nextPlan.localCheckpoint(false)
+        done = next.agg(count(when(col("__chg"), lit(1)))).head.getLong(0) == 0L
         labels = next.select(col("node"), col("lab"))
         rounds += 1
       }

@@ -110,6 +110,50 @@ class ChunkingSpec extends SparkSuite {
     }
   }
 
+  test("RangeShards: boundary sampling is a pure function of the data (r15 determinism spec)") {
+    // the shard id must be identical for a given row regardless of input
+    // partitioning/parallelism — the property the single-exchange kernel's
+    // correctness stands on (offsets branch and window branch assign
+    // shards independently). Value-hash sampling + driver-side splitter
+    // selection guarantees it; pin it across repartitionings and shard
+    // counts, including a skewed key distribution.
+    import TestSpark.spark.implicits._
+    val base = (1 to 2000).map(i => (s"g${i % 3}", (i * 7919) % 500, i.toLong))
+      .toDF("p", "o", "v")
+    for (nShards <- Seq(4, 16)) {
+      val layouts = Seq(base, base.repartition(13), base.repartition(1),
+        base.repartitionByRange(7, col("v")))
+      val assignments = layouts.map { l =>
+        l.withColumn("__s",
+            graft.llm.RangeShards.shardColumn(l, Seq(col("p"), col("o")), nShards))
+          .select("p", "o", "__s").distinct()
+          .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      }
+      assignments.tail.foreach(a => assert(a == assignments.head,
+        s"shard assignment varies with input partitioning at nShards=$nShards"))
+      // monotone: ordering by (p, o) never decreases the shard id
+      val sorted = assignments.head.toSeq.sortBy(_._1)
+      assert(sorted.map(_._2) == sorted.map(_._2).sorted,
+        "shard ids are not monotone in the key order")
+    }
+  }
+
+  test("RangeShards: bijective shard values hit every partition exactly once") {
+    for (n <- Seq(1, 2, 7, 32, 200)) {
+      val vs = graft.llm.RangeShards.bijectiveShardValues(n)
+      assert(vs.length == n && vs.toSeq == vs.sorted.toSeq && vs.distinct.length == n)
+      // each value must land in its own partition under Spark's own
+      // hash-partitioning expression (murmur3 seed 42, pmod n)
+      val pids = vs.map { v =>
+        val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)))
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]
+        ((h % n) + n) % n
+      }
+      assert(pids.toSet.size == n, s"shard values collide at n=$n")
+    }
+  }
+
   test("chunkSplit and packSequences reject reserved caller columns") {
     val c = Seq((1L, "a b", 9L)).toDF("id", "body", "n_tokens")
     intercept[IllegalArgumentException] {

@@ -257,13 +257,14 @@ class PlanSpec extends SparkSuite {
   test("pipeline_pack_sequences prefix-sums per range shard, never per source alone") {
     // The naive form cumsums with Window.partitionBy(source): ~20 window
     // partitions = ~20 tasks for the whole corpus at 100 TB. The two-level
-    // form must (a) range-split the (source, doc_id) order into shards and
+    // form must (a) split the (source, doc_id) order into shards — since
+    // r15 a MAP-SIDE boundaryshard assignment, not a range exchange — and
     // (b) run the full-data window keyed by (source, __shard). A window
     // keyed by source ALONE is only legal over the per-shard TOTALS — a
     // ≤ sources×shards row aggregate.
     val p = plan("pipeline_pack_sequences")
-    assert(p.contains("Exchange rangepartitioning"),
-      s"no order-preserving shard split:\n${p.take(2000)}")
+    assert(p.contains("boundaryshard"),
+      s"no map-side monotone shard assignment:\n${p.take(2000)}")
     val lines = p.linesIterator.toVector
     val winIdx = lines.zipWithIndex.filter(_._1.contains("Window ["))
     assert(winIdx.exists(_._1.contains("__shard")),
@@ -288,69 +289,58 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("int8dot"), s"ranking not through Int8Dot:\n${p.take(2000)}")
   }
 
-  test("pipeline_pack_sequences' two branches observe ONE range exchange") {
-    // distributedRunningSum derives BOTH the offsets aggregate and the
-    // main window from `ranged`, whose shard ids come from
-    // spark_partition_id() after a SAMPLED range shuffle — correctness
-    // requires the branches to share one physical exchange (divergent
-    // boundary samples would silently mis-align offsets). Exchange reuse
-    // dedupes the identical subtree; pin it: exactly one materialized
-    // range exchange in the executed plan (split off AQE's "Initial Plan"
-    // echo; ReusedExchange references don't count as a second one).
-    val df = SparkEntry.queries("pipeline_pack_sequences")(spark, sf)
+  /** r15 single-exchange invariant for the distributed prefix-sum kernel:
+    * the executed plan must materialize EXACTLY ONE full-data exchange —
+    * the pinned `repartition(nShards, __shard)` (REPARTITION_BY_NUM on
+    * __shard alone) — and NO rangepartitioning exchange on the kernel's
+    * order key (`orderKeyMark`). The offsets branch's post-partial-agg
+    * exchange is keyed (part, __shard) and carries ≤ groups×shards rows;
+    * it is excluded by requiring the REPARTITION_BY_NUM marker, which only
+    * the kernel's explicit repartition produces. Shard ids are a pure
+    * map-side function (boundaryshard), so no exchange-reuse invariant
+    * remains — the count is a PERFORMANCE pin, not a correctness glue. */
+  private def assertSingleShardExchange(query: String, orderKeyMark: String): Unit = {
+    val df = SparkEntry.queries(query)(spark, sf)
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // the shard split is the range exchange keyed on (source, doc_id); the
-    // query's OUTPUT sort is a separate (source, pack_id) range exchange
-    // and doesn't participate in the invariant
-    val n = finalPlan.linesIterator.count(l =>
-      l.contains("Exchange rangepartitioning") && l.contains("doc_id") &&
+    val nRange = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && l.contains(orderKeyMark) &&
         !l.contains("ReusedExchange"))
-    assert(n == 1,
-      s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
+    assert(nRange == 0,
+      s"$query: kernel still plans a range exchange on $orderKeyMark:\n${finalPlan.take(4000)}")
+    val nShardExchanges = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(boundaryshard") &&
+        l.contains("REPARTITION_BY_NUM") && !l.contains("ReusedExchange"))
+    assert(nShardExchanges == 1,
+      s"$query: expected exactly 1 full-data __shard exchange, got $nShardExchanges:\n${finalPlan.take(4000)}")
+    assert(finalPlan.contains("boundaryshard"),
+      s"$query: shard assignment is not the map-side boundaryshard expression")
   }
 
-  test("pipeline_select_budget's two branches observe ONE range exchange") {
-    // the second declared query through distributedRunningSum. Its first
-    // shipped shape violated the kernel's same-physical-exchange
-    // invariant: the caller kept doc_id for downstream, column pruning
-    // gave the offsets branch a NARROWER exchange subtree, ReuseExchange
-    // no longer matched, and the saved plan quietly materialized TWO
-    // rangepartitioning exchanges — independently sampled shard
-    // boundaries, i.e. wrong running sums at any scale where the
-    // reservoir stops seeing every row (sf0.01 passed on small-data
-    // luck). selectByBudget now runs the kernel on a slim 3-column
-    // projection (branches canonically identical ⇒ reuse is structural)
-    // and semi-joins survivors back; pin the single-exchange shape.
-    val df = SparkEntry.queries("pipeline_select_budget")(spark, sf)
-    df.collect()
-    val finalPlan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    val n = finalPlan.linesIterator.count(l =>
-      l.contains("Exchange rangepartitioning") && l.contains("__prio") &&
-        !l.contains("ReusedExchange"))
-    assert(n == 1,
-      s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
+  test("pipeline_pack_sequences plans ONE full-data exchange in the kernel") {
+    // first declared query through distributedRunningSum. The old shape
+    // paid range exchange + window hash exchange (both full-data) and
+    // leaned on exchange reuse to keep two branches on one sampled
+    // boundary set; the r15 kernel assigns shards map-side and pins the
+    // single full-data repartition. The query's OUTPUT sort is a separate
+    // (source, pack_id) range exchange and doesn't participate.
+    assertSingleShardExchange("pipeline_pack_sequences", "doc_id")
   }
 
-  test("pipeline_quota_per_source's two branches observe ONE range exchange") {
-    // third declared query through distributedRunningSum — same
-    // single-shared-exchange invariant as pipeline_select_budget: the
-    // kernel runs on the slim (source, __prio, __one) projection, so the
-    // offsets and window branches canonicalize identically and
-    // ReuseExchange must leave exactly one materialized shard-split
-    // exchange (the output sort's range exchange is on `source`, not
-    // `__prio`, and is excluded by the filter)
-    val df = SparkEntry.queries("pipeline_quota_per_source")(spark, sf)
-    df.collect()
-    val finalPlan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    val n = finalPlan.linesIterator.count(l =>
-      l.contains("Exchange rangepartitioning") && l.contains("__prio") &&
-        !l.contains("ReusedExchange"))
-    assert(n == 1,
-      s"expected exactly 1 materialized shard-split range exchange, got $n:\n${finalPlan.take(4000)}")
+  test("pipeline_select_budget plans ONE full-data exchange in the kernel") {
+    // second declared query through distributedRunningSum — historically
+    // the one whose wide caller frame broke the old exchange-reuse
+    // invariant (round 7: two independently sampled range exchanges =
+    // wrong sums at scale). With map-side boundaryshard assignment the
+    // failure mode is structurally impossible; pin the plan shape.
+    assertSingleShardExchange("pipeline_select_budget", "__prio")
+  }
+
+  test("pipeline_quota_per_source plans ONE full-data exchange in the kernel") {
+    // third declared query through distributedRunningSum (the output
+    // sort's range exchange is on `source`, not `__prio`, and is excluded)
+    assertSingleShardExchange("pipeline_quota_per_source", "__prio")
   }
 
   /** Execute and count parquet-scan lines in the AQE FINAL plan section —
