@@ -148,57 +148,18 @@ object Chunking {
     val spark = df.sparkSession
     val nShards =
       if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // Level 0 (r15 single-exchange rework, guide §2.1/§2.4): the shard id
-    // is a DETERMINISTIC MAP-SIDE function of (part, order) — boundaries
-    // sampled once on the driver ([[RangeShards.shardColumn]]: value-hash
-    // TakeOrdered sample, evenly spaced splitters, binary-search
-    // assignment), monotone in (part, order) by construction, which is
-    // what makes offset + local cumsum exact. The old shape
-    // (repartitionByRange + spark_partition_id()) paid a SECOND full-data
-    // exchange for the window's (part, __shard) clustering — Catalyst
-    // can't know partition ids are stable — and its correctness leaned on
-    // exchange reuse gluing two plan branches to one sampled exchange
-    // (wide frames needed a localCheckpoint). A pure-function shard id
-    // dissolves both: every branch computes identical shards by
-    // construction, and the only full-data exchange left is the
-    // repartition below.
-    val shardCol =
-      RangeShards.shardColumn(df, Seq(col(partCol), col(orderCol)), nShards)
-    // Level 1: THE full-data exchange — hash on the shard EXPRESSION with
-    // the shard count pinned (shard values are murmur-bijective mod
-    // nShards, so each shard owns exactly one partition: the 1:1 layout
-    // the range exchange used to give, no synthetic-key collision skew).
-    // Partitioning by the expression (not a pre-materialized column)
-    // pins part+order below the exchange, so column pruning produces the
-    // SAME projection under it in every consumer branch — the property
-    // ReuseExchange needs; __shard is then materialized ABOVE the
-    // exchange (pure function, ~log2(shards) compares per row, and
-    // ProjectExec's alias-aware partitioning rewrites hash(expr) to
-    // hash(__shard), so the window adds no second exchange).
-    val main = df.repartition(nShards, shardCol).withColumn("__shard", shardCol)
-    val assigned = df.withColumn("__shard", shardCol)
-    // Level 2: per-(part, shard) totals cumsum'd over shard rank for each
-    // shard's global start offset (shard VALUES are monotone in shard
-    // rank — the RangeShards contract — so orderBy(__shard) is
-    // order-faithful). Which side feeds the aggregate is a pure
-    // PERFORMANCE choice now (the shard id is deterministic either way):
-    //  - slim input (exactly part+order+values): aggregate the EXCHANGE
-    //    OUTPUT — both branches' exchange subtrees canonicalize
-    //    identically, ReuseExchange serves them from one materialization,
-    //    and hashpartitioning(__shard) already satisfies the aggregate's
-    //    clustering, so the input is scanned/computed ONCE and the
-    //    offsets branch adds zero shuffles (guide §2.4).
-    //  - wide input: column pruning would narrow the offsets subtree
-    //    below the exchange and break reuse (the round-7 lesson), so
-    //    aggregate BEFORE the exchange instead — map-side partials
-    //    shrink each input partition to ≤ parts×shards rows ahead of a
-    //    tiny hash exchange (guide §2.3); the input is computed twice,
-    //    but never moved twice.
+    // Level 0/1: order-preserving split into monotone shards + the
+    // kernel's only full-data exchange — dual path, see [[shardSplit]].
     val slimIn = df.columns.toSet ==
       (Set(partCol, orderCol) ++ valueOuts.map(_._1))
+    val (main, offSrc) =
+      shardSplit(df, Seq(col(partCol), col(orderCol)), nShards, slimIn)
+    // Level 2: per-(part, shard) totals cumsum'd over shard rank for each
+    // shard's global start offset (shard VALUES are monotone in shard
+    // rank, so orderBy(__shard) is order-faithful on both paths).
     val wOff = Window.partitionBy(col(partCol)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = (if (slimIn) main else assigned)
+    val offsets = offSrc
       .groupBy(col(partCol), col("__shard"))
       .agg(sum(col(valueOuts.head._1)).as("__stot0"),
         valueOuts.tail.zipWithIndex.map { case ((v, _), i) =>
@@ -206,11 +167,11 @@ object Chunking {
       .select(Seq(col(partCol).as("__okey"), col("__shard").as("__oshard")) ++
         valueOuts.indices.map(i =>
           coalesce(sum(col(s"__stot$i")).over(wOff), lit(0L)).as(s"__off$i")): _*)
-    // The window clusters by (part, __shard) — satisfied by
-    // hashpartitioning(__shard), so Catalyst adds only the in-partition
-    // sort; no single task ever holds more than ~1/nShards of a group.
-    // All value columns share ONE window spec, so Catalyst evaluates them
-    // in a single Window node.
+    // The window clusters by (part, __shard) — satisfied by main's
+    // partitioning on either path, so Catalyst adds only the
+    // in-partition sort; no single task ever holds more than ~1/nShards
+    // of a group. All value columns share ONE window spec, so Catalyst
+    // evaluates them in a single Window node.
     val frame = Window.partitionBy(col(partCol), col("__shard"))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, if (exclusive) -1 else 0)
@@ -229,6 +190,68 @@ object Chunking {
     withOuts.drop(Seq("__shard", "__okey", "__oshard") ++
       valueOuts.indices.flatMap(i => Seq(s"__lcum$i", s"__off$i")): _*)
   }
+
+  /** Shared Level-0/1 of the two-level prefix-sum kernels: split the
+    * global `keyCols` order into `nShards` monotone, order-contiguous
+    * shards and establish the clustering a (part, __shard) window needs.
+    * Returns `(main, offSrc)`: `main` carries `__shard` and is already
+    * clustered for the window (no further full-data exchange); `offSrc`
+    * is what the per-shard offsets/tails aggregate should read. Dual
+    * path, chosen by input shape ([[RangeShards.cheapSampleInput]]):
+    *
+    *  - SCAN-CHAIN inputs (project/filter over a leaf — the consumers
+    *    whose kernel traffic is fact-sized, where exchanges dominate at
+    *    100 TB): r15 single-exchange form. The shard id is a
+    *    DETERMINISTIC map-side function of the key columns
+    *    ([[RangeShards.shardColumn]]: value-hash TakeOrdered sample over
+    *    the pruned key projection, evenly spaced driver-selected
+    *    splitters, binary-search assignment — monotone by construction,
+    *    which is what keeps offset + local exact). The one exchange
+    *    hashes the shard EXPRESSION with the count pinned (values are
+    *    murmur-bijective mod nShards ⇒ exact 1:1 shard→partition, no
+    *    synthetic-key collision skew; partitioning by the expression pins
+    *    the key columns below the exchange so every consumer branch
+    *    prunes to the SAME projection and ReuseExchange can serve them
+    *    from one materialization; ProjectExec's alias-aware partitioning
+    *    rewrites hash(expr) → hash(__shard) above it, so the window adds
+    *    no second exchange). Correctness nowhere depends on exchange
+    *    reuse — the assignment is a pure function — so no checkpoint
+    *    fallback exists on this path; offsets read the reused exchange
+    *    when the input is slim, the un-exchanged side otherwise (column
+    *    pruning would de-canonicalize a wide offsets subtree — the
+    *    round-7 lesson — so wide inputs aggregate map-side before a tiny
+    *    shuffle instead, guide §2.3).
+    *
+    *  - DERIVED inputs (aggregate/join/window/union below — censuses,
+    *    already shrunk far below the fact): the r14 range path.
+    *    repartitionByRange's sampling sketch reads an
+    *    already-materialized AQE stage nearly for free, whereas a
+    *    separate boundary-sample ACTION would recompute the whole
+    *    derivation (fact scan + fact exchange) — measured up to 1.6× the
+    *    query on analytics_abc_classification (r15 interleaved A/B).
+    *    The shard id is spark_partition_id() AFTER the sampled range
+    *    exchange, so both consumer branches MUST observe the same
+    *    physical exchange: slim inputs get that structurally
+    *    (canonically identical subtrees ⇒ ReuseExchange); wider frames —
+    *    or exchange reuse disabled by conf, sampled at plan-build time —
+    *    are localCheckpoint-materialized (lazy; blocks reclaimed by the
+    *    ContextCleaner when the result becomes unreferenced). */
+  private def shardSplit(df: DataFrame, keyCols: Seq[org.apache.spark.sql.Column],
+      nShards: Int, slimIn: Boolean): (DataFrame, DataFrame) =
+    if (RangeShards.cheapSampleInput(df)) {
+      val shardCol = RangeShards.shardColumn(df, keyCols, nShards)
+      val main = df.repartition(nShards, shardCol).withColumn("__shard", shardCol)
+      val offSrc = if (slimIn) main else df.withColumn("__shard", shardCol)
+      (main, offSrc)
+    } else {
+      val assigned = df
+        .repartitionByRange(nShards, keyCols: _*)
+        .withColumn("__shard", spark_partition_id())
+      val reuseOn = df.sparkSession.conf
+        .getOption("spark.sql.exchange.reuse").forall(_.toBoolean)
+      val ranged = if (reuseOn && slimIn) assigned else assigned.localCheckpoint(false)
+      (ranged, ranged)
+    }
 
   /** PUBLIC API: budget-capped corpus selection — keep each `streamCol`
     * stream's rows in ASCENDING `priorityCol` order until the running
@@ -331,20 +354,16 @@ object Chunking {
     val spark = df.sparkSession
     val nShards =
       if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // single-exchange form — see [[distributedRunningSums]]: deterministic
-    // map-side shard id; offsets aggregate the exchange output when the
-    // input is slim (structural reuse), the un-exchanged side otherwise.
-    val shardCol =
-      RangeShards.shardColumn(df, Seq(col(partCol), col(orderCol)), nShards)
-    val main = df.repartition(nShards, shardCol).withColumn("__shard", shardCol)
-    val assigned = df.withColumn("__shard", shardCol)
+    // dual-path split — see [[shardSplit]]
     val slimIn = df.columns.toSet == Set(partCol, orderCol, valueCol)
+    val (main, offSrc) =
+      shardSplit(df, Seq(col(partCol), col(orderCol)), nShards, slimIn)
     val frame = Window.partitionBy(col(partCol), col("__shard"))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, if (exclusive) -1 else 0)
     val wOff = Window.partitionBy(col(partCol)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = (if (slimIn) main else assigned)
+    val offsets = offSrc
       .groupBy(col(partCol), col("__shard"))
       .agg(max(col(valueCol)).as("__mtot"))
       .select(col(partCol).as("__mkey"), col("__shard").as("__mshard"),
@@ -387,18 +406,12 @@ object Chunking {
     val nShards =
       if (shards > 0) shards else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ord = orderCols.map(col)
-    // single-exchange form — see [[distributedRunningSums]]: deterministic
-    // map-side shard id; the tails branch aggregates the exchange output
-    // when the input is slim (structural reuse — the input is computed
-    // once), the un-exchanged side otherwise (map-side partials, tiny
-    // shuffle) — either way only the window branch moves full data.
-    val shardCol = RangeShards.shardColumn(df, col(partCol) +: ord, nShards)
-    val main = df.repartition(nShards, shardCol).withColumn("__shard", shardCol)
-    val assigned = df.withColumn("__shard", shardCol)
+    // dual-path split — see [[shardSplit]]
     val slimIn = df.columns.toSet == (Set(partCol, valueCol) ++ orderCols)
+    val (main, offSrc) = shardSplit(df, col(partCol) +: ord, nShards, slimIn)
     // per-(group, shard) tail value: struct-max over the unique order
     // picks the run's LAST row; plain aggregate.
-    val tails = (if (slimIn) main else assigned)
+    val tails = offSrc
       .groupBy(col(partCol), col("__shard"))
       .agg(max(struct(ord.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
         col(valueCol).as("__tv"): _*)).as("__lst"))
@@ -463,15 +476,12 @@ object Chunking {
     // first-row marker, so no row_number is needed. Only __lcum (not
     // the transient flag) survives into the checkpointed projection —
     // the materialized width is the caller's columns + 2 longs.
-    // single-exchange form — see [[distributedRunningSums]]: deterministic
-    // map-side shard id + ONE hash exchange (the old range + window-hash
-    // exchange pair collapses to the repartition below). The window OUTPUT
-    // still feeds two consumers (tails aggregate + final join), so the
-    // localCheckpoint materialization stays.
-    val sessShard = RangeShards.shardColumn(df, col(partCol) +: ord, nShards)
-    val local = df
-      .repartition(nShards, sessShard)
-      .withColumn("__shard", sessShard)
+    // dual-path split — see [[shardSplit]]; slimIn = true because the
+    // pre-window data has a single consumer here (the window OUTPUT is
+    // what feeds two — tails aggregate + final join — and it keeps its
+    // localCheckpoint materialization below).
+    val (sessMain, _) = shardSplit(df, col(partCol) +: ord, nShards, slimIn = true)
+    val local = sessMain
       .withColumn("__lns",
         when(lag(lit(1), 1).over(wls).isNull, 0L)
           .when(col(tsCol) - lag(col(tsCol), 1).over(wls) > gapMicros, 1L)

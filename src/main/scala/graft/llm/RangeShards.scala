@@ -52,6 +52,28 @@ import org.apache.spark.sql.types.StructType
   */
 private[graft] object RangeShards {
 
+  /** Is `df` cheap to traverse twice? TRUE for scan-chain plans
+    * (project/filter over a leaf) — there the boundary-sample pass reads
+    * only the pruned KEY columns and the single-exchange form wins
+    * outright (it removes a FACT-sized exchange). FALSE for derived
+    * inputs (aggregates, joins, windows, unions): those are usually
+    * already shrunk far below the fact — the exchanges the new form
+    * would remove are census-sized — while the separate sample action
+    * would RECOMPUTE the whole derivation (scan + fact exchange), which
+    * the r15 interleaved A/B measured at up to 1.6× the query
+    * (analytics_abc_classification). Such inputs keep the r14 range
+    * path, whose RangePartitioner sketch reads an already-materialized
+    * AQE stage nearly for free. */
+  def cheapSampleInput(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def ok(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: Filter | _: SubqueryAlias => p.children.forall(ok)
+      case _: LeafNode => true
+      case _ => false
+    }
+    ok(df.queryExecution.analyzed)
+  }
+
   /** sample keys per target shard: splitter rank error is ~rows/√samples;
     * 128/shard keeps shard-size spread under ~10% while the whole sample
     * stays a few thousand slim rows on the driver at any data scale. */

@@ -58,22 +58,20 @@ object Extras10 {
     // REVERTED — the checkpoint materialization of the near-fact-sized
     // distinct table cost far more than the map-side-combined second
     // scan it saved (sweep median 1.85 s → 3.39 s).
-    // r15: the totals now roll up from the (g, v) pre-aggregate WITHOUT a
-    // checkpoint — pv carries a row count, tot = Σ per-value rows/weights
-    // (exact long algebra, identical results), and the tot branch's pv
-    // subtree canonicalizes identically to the kernel branches', so
-    // ReuseExchange serves all of them from ONE materialized pv exchange
-    // (guide §2.4: same-keyed work shares one exchange). This drops the
-    // second fact scan the r14 shape kept; the kernel itself is the r15
-    // single-exchange form, so wide (4-column) kernel input no longer
-    // forces a checkpoint either.
+    // r15 note: the checkpoint-free variant (pv carries a row count,
+    // tot = pv.groupBy(g) over the ReuseExchange'd pv subtree — exact
+    // long algebra, identical results) was ALSO tried and REVERTED:
+    // interleaved A/B measured 1.94 s → 2.31 s median (both rounds
+    // consistent). The wide 4-column kernel input pushes the offsets
+    // branch off the reused exchange, and the near-fact-sized pv final
+    // aggregate re-runs per consumer branch — more expensive than the
+    // map-side-combined second scan it saves. The two-scan shape stays.
     val base = df.select(col(groupCol).as("g"), col(valueCol).as("v"),
       col(weightCol).as("w"))
-    val pv = base.groupBy("g", "v")
-      .agg(sum(col("w")).as("wv"), count(lit(1)).as("cnt"))
+    val pv = base.groupBy("g", "v").agg(sum(col("w")).as("wv"))
     val cum = GraftOps.distributedRunningSum(pv, "g", "v", "wv", "cw")
-    val tot = pv.groupBy("g")
-      .agg(sum(col("cnt")).as("n"), sum(col("wv")).as("total_weight"))
+    val tot = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("total_weight"))
     cum.join(broadcast(tot), "g")
       .where(col("cw") * 2 >= col("total_weight"))
       .groupBy("g", "n", "total_weight")
