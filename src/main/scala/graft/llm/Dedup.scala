@@ -490,7 +490,16 @@ object Dedup {
     def save(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // r15 (guide §2.4 — same-keyed ops share one exchange): every round
+    // joins `edges` on src, and the init aggregate groups by src; persist
+    // the edge list ALREADY hash-partitioned and sorted by src, so the
+    // per-round SortMergeJoin re-shuffles and re-sorts only the
+    // node-sized labels side — the edge-scale exchange+sort is paid once
+    // at cache materialization instead of once per round (the cached
+    // relation's partitioning/ordering are preserved by persist).
     val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
       .persist()
     // fused round 1: lab₀ = min(node, min neighbor) straight off the edge
     // list — one agg instead of join+union+agg, and dedup graphs (cliques)

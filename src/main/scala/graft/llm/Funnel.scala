@@ -25,6 +25,14 @@ object Funnel {
             coalesce(col("n_docs"), lit(0L)).as("n_docs"),
             coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       val raw = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      // r15 note: a shared-scan composition (lazy localCheckpoint of
+      // `exact` and `line`, collapsing the executed plan's 3 corpus scans
+      // and doubled md5 groupBy to one of each) was tried and REVERTED —
+      // interleaved A/B (NEW,OLD,NEW,OLD medians 2.25/2.14/1.70/1.77 s,
+      // pooled 2.16 vs 2.01) measured it flat-to-negative: the funnel's
+      // cost is the substr 20-gram verdict join, not the corpus scans,
+      // and the survivor-set materialization costs what the saved scans
+      // return. Re-evaluate only if the corpus/scan share grows.
       // 1. exact dedup: one survivor (min doc_id) per distinct text,
       //    keyed on md5 so the shuffle never carries document bodies
       val exact = raw.groupBy(md5(col("text")).as("h"))

@@ -196,6 +196,12 @@ object Extras29 {
       val e = Graph.strongEdgesCached(s, dir)
       val adj = e.select(col("pa").as("node"), col("pb").as("nbr"))
         .unionAll(e.select(col("pb").as("node"), col("pa").as("nbr")))
+        // r15 (guide §2.4): pre-partition + sort by the per-round join
+        // key BEFORE the checkpoint (partitioning/ordering survive it),
+        // so each of the 4 rounds re-shuffles/sorts only the node-sized
+        // labels side, never the edge list
+        .repartition(col("nbr"))
+        .sortWithinPartitions("nbr")
         .localCheckpoint(false) // feeds one join per round
       var labels = adj.select(col("node")).distinct()
         .select(col("node"), col("node").as("label"))

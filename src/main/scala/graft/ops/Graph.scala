@@ -282,6 +282,12 @@ object Graph {
       val e = strongEdges(s, dir)
       val e2 = e.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+        // r15 note: pre-partitioning+sorting e2 by src before the
+        // checkpoint (the CC/labelprop layout trick) was tried and
+        // REVERTED here — the rank side `p` is broadcast every
+        // iteration, so the edge side never re-shuffled to begin with
+        // and the added exchange+sort was pure cost (interleaved A/B
+        // pooled medians 1.51 vs 1.39 s = 1.09x).
         .localCheckpoint(false) // feeds deg + one join per iteration
       val deg = e2.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
