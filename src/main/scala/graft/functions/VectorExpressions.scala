@@ -224,10 +224,18 @@ case class Int8Dot(left: Expression, right: Expression)
 }
 
 /** Quantized sparse dot product over two per-doc term vectors — r14, the
-  * exact-verify stage of text_tfidf_cosine_pairs. Inputs are
-  * array<struct<word string, wn double>> SORTED by word (unique words per
-  * doc — the termFreqs grain), built once per doc by
-  * sort_array(collect_list(struct(word, wn))). One merge-intersect loop
+  * exact-verify stage of text_tfidf_cosine_pairs.
+  *
+  * HARD PRECONDITION (r15, from the r14 advisor — the kernel trusts, it
+  * does not check): each input is array<struct<word string, wn double>>
+  * SORTED ascending by word, with UNIQUE words and NO null elements or
+  * null words. `sort_array(collect_list(struct(word, wn)))` over a
+  * (doc, word)-grain relation — the termFreqs grain — produces exactly
+  * this shape (collect_list drops nothing, struct() is non-null, the
+  * grain makes words unique). An unsorted or duplicated input returns a
+  * silently wrong dot (the merge-intersect skips matches); a null
+  * element or null word NPEs in getStruct/getUTF8String. Callers not
+  * building inputs through that recipe must sanitize first. One merge-intersect loop
   * accumulates Σ floor(wa·wb·10¹²) as an exact long over the words present
   * in BOTH vectors — term for term the same floor-quantized products the
   * old (candidate ⋈ postings ⋈ postings → groupBy pair) shape summed, so

@@ -170,6 +170,14 @@ object Retrieval {
       import org.apache.spark.sql.graftbridge.ColumnBridge
       val qd = ColumnBridge.column(graft.functions.SparseQDot(
         ColumnBridge.expression(col("va")), ColumnBridge.expression(col("vb"))))
+      // INVARIANT (r15, from the r14 advisor): the old postings-join
+      // shape DROPPED candidate pairs sharing zero terms, while this
+      // pair-grain form yields a cos = 0.0 row for them — structurally
+      // identical output only because (a) every LSH candidate pair
+      // shares ≥ 1 band, hence ≥ 1 term, by construction, and (b) the
+      // declared theta = 0.8 > 0 filters the degenerate row out anyway.
+      // If theta is ever parameterized, keep it > 0 or add a qd > 0
+      // filter to preserve the exact old output set.
       cand
         .join(vecs.select(col("doc_id").as("doc_a"), col("vec").as("va")), "doc_a")
         .join(vecs.select(col("doc_id").as("doc_b"), col("vec").as("vb")), "doc_b")

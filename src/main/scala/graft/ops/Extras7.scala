@@ -111,9 +111,17 @@ object Extras7 {
     * §2.4: two operations keyed the same way share one exchange).
     * Group sizes come from one map-side-combined count over `df`
     * (broadcast, null-safe on the group key — null keys bucket together
-    * exactly like the window form). `df` must be exactly
-    * (byCol ++ orderCols) and orderCols must be unique per group, the
-    * [[distributedRank]] contract. */
+    * exactly like the window form). CARDINALITY CONTRACT: the size table
+    * is one row per distinct `byCol` value and is UNCONDITIONALLY
+    * broadcast — use this kernel only when |groups| is broadcast-sized
+    * (segments, flags, dimension keys: the in-repo callers have 2–3).
+    * A high-cardinality byCol (millions of groups) would push the group
+    * census through the driver and every executor; such shapes should
+    * rank per group with a plain per-key window instead (many small
+    * groups are exactly what single-task window partitions are FOR —
+    * this kernel exists for the opposite regime, few huge groups).
+    * `df` must be exactly (byCol ++ orderCols) and orderCols must be
+    * unique per group, the [[distributedRank]] contract. */
   def distributedNtileBy(df: org.apache.spark.sql.DataFrame, byCol: String,
       orderCols: Seq[String], k: Int, outCol: String): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"distributedNtileBy needs k >= 1, got $k")
