@@ -27,6 +27,14 @@ object ExplainOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // extra session confs, e.g. SPARK_GRAFT_EXPLAIN_CONF=
+    //   "spark.graft.shards.sampleMinBytes=0" to dump the at-scale
+    // kernel shape at toy SFs (the size floor routes tiny inputs to the
+    // range path by default)
+    sys.env.get("SPARK_GRAFT_EXPLAIN_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

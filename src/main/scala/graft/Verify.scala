@@ -42,6 +42,16 @@ object Verify {
       // below records whether any launched.
     }
     val spark = builder.getOrCreate()
+    // Optional extra session confs (r15), e.g. SPARK_GRAFT_VERIFY_CONF=
+    //   "spark.graft.shards.sampleMinBytes=0" to oracle-gate the kernels'
+    // single-exchange path at toy SFs (the size floor routes tiny inputs
+    // to the range path by default). The driver never sets this env, so
+    // driver behavior is unchanged — same opt-in pattern as the
+    // retry-determinism sweep above.
+    sys.env.get("SPARK_GRAFT_VERIFY_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     spark.sparkContext.setLogLevel("WARN")
     // observed retry/speculation activity, reported at the end so the
     // sweep proves the failure path actually exercised

@@ -197,9 +197,14 @@ object Chunking {
     * Returns `(main, offSrc)`: `main` carries `__shard` and is already
     * clustered for the window (no further full-data exchange); `offSrc`
     * is what the per-shard offsets/tails aggregate should read. Dual
-    * path, chosen by input shape ([[RangeShards.cheapSampleInput]]):
+    * path, chosen by input shape AND size
+    * ([[RangeShards.singleExchangePath]] — scan-chain inputs whose size
+    * estimate clears `spark.graft.shards.sampleMinBytes`, default 32 MB:
+    * the boundary sample is a separate action with ~0.2 s fixed cost,
+    * worth paying only when the removed exchange moves more than that;
+    * at production scale every fact relation qualifies):
     *
-    *  - SCAN-CHAIN inputs (project/filter over a leaf — the consumers
+    *  - SCAN-CHAIN inputs above the size floor (the consumers
     *    whose kernel traffic is fact-sized, where exchanges dominate at
     *    100 TB): r15 single-exchange form. The shard id is a
     *    DETERMINISTIC map-side function of the key columns
@@ -238,7 +243,7 @@ object Chunking {
     *    ContextCleaner when the result becomes unreferenced). */
   private def shardSplit(df: DataFrame, keyCols: Seq[org.apache.spark.sql.Column],
       nShards: Int, slimIn: Boolean): (DataFrame, DataFrame) =
-    if (RangeShards.cheapSampleInput(df)) {
+    if (RangeShards.singleExchangePath(df)) {
       val shardCol = RangeShards.shardColumn(df, keyCols, nShards)
       val main = df.repartition(nShards, shardCol).withColumn("__shard", shardCol)
       val offSrc = if (slimIn) main else df.withColumn("__shard", shardCol)

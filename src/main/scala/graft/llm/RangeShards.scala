@@ -52,6 +52,20 @@ import org.apache.spark.sql.types.StructType
   */
 private[graft] object RangeShards {
 
+  /** Conf: minimum estimated input bytes for the single-exchange
+    * (boundary-sampled) path; below it the kernels keep the r14 range
+    * path. The boundary sample is a separate Spark ACTION with ~0.2–0.3 s
+    * of fixed planning/scheduling cost on this class of machine
+    * (measured at sf0.1, any input size) — worth paying only when the
+    * exchange it removes moves more bytes than that. 32 MB is the local
+    * breakeven ballpark (two exchanges of ≤ 32 MB are page-cache memory
+    * copies, cheaper than an extra job); every fact relation at
+    * production scale clears it by orders of magnitude, so the
+    * single-exchange form engages exactly where exchanges dominate
+    * (guide §2.2). Override per session for experiments/clusters. */
+  val SampleMinBytesConf = "spark.graft.shards.sampleMinBytes"
+  val DefaultSampleMinBytes: Long = 32L * 1024 * 1024
+
   /** Is `df` cheap to traverse twice? TRUE for scan-chain plans
     * (project/filter over a leaf) — there the boundary-sample pass reads
     * only the pruned KEY columns and the single-exchange form wins
@@ -73,6 +87,22 @@ private[graft] object RangeShards {
     }
     ok(df.queryExecution.analyzed)
   }
+
+  /** Full routing decision for the kernels: scan-chain shape AND a
+    * size estimate that amortizes the sample action's fixed cost.
+    * Unknown statistics (spark.sql.defaultSizeInBytes ≈ Long.Max — e.g.
+    * a checkpointed LogicalRDD) route to the range path: at bench scale
+    * those intermediates are small and the fixed cost dominates, while
+    * file relations — the inputs that are actually fact-sized at
+    * production scale — always carry real size estimates. */
+  def singleExchangePath(df: DataFrame): Boolean =
+    cheapSampleInput(df) && {
+      val minBytes = df.sparkSession.conf
+        .getOption(SampleMinBytesConf).map(_.toLong)
+        .getOrElse(DefaultSampleMinBytes)
+      val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      sz >= minBytes && sz < BigInt(Long.MaxValue) / 2
+    }
 
   /** sample keys per target shard: splitter rank error is ~rows/√samples;
     * 128/shard keeps shard-size spread under ~10% while the whole sample

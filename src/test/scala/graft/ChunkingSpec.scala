@@ -101,12 +101,23 @@ class ChunkingSpec extends SparkSuite {
         o -> (cums(i), cums(i) + v) // (exclusive, inclusive)
       }
     }.toMap
-    for (shards <- Seq(1, 5, 64); excl <- Seq(true, false)) {
-      val got = GraftOps.distributedRunningSum(df, "p", "o", "v", "cum",
-          exclusive = excl, shards = shards)
-        .select("o", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val want = model.view.mapValues(m => if (excl) m._1 else m._2).toMap
-      assert(got == want, s"diverged at shards=$shards exclusive=$excl")
+    // both kernel paths must agree with the window model: the default
+    // conf routes this toy input to the r14 range path (below the 32 MB
+    // sample floor), sampleMinBytes=0 forces the r15 single-exchange
+    // boundary-sampled path (the at-scale shape)
+    for (minBytes <- Seq(None, Some("0"))) {
+      val key = graft.llm.RangeShards.SampleMinBytesConf
+      minBytes.foreach(TestSpark.spark.conf.set(key, _))
+      try {
+        for (shards <- Seq(1, 5, 64); excl <- Seq(true, false)) {
+          val got = GraftOps.distributedRunningSum(df, "p", "o", "v", "cum",
+              exclusive = excl, shards = shards)
+            .select("o", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val want = model.view.mapValues(m => if (excl) m._1 else m._2).toMap
+          assert(got == want,
+            s"diverged at shards=$shards exclusive=$excl minBytes=$minBytes")
+        }
+      } finally if (minBytes.isDefined) TestSpark.spark.conf.unset(key)
     }
   }
 

@@ -254,15 +254,29 @@ class PlanSpec extends SparkSuite {
     assert(!bad, "tf relation shuffles token occurrences")
   }
 
+  /** run `body` with the single-exchange kernel path forced on (the
+    * at-scale shape: the 32 MB size floor routes toy-scale inputs to the
+    * range path by default — see RangeShards.singleExchangePath). */
+  private def withSingleExchangeKernels[T](body: => T): T = {
+    val key = graft.llm.RangeShards.SampleMinBytesConf
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("pipeline_pack_sequences prefix-sums per range shard, never per source alone") {
     // The naive form cumsums with Window.partitionBy(source): ~20 window
     // partitions = ~20 tasks for the whole corpus at 100 TB. The two-level
-    // form must (a) split the (source, doc_id) order into shards — since
-    // r15 a MAP-SIDE boundaryshard assignment, not a range exchange — and
-    // (b) run the full-data window keyed by (source, __shard). A window
-    // keyed by source ALONE is only legal over the per-shard TOTALS — a
-    // ≤ sources×shards row aggregate.
-    val p = plan("pipeline_pack_sequences")
+    // form must (a) split the (source, doc_id) order into shards — at
+    // scale a MAP-SIDE boundaryshard assignment, not a range exchange —
+    // and (b) run the full-data window keyed by (source, __shard). A
+    // window keyed by source ALONE is only legal over the per-shard
+    // TOTALS — a ≤ sources×shards row aggregate.
+    val p = withSingleExchangeKernels(plan("pipeline_pack_sequences"))
     assert(p.contains("boundaryshard"),
       s"no map-side monotone shard assignment:\n${p.take(2000)}")
     val lines = p.linesIterator.toVector
@@ -299,7 +313,8 @@ class PlanSpec extends SparkSuite {
     * the kernel's explicit repartition produces. Shard ids are a pure
     * map-side function (boundaryshard), so no exchange-reuse invariant
     * remains — the count is a PERFORMANCE pin, not a correctness glue. */
-  private def assertSingleShardExchange(query: String, orderKeyMark: String): Unit = {
+  private def assertSingleShardExchange(query: String, orderKeyMark: String): Unit =
+    withSingleExchangeKernels {
     val df = SparkEntry.queries(query)(spark, sf)
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
